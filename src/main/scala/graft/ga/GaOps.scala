@@ -1,0 +1,230 @@
+package graft.ga
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** GA-semantic composite operators (SURVEY.md §2.10): the reference's
+  * distinctive query surface — sessions, funnels, cohorts, and the
+  * full report pipeline — over the `events` hit-stream table.
+  *
+  * Scale shape: every op here is one shuffle on `user_id` (window
+  * sort or groupBy) followed by small aggregates. Per-user partitions
+  * are bounded (~tens of events per user), so the in-partition window
+  * sort never explodes; at 100 TB the same plan holds with
+  * user_id-hash exchange + AQE skew splitting.
+  *
+  * All event timestamps are handled as integral epoch microseconds
+  * (`unix_micros`) — never raw ns timestamps — per SURVEY §2 rule 4.
+  */
+object GaOps extends OpModule {
+
+  private val GapUs = 1800L * 1000000L // 30-minute inactivity gap
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+
+  private val perUser = Window
+    .partitionBy(col("user_id"))
+    .orderBy(col("us"), col("event_id"))
+
+  /** Gap-based sessionization (GA's 30-min session definition):
+    * lag → new-session flag → running sum = session id → per-session
+    * aggregates. */
+  val sessionize = Op(
+    "sessionize",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
+        .withColumn(
+          "new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn(
+          "sid",
+          sum(col("new_s")).over(
+            perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          round(sum(col("value")), 2).as("session_value")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us,
+             ROUND(SUM(value), 2) AS session_value
+      FROM sess GROUP BY user_id, sid"""))
+
+  /** Native Spark session_window (the Structured-Streaming-ready
+    * session operator) cross-checked against the classic gap SQL.
+    * session_window closes a session when the next event is >= last
+    * + gap, hence the `>=` in the oracle (vs `>` in `sessionize`). */
+  val sessionWindow = Op(
+    "session_window",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"),
+          col("end_us")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM sess GROUP BY user_id, sid"""))
+
+  /** Sequence segment (GA `sequence::` with `;->>`): users who signed
+    * up and purchased strictly after; first qualifying purchase. */
+  val funnelSeq = Op(
+    "funnel_seq",
+    (s, d) => {
+      val e = ev(s, d).filter(col("event_type").isin("signup", "purchase"))
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("signup_us"))
+      e.filter(col("event_type") === "purchase")
+        .join(signups, "user_id")
+        .filter(col("us") > col("signup_us"))
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(
+          min(col("us")).as("first_purchase_us"),
+          count(lit(1)).as("n_purchases_after"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type IN ('signup', 'purchase')),
+      signups AS (
+        SELECT user_id, MIN(us) AS signup_us
+        FROM ev WHERE event_type = 'signup' GROUP BY user_id)
+      SELECT user_id, signup_us,
+             MIN(us) AS first_purchase_us,
+             COUNT(*) AS n_purchases_after
+      FROM ev JOIN signups USING (user_id)
+      WHERE event_type = 'purchase' AND us > signup_us
+      GROUP BY user_id, signup_us"""))
+
+  /** Weekly cohort retention (GA cohort reports): cohort = first-event
+    * week, counts of distinct active users per week offset. Weeks are
+    * integral epoch-week numbers (`us div week_us`) so both engines
+    * share the exact same bucketing with no week-start convention. */
+  val cohortRetention = Op(
+    "cohort_retention",
+    (s, d) => {
+      val e = ev(s, d)
+      val first = e.groupBy(col("user_id")).agg(min(col("us")).as("first_us"))
+      e.join(first, "user_id")
+        .select(
+          col("user_id"),
+          expr("first_us div 604800000000").as("cohort_w"),
+          expr("us div 604800000000 - first_us div 604800000000").as("w_off"))
+        .groupBy(col("cohort_w"), col("w_off"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      first AS (
+        SELECT user_id, MIN(us) AS first_us FROM ev GROUP BY user_id)
+      SELECT first_us // 604800000000 AS cohort_w,
+             us // 604800000000 - first_us // 604800000000 AS w_off,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM ev JOIN first USING (user_id)
+      GROUP BY 1, 2"""))
+
+  /** Batch analog of the streaming tumbling window: hourly counts per
+    * event type. Spark `window()` aligns 1-hour windows to the epoch,
+    * identical to date_trunc('hour'). */
+  val windowTumbling = Op(
+    "window_tumbling",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(
+          unix_micros(col("window.start")).as("hour_start_us"),
+          col("event_type"), col("n_events"), col("total_value")),
+    Some("""
+      SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+               AS hour_start_us,
+             event_type, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2"""))
+
+  /** Full GA report pipeline (date-range + user-scope segment + dims +
+    * metrics + sort + max-results), compiled through the GaQuery DSL:
+    * events in [2024-01-05, 2024-01-20), segment = users with ≥1
+    * purchase, dims = (event_type, day), metrics = events / users /
+    * value, sort by events desc, top 50. */
+  val gaReport = Op(
+    "ga_report",
+    (s, d) =>
+      GaQuery()
+        .dateRange("2024-01-05", "2024-01-20")
+        .segmentUsersWith(col("event_type") === "purchase")
+        .dimensions("event_type" -> col("event_type"),
+          "day" -> to_date(col("ts")))
+        .metrics(
+          "n_events" -> count(lit(1)),
+          "n_users" -> countDistinct(col("user_id")),
+          "total_value" -> round(sum(col("value")), 2))
+        .sortDesc("n_events")
+        .maxResults(50)
+        .toDF(s, d),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS tsx,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      seg AS (
+        SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase')
+      SELECT event_type, CAST(tsx AS DATE) AS day,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users,
+             ROUND(SUM(value), 2) AS total_value
+      FROM ev JOIN seg USING (user_id)
+      WHERE us >= 1704412800000000 AND us < 1705708800000000
+      GROUP BY 1, 2
+      ORDER BY n_events DESC, event_type, day
+      LIMIT 50"""))
+
+  override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
+    cohortRetention, windowTumbling, gaReport)
+}

@@ -1,0 +1,80 @@
+package graft.ga
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import java.time.LocalDate
+
+/** The reference's query facade re-expressed as a DataFrame compiler
+  * (SURVEY.md §2.1 "GA-connector facade", §3.2 lifecycle A).
+  *
+  * The GA Core Reporting surface is: date-range + filters + segment +
+  * dimensions + metrics + sort + max-results. Each setter only records
+  * plan fragments; `toDF` composes a single declarative chain —
+  * filter → semi-join (user-scope segment) → groupBy/agg → orderBy →
+  * limit — and leaves physical planning to Catalyst (predicate
+  * pushdown into the scan, partial aggregation, TakeOrderedAndProject
+  * for the sorted limit).
+  */
+final case class GaQuery(
+    dims: Seq[(String, Column)] = Nil,
+    mets: Seq[(String, Column)] = Nil,
+    startUs: Option[Long] = None,
+    endUs: Option[Long] = None,
+    rowFilters: Seq[Column] = Nil,
+    userSegment: Option[Column] = None,
+    sortDescKey: Option[String] = None,
+    maxRows: Option[Int] = None) {
+
+  private def dayUs(day: String): Long =
+    LocalDate.parse(day).toEpochDay * 86400L * 1000000L
+
+  /** GA start-date / end-date: [start, end) in UTC days. */
+  def dateRange(start: String, end: String): GaQuery =
+    copy(startUs = Some(dayUs(start)), endUs = Some(dayUs(end)))
+
+  /** GA `filters=` — row-scope predicate. */
+  def where(cond: Column): GaQuery = copy(rowFilters = rowFilters :+ cond)
+
+  /** GA `users::condition::` segment — keep rows of users who have at
+    * least one event (anywhere in the table) matching `cond`. */
+  def segmentUsersWith(cond: Column): GaQuery = copy(userSegment = Some(cond))
+
+  def dimensions(ds: (String, Column)*): GaQuery = copy(dims = ds)
+
+  def metrics(ms: (String, Column)*): GaQuery = copy(mets = ms)
+
+  /** GA `sort=-metric`; dims are appended ascending for a total order. */
+  def sortDesc(metric: String): GaQuery = copy(sortDescKey = Some(metric))
+
+  /** GA `max-results`. */
+  def maxResults(n: Int): GaQuery = copy(maxRows = Some(n))
+
+  def toDF(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+
+    var df = base
+    startUs.foreach(lo => df = df.filter(col("us") >= lo))
+    endUs.foreach(hi => df = df.filter(col("us") < hi))
+    rowFilters.foreach(c => df = df.filter(c))
+
+    userSegment.foreach { cond =>
+      val segUsers = base.filter(cond).select(col("user_id")).distinct()
+      df = df.join(segUsers, Seq("user_id"), "left_semi")
+    }
+
+    val dimCols = dims.map { case (n, c) => c.as(n) }
+    val aggCols = mets.map { case (n, c) => c.as(n) }
+    var out =
+      if (dims.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+
+    sortDescKey.foreach { k =>
+      out = out.orderBy(col(k).desc +: dims.map(x => col(x._1).asc): _*)
+    }
+    maxRows.foreach(n => out = out.limit(n))
+    out
+  }
+}

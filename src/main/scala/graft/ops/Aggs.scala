@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.4): the GA report model is
+  * `GROUP BY dimensions → aggregated metrics`, realized as Spark
+  * hash aggregates with automatic partial (map-side) aggregation —
+  * at 100 TB the partial agg collapses each scan partition to the
+  * group cardinality before the single shuffle on the group keys.
+  */
+object Aggs extends OpModule {
+
+  /** Flagship, TPC-H Q1 shape: filter + 6-group multi-aggregate. */
+  val pricingAgg = Op(
+    "pricing_agg",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"),
+          count(lit(1)).as("count_order")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             ROUND(AVG(l_quantity), 4) AS avg_qty,
+             ROUND(MIN(l_extendedprice), 2) AS min_price,
+             ROUND(MAX(l_extendedprice), 2) AS max_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** COUNT(DISTINCT user) per event_type — the GA `ga:users` metric.
+    * Spark plans this as Expand + two-phase agg (distinct keys are
+    * shuffled once, exact). */
+  val aggDistinct = Op(
+    "agg_distinct",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type"""))
+
+  /** ROLLUP = GA totalsForAllResults + per-dimension subtotals. */
+  val aggRollup = Op(
+    "agg_rollup",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      val na = Tables(s, d, "nation")
+      val re = Tables(s, d, "region")
+      od.join(cu, od("o_custkey") === cu("c_custkey"))
+        .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             ROUND(SUM(o_totalprice), 2) AS total,
+             COUNT(*) AS n_orders,
+             CAST(GROUPING(r_name) AS INT) AS g_r,
+             CAST(GROUPING(n_name) AS INT) AS g_n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)"""))
+
+  /** Statistical metrics (GA avg/percentile metrics): exact stddev and
+    * exact median over the integral-valued l_quantity. */
+  val aggStats = Op(
+    "agg_stats",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT l_returnflag,
+             ROUND(AVG(l_quantity), 4) AS avg_qty,
+             ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+             ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Custom typed UDAF (Aggregator): geometric mean of l_quantity.
+    * Oracle shares the closed form EXP(AVG(LN(x))). */
+  val udafGeomean = Op(
+    "udaf_geomean",
+    (s, d) => {
+      val gm = udaf(graft.functions.GeoMean)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(gm(col("l_quantity")), 4).as("geomean_qty"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             ROUND(EXP(AVG(LN(l_quantity))), 4) AS geomean_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Approximate distinct (HLL++) — no oracle by design (sketch
+    * internals differ across engines); unit test bounds the error. */
+  val aggHll = Op(
+    "agg_hll",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
+    None)
+
+  override def ops: Seq[Op] =
+    Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll)
+}

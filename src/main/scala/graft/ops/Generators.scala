@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Generators & reshaping (SURVEY.md §2.9): explode (Catalyst
+  * `Generator`) and pivot — the pandas `pivot_table` surface of the
+  * reference's post-processing layer.
+  *
+  * Scale notes: explode multiplies rows *within* a partition (no
+  * shuffle); the downstream groupBy is the only exchange, and its
+  * partial aggregation collapses token counts map-side first, so the
+  * shuffle carries ≤ |vocabulary| rows per partition. Pivot with an
+  * explicit value list is a single hash aggregate (no second pass to
+  * discover pivot values — never let Spark infer them at 100 TB).
+  */
+object Generators extends OpModule {
+
+  /** Tokenize documents and count tokens, top-20 (total order:
+    * count desc, then token). */
+  val explodeTokens = Op(
+    "explode_tokens",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20),
+    Some("""
+      SELECT w, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w
+      ORDER BY n DESC, w
+      LIMIT 20"""))
+
+  /** Doc counts pivoted lang × source over a fixed source list.
+    * Spark pivot yields NULL for empty cells while the FILTER-agg
+    * oracle yields 0 — coalesce to 0 on the Spark side. */
+  val pivotLang = Op(
+    "pivot_lang",
+    (s, d) => {
+      val sources = Seq("src0", "src1", "src2", "src3", "src4")
+      val pivoted = Tables(s, d, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", sources)
+        .count()
+      pivoted.select(
+        col("lang") +: sources.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    },
+    Some("""
+      SELECT lang,
+             COUNT(*) FILTER (WHERE source = 'src0') AS src0,
+             COUNT(*) FILTER (WHERE source = 'src1') AS src1,
+             COUNT(*) FILTER (WHERE source = 'src2') AS src2,
+             COUNT(*) FILTER (WHERE source = 'src3') AS src3,
+             COUNT(*) FILTER (WHERE source = 'src4') AS src4
+      FROM documents
+      GROUP BY lang"""))
+
+  override def ops: Seq[Op] = Seq(explodeTokens, pivotLang)
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join matrix (SURVEY.md §2.3).
+  *
+  * Scale notes baked into each shape: large↔large joins shuffle both
+  * sides on the key (sort-merge / shuffled-hash, AQE picks); the
+  * ≤25-row dims (region, nation) are explicitly `broadcast()` so the
+  * star chain is a single scan of the fact side with map-side hash
+  * probes — no shuffle of the 100 TB table. Semi/anti joins never
+  * materialize the probe side's payload.
+  */
+object Joins extends OpModule {
+
+  /** Large↔large equi inner join + aggregate. */
+  val joinInner = Op(
+    "join_inner",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val od = Tables(s, d, "orders")
+      li.join(od, li("l_orderkey") === od("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
+  /** Star-schema chain with broadcast dims. */
+  val joinBcastStar = Op(
+    "join_bcast_star",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      val na = Tables(s, d, "nation")
+      val re = Tables(s, d, "region")
+      od.join(cu, od("o_custkey") === cu("c_custkey"))
+        .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    Some("""
+      SELECT r_name, n_name, COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""))
+
+  /** Left outer: every customer, including order-less ones. */
+  val joinLeft = Op(
+    "join_left",
+    (s, d) => {
+      val cu = Tables(s, d, "customer")
+      val od = Tables(s, d, "orders")
+      cu.join(od, cu("c_custkey") === od("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spent"))
+    },
+    Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey"""))
+
+  /** Left semi = GA segment "users matching condition". */
+  val joinSemi = Op(
+    "join_semi",
+    (s, d) => {
+      val cu = Tables(s, d, "customer")
+      val od = Tables(s, d, "orders").filter(col("o_totalprice") > 40000.0)
+      cu.join(od, cu("c_custkey") === od("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 40000.0)"""))
+
+  /** Left anti (segment exclusion); NOT EXISTS, never NOT IN.
+    * The probe side is filtered to high-value orders so the result is
+    * non-degenerate at every SF (at sf0.01 every customer has *some*
+    * order, FIXTURES.md:28-30). */
+  val joinAnti = Op(
+    "join_anti",
+    (s, d) => {
+      val cu = Tables(s, d, "customer")
+      val od = Tables(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      cu.join(od, cu("c_custkey") === od("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 400000.0)"""))
+
+  /** Equi join + residual range (theta) predicate: lineitems shipped
+    * more than 90 days after their order date. */
+  val joinTheta = Op(
+    "join_theta",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val od = Tables(s, d, "orders")
+      li.join(od, li("l_orderkey") === od("o_orderkey") &&
+          li("l_shipdate") > date_add(od("o_orderdate"), 90))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders
+        ON l_orderkey = o_orderkey
+       AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_returnflag"""))
+
+  /** As-of join: each purchase event paired with the same user's most
+    * recent prior-or-equal signup. Spark has no native as-of join on
+    * DataFrames; the running-max window formulation below is a single
+    * shuffle on user_id and streams in ts order — the same shape scales
+    * to a billion users (state is one value per partition row). The
+    * identical SQL runs on the oracle side for bit-parity. */
+  val joinAsof = Op(
+    "join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_signup_us",
+          max(when(col("event_type") === "signup", col("us"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("us").as("purchase_us"), col("last_signup_us"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type IN ('signup', 'purchase')),
+      sp AS (
+        SELECT event_id, user_id, event_type, us,
+               MAX(CASE WHEN event_type = 'signup' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS last_signup_us
+        FROM ev)
+      SELECT event_id, user_id, us AS purchase_us, last_signup_us
+      FROM sp WHERE event_type = 'purchase'"""))
+
+  override def ops: Seq[Op] =
+    Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
+      joinTheta, joinAsof)
+}

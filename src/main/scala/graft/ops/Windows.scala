@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5). One shuffle on the partition
+  * key, then a streaming in-partition sort — the scalable shape as
+  * long as no single key's partition explodes (per-customer /
+  * per-user keys are fine; AQE skew handling covers the rest).
+  * Every orderBy carries a unique tie-break key so both engines see
+  * the same total order.
+  */
+object Windows extends OpModule {
+
+  /** Ranking: top-3 orders per customer (GA "top N per source"). */
+  val windowRank = Op(
+    "window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"), col("rnk"), col("drnk"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+               CAST(RANK()       OVER w AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey))
+      WHERE rn <= 3"""))
+
+  /** lag + running cumulative sum per customer over order dates. */
+  val windowAnalytic = Op(
+    "window_analytic",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("prev_price",
+          round(lag(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("cum_spent",
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("prev_price"), col("cum_spent"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
+             ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS cum_spent
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
+  /** 7-day trailing moving average over pre-aggregated daily revenue.
+    * The inner daily sum is rounded first so both engines average the
+    * same 7 values in the same frame order. */
+  val windowFrame = Op(
+    "window_frame",
+    (s, d) => {
+      val daily = Tables(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("ma7", round(avg(col("rev")).over(w), 4))
+        .select(col("day"), col("rev"), col("ma7"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1)
+      SELECT day, rev,
+             ROUND(AVG(rev) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+      FROM daily"""))
+
+  override def ops: Seq[Op] = Seq(windowRank, windowAnalytic, windowFrame)
+}

@@ -1,0 +1,210 @@
+package graft.text
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis & deduplication operators over the `documents`
+  * corpus (SURVEY.md §2.11; north star: LLM training-data pipeline).
+  *
+  * Scale shape: tokenization/fingerprinting/scoring are per-row
+  * expression work inside WholeStageCodegen (no shuffle). The dedup
+  * groupBys shuffle only (hash, doc_id) pairs — bytes ∝ corpus row
+  * count, not corpus text bytes. TF-IDF shuffles (doc_id, token)
+  * pairs with map-side partial counts; vocabulary-sized df table
+  * broadcasts back.
+  */
+object TextOps extends OpModule {
+
+  /** Exact dedup by content hash, keep-first (md5 is identical across
+    * engines). */
+  val dedupExact = Op(
+    "dedup_exact",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("h", md5(col("text")))
+        .groupBy(col("h"))
+        .agg(
+          min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups")),
+    Some("""
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY 1"""))
+
+  /** Per-language corpus statistics: docs, tokens, distinct tokens,
+    * type-token ratio, average document length. */
+  val textStats = Op(
+    "text_stats",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tok = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("w")).as("n_types"))
+      val perDoc = docs.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+      perDoc.join(tok, "lang")
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens"), 6))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY lang),
+      perdoc AS (
+        SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY lang)
+      SELECT lang, n_docs, avg_chars, n_tokens, n_types,
+             ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+      FROM perdoc JOIN tok USING (lang)"""))
+
+  /** TF-IDF scoring: tf per (doc, token), df per token, idf =
+    * ln((N+1)/(df+1)); top-20 scores with a total order. Both engines
+    * sort by the *rounded* score so FP last-ulp drift cannot reorder
+    * the cut. */
+  val tfidfTop = Op(
+    "tfidf_top",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "w")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + lit(1.0)) /
+            (col("df") + lit(1.0))), 4))
+        .select(col("doc_id"), col("w"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("w"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+      df AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, w,
+             ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 4) AS score
+      FROM tf JOIN df USING (w), n
+      ORDER BY score DESC, doc_id, w
+      LIMIT 20"""))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (shared-dialect pattern: letter runs / digit runs). */
+  val tokenCount = Op(
+    "token_count",
+    (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        expr("regexp_count(text, '[a-z]+|[0-9]+')").as("n_re_tokens"),
+        col("n_chars")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             CAST(LENGTH(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT)
+               AS n_re_tokens,
+             n_chars
+      FROM documents"""))
+
+  /** Heuristic quality score: token count, mean token span, stopword
+    * ratio, combined score in [0,1] — the classic pre-training corpus
+    * filter signals. */
+  val qualityScore = Op(
+    "quality_score",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("stop_cnt",
+          expr("size(filter(split(text, ' '), w -> w = 'a' or w = 'the'))"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("avg_token_span"),
+          round(col("stop_cnt").cast("double") / col("n_tokens"), 6)
+            .as("stop_ratio"),
+          round(
+            least(lit(1.0), col("n_tokens").cast("double") / lit(60.0)) *
+              (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")),
+            6).as("quality")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+               AS avg_token_span,
+             ROUND(CAST(length(list_filter(string_split(text, ' '),
+                     w -> w = 'a' OR w = 'the')) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS stop_ratio,
+             ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                              / 60.0)
+                   * (1.0 - CAST(length(list_filter(string_split(text, ' '),
+                        w -> w = 'a' OR w = 'the')) AS DOUBLE)
+                      / len(string_split(text, ' '))), 6) AS quality
+      FROM documents"""))
+
+  /** Document fingerprint: polynomial rolling hash over the token
+    * stream (Karp–Rabin), folded left-to-right in both engines. The
+    * per-token key is length*131 + first-codepoint — engine-neutral
+    * integer arithmetic, no engine hash function involved. */
+  val docFingerprint = Op(
+    "doc_fingerprint",
+    (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        expr("""aggregate(
+                  transform(split(text, ' '),
+                            w -> CAST(length(w) * 131 + ascii(w) AS BIGINT)),
+                  CAST(0 AS BIGINT),
+                  (acc, x) -> (acc * 1000003 + x) % 2147483647)""").as("fp")),
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   w -> CAST(length(w) * 131 + ascii(w) AS BIGINT))),
+               (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+      FROM documents"""))
+
+  /** Near-dup detection via MinHash-LSH banding (no oracle —
+    * randomized hash family; seed fixed so output is deterministic).
+    * At 100 TB this is the standard shape: shingle → minhash → band →
+    * shuffle on band key → per-bucket candidate pairs → exact verify.
+    * Spark ML's MinHashLSH implements exactly that via
+    * approxSimilarityJoin. */
+  val dedupMinhash = Op(
+    "dedup_minhash",
+    (s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+      val docs = Tables(s, d, "documents")
+      val words = new Tokenizer()
+        .setInputCol("text").setOutputCol("words").transform(docs)
+      val feat = new HashingTF()
+        .setInputCol("words").setOutputCol("features")
+        .setNumFeatures(1 << 16).setBinary(true).transform(words)
+      val model = new MinHashLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L).fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.6, "jaccard_dist")
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .select(
+          col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          round(col("jaccard_dist"), 4).as("jaccard_dist"))
+    },
+    None)
+
+  override def ops: Seq[Op] = Seq(dedupExact, textStats, tfidfTop,
+    tokenCount, qualityScore, docFingerprint, dedupMinhash)
+}

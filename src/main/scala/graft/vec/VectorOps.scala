@@ -1,0 +1,177 @@
+package graft.vec
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.11;
+  * north star: ANN for training-data pipelines).
+  *
+  * Vectors are ~unit-norm (FIXTURES.md), so dot product ≈ cosine.
+  * All dot products widen float→double *before* multiplying and fold
+  * left-to-right, matching DuckDB's list_dot_product on DOUBLE[] for
+  * bit-stable comparison; scores are rounded to 4 dp and every sort
+  * is over the rounded score with a vec_id tie-break.
+  *
+  * Scale path: `vector_topk` is block-partitioned brute force — the
+  * single target broadcasts, each partition computes local scores,
+  * and TakeOrderedAndProject merges per-partition top-k heaps
+  * (REPOSE-style partitioned top-k, PAPERS.md). `ann_bucket_topk`
+  * is the LSH/IVF variant: a deterministic sign-bit bucket key
+  * prunes the candidate set before any scoring, which is exactly the
+  * 100 TB move (bucket key → partition pruning / co-partitioned
+  * join). `cosine_neardup` is the all-pairs O(n²) exact join — only
+  * viable per-bucket or per-block at scale, declared here as the
+  * correctness reference for the LSH variants.
+  */
+object VectorOps extends OpModule {
+
+  /** embedding ⋅ other, both widened to double, left-to-right fold. */
+  private def dot(a: String, b: String): Column =
+    expr(s"""aggregate(
+               zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               CAST(0.0 AS DOUBLE),
+               (acc, v) -> acc + v)""")
+
+  /** Brute-force top-10 by dot product against the vec_id=0 target. */
+  val vectorTopk = Op(
+    "vector_topk",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val target = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("t_emb"))
+      emb.crossJoin(broadcast(target))
+        .withColumn("score", round(dot("embedding", "t_emb"), 4))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH t AS (SELECT embedding AS t_emb FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(t_emb AS DOUBLE[])), 4) AS score
+      FROM embeddings, t
+      WHERE vec_id <> 0
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
+  /** k-NN majority-label classification for the first 20 vectors:
+    * top-5 neighbors by dot product, majority vote with deterministic
+    * tie-breaks (votes desc, label asc). */
+  val knnLabel = Op(
+    "knn_label",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(dot("embedding", "q_emb"), 4))
+      val wRank = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val top5 = scored.withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 5)
+      val votes = top5.groupBy(col("q_id"), col("label"))
+        .agg(count(lit(1)).as("votes"), max(col("score")).as("best_score"))
+      val wVote = Window.partitionBy(col("q_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("q_id"), col("label").as("pred_label"),
+          col("votes"), col("best_score"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 20),
+      pairs AS (
+        SELECT q.q_id, e.vec_id, e.label,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.q_emb AS DOUBLE[])), 4) AS score
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      top5 AS (
+        SELECT * FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY score DESC, vec_id) AS INT) AS rn
+          FROM pairs) WHERE rn <= 5),
+      votes AS (
+        SELECT q_id, label, COUNT(*) AS votes, MAX(score) AS best_score
+        FROM top5 GROUP BY q_id, label)
+      SELECT q_id, label AS pred_label, votes, best_score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY votes DESC, label) AS vr
+            FROM votes)
+      WHERE vr = 1"""))
+
+  /** Exact embedding-cosine near-duplicate pairs (dot ≥ 0.3, i<j) —
+    * the all-pairs correctness reference for the bucketed variant. */
+  val cosineNeardup = Op(
+    "cosine_neardup",
+    (s, d) => {
+      val a = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("score", round(dot("emb_a", "emb_b"), 4))
+        .filter(col("score") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("score"))
+    },
+    Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+               AS score
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3"""))
+
+  /** LSH-bucketed ANN: deterministic 4-bit sign-hash bucket
+    * (sign of dims 1..4), candidates restricted to the target's
+    * bucket before any scoring — the IVF-style scale path where the
+    * bucket key becomes the partition key at 100 TB. */
+  val annBucketTopk = Op(
+    "ann_bucket_topk",
+    (s, d) => {
+      def bucket(c: String): Column =
+        (0 to 3).map { i =>
+          when(element_at(col(c), i + 1) > 0.0f, lit(1 << i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val emb = Tables(s, d, "embeddings")
+        .withColumn("bucket", bucket("embedding"))
+      val target = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("t_emb"), col("bucket").as("t_bucket"))
+      emb.join(broadcast(target), col("bucket") === col("t_bucket"))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("score", round(dot("embedding", "t_emb"), 4))
+        .select(col("vec_id"), col("bucket"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+              + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+              + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END)
+                 AS bucket
+        FROM embeddings),
+      t AS (SELECT embedding AS t_emb, bucket AS t_bucket
+            FROM e WHERE vec_id = 0)
+      SELECT vec_id, bucket,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(t_emb AS DOUBLE[])), 4) AS score
+      FROM e, t
+      WHERE bucket = t_bucket AND vec_id <> 0
+      ORDER BY score DESC, vec_id
+      LIMIT 10"""))
+
+  override def ops: Seq[Op] =
+    Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk)
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB oracle compare (SURVEY.md §5.2).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+<sfDir> parquet tables, sorts columns by name and rows by all columns,
+and compares values exactly. Never declare a query that fails here.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
+            o_rel = con.sql(sql)
+            o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {str(e).splitlines()[0]}")
+            n_fail += 1
+            continue
+        if s_cols != o_cols:
+            print(f"FAIL {name}: columns {s_cols} != {o_cols}")
+            n_fail += 1
+        elif len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: rows {len(s_rows)} != {len(o_rows)}")
+            n_fail += 1
+        elif s_rows != o_rows:
+            bad = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows))
+                       if a != b)
+            print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
+            print(f"  spark : {s_rows[bad]}")
+            print(f"  duckdb: {o_rows[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
