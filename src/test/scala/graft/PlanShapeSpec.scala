@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests (SURVEY.md §5.2 item 5): correctness
+  * tests can't catch a lost pushdown or a broadcast that became a
+  * shuffle — at 100 TB those are the difference between minutes and
+  * days. Assertions run against the *executed* plan string.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_project prunes columns to the projected subset") {
+    val plan = executedPlan(q("scan_project"))
+    assert(plan.contains("ReadSchema"), plan.take(500))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads more than the projection: $read")
+  }
+
+  test("scan_pruned pushes the date predicate to parquet") {
+    val plan = executedPlan(q("scan_pruned"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"),
+      s"date filter not pushed: $pushed")
+  }
+
+  test("join_bcast_star broadcasts the small dimensions") {
+    val plan = executedPlan(q("join_bcast_star"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // nation & region must never be shuffle-join sides
+    assert(!plan.contains("SortMergeJoin") ||
+      !plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && (l.contains("n_nationkey") || l.contains("r_regionkey"))),
+      "small dim joined via sort-merge")
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort)") {
+    val df = q("topk")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("filter_pred pushes compound predicate into the scan") {
+    val plan = executedPlan(q("filter_pred"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_totalprice"), s"no pushdown: $pushed")
+  }
+
+  test("pricing_agg uses whole-stage codegen and partial aggregation") {
+    val df = q("pricing_agg")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    // map-side combine before the shuffle — mandatory at scale
+    assert(plan.contains("partial_sum"), plan.take(800))
+    // whole-stage-codegen spans render as "*(n)" in the compact plan
+    assert(plan.contains("*(1)"), plan.take(800))
+  }
+
+  test("codegen on/off produce identical pricing_agg results") {
+    val on = q("pricing_agg").collect().map(_.toString).sorted
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = q("pricing_agg").collect().map(_.toString).sorted
+      assert(on.sameElements(off))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}

