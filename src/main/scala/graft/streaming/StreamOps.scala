@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2.12): the `events` hit
+  * stream replayed as an unbounded source. GA's product model is
+  * streaming (hits arrive, reports update); the reference consumes
+  * batch report snapshots, so these ops are engine parity plus the
+  * scale path — each transform below is the incremental version of a
+  * declared batch query, and the tests assert stream-until-end
+  * equals the batch result on the same data.
+  *
+  * Scale shape: every stateful op keys state by (window, type) or
+  * user_id, stored in the executor StateStore and evicted by the
+  * event-time watermark — state is bounded by active keys within the
+  * watermark horizon, not by stream length.
+  */
+object StreamOps {
+
+  /** The events table replayed as a file-based stream (schema fixed
+    * from the batch read; ns epoch -> µs timestamp like Tables.events). */
+  def replay(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      // file source requires a directory; glob-filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event_type, 10-minute watermark —
+    * streaming twin of the declared `window_tumbling` query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding 1-hour window every 30 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n_events"))
+
+  /** Native session windows (30-min gap) per user — streaming twin of
+    * the declared `session_window` query. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+
+  /** Stateful exact dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  // ---- arbitrary stateful sessionization (flatMapGroupsWithState) ----
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, value: Double)
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, session_value: Double)
+
+  val GapUs: Long = 1800L * 1000000L
+
+  /** Custom sessionization with explicit state: 30-min gap splits
+    * inside a micro-batch; event-time timeout (watermark past
+    * last-event + gap) closes a session across batches. Emits only
+    * CLOSED sessions (append semantics) — the arbitrary-state
+    * extension point the built-in session_window can't cover (e.g.
+    * per-session custom payloads). */
+  def sessionizeStateful(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.startUs, s.lastUs, s.n, s.value))
+          } else {
+            // µs since epoch; Timestamp.getTime is ms-truncated, the
+            // sub-ms part lives in getNanos
+            def us(t: Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val eUs = us(e.ts)
+              cur match {
+                case Some(s) if eUs - s.lastUs > GapUs =>
+                  closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.value)
+                  cur = Some(SessionState(eUs, eUs, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startUs, eUs, s.n + 1, s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(eUs, eUs, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when watermark passes last event + gap
+              state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming tests (SURVEY.md §2.12): every stream op is checked for
+  * batch equivalence — stream-until-end must equal the batch query on
+  * the same rows — plus watermark late-drop and stateful-dedup
+  * semantics. All inputs flow through MemoryStream with explicit
+  * processAllAvailable() so tests are processing-time independent.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkFixture._
+  import StreamOps.Ev
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+  /** events rows (sf0.001) as typed Ev, ts in µs precision. */
+  private lazy val allEvents: Seq[Ev] = {
+    import org.apache.spark.sql.Row
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().toSeq.map { r: Row =>
+        Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+          r.getDouble(4))
+      }
+  }
+
+  private def runToEnd(sdf: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode): org.apache.spark.sql.DataFrame = {
+    val query = sdf.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", freshDir())
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: stream-until-end equals batch window()") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](1, spark, None)
+    in.addData(allEvents)
+    val got = runToEnd(StreamOps.tumblingCounts(in.toDF()),
+      "t_tumbling", OutputMode.Complete())
+      .collect().map(_.toString).sorted
+    val batch = allEvents.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(batch))
+  }
+
+  test("sliding window: each event lands in exactly 2 slides") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](2, spark, None)
+    in.addData(allEvents)
+    val total = runToEnd(StreamOps.slidingCounts(in.toDF()),
+      "t_sliding", OutputMode.Complete())
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == allEvents.size * 2L)
+  }
+
+  test("session windows: stream equals batch session_window counts") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](3, spark, None)
+    in.addData(allEvents)
+    val got = runToEnd(StreamOps.sessionCounts(in.toDF()),
+      "t_session", OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val batch = allEvents.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(batch))
+  }
+
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-06-01 10:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val in = MemoryStream[Ev](4, spark, None)
+    val sdf = StreamOps.tumblingCounts(in.toDF())
+    val query = sdf.writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", freshDir()).start()
+    // batch 1: two events in the 10:00 hour
+    in.addData(Ev(1, at(0), 1, "view", 1.0), Ev(2, at(30), 1, "view", 1.0))
+    query.processAllAvailable()
+    // batch 2: advance watermark far past the 10:00 window (+10min delay)
+    in.addData(Ev(3, at(200), 1, "view", 1.0))
+    query.processAllAvailable()
+    // batch 3: a LATE event for the (already finalized) 10:00 hour
+    in.addData(Ev(4, at(40), 1, "view", 99.0))
+    query.processAllAvailable()
+    // batch 4: advance even further so nothing else is pending
+    in.addData(Ev(5, at(400), 1, "view", 1.0))
+    query.processAllAvailable()
+    query.stop()
+    val hour0 = spark.table("t_late")
+      .filter(col("hour_start_us") === t0.getTime * 1000L).collect()
+    assert(hour0.length == 1)
+    assert(hour0.head.getLong(hour0.head.fieldIndex("n_events")) == 2L,
+      "late event must not be counted in the finalized window")
+  }
+
+  test("dropDuplicatesWithinWatermark removes stateful duplicates") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-06-01 10:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val in = MemoryStream[Ev](5, spark, None)
+    val query = StreamOps.dedup(in.toDF()).writeStream
+      .format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", freshDir()).start()
+    in.addData(Ev(10, at(0), 1, "view", 1.0), Ev(11, at(1), 1, "view", 1.0))
+    query.processAllAvailable()
+    in.addData(Ev(10, at(2), 1, "view", 1.0)) // duplicate within horizon
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("t_dedup").count() == 2)
+  }
+
+  test("stateful sessionization equals batch sessionize on closed sessions") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](6, spark, None)
+    in.addData(allEvents)
+    val query = StreamOps.sessionizeStateful(in.toDS()).writeStream
+      .format("memory").queryName("t_statesess")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", freshDir()).start()
+    query.processAllAvailable()
+    // sentinel far-future event for a user id outside the fixture
+    // domain: advances the watermark past every last-event + gap so
+    // EventTimeTimeout fires and all real sessions close
+    in.addData(Ev(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("t_statesess")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val batchFixed = q("sessionize").collect().map { r =>
+      (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("start_us")),
+        r.getLong(r.fieldIndex("end_us")), r.getLong(r.fieldIndex("n_events")))
+    }.sorted
+    assert(got.sameElements(batchFixed))
+  }
+}
