@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Generators,
     ga.GaOps,
     text.TextOps,
+    text.SimilarityOps,
     vec.VectorOps)
 
   private lazy val all: Seq[Op] = modules.flatMap(_.ops)

@@ -1,0 +1,185 @@
+package graft.text
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Near-duplicate detection by content similarity (SURVEY.md §2.11;
+  * north-star LLM-pipeline dedup family).
+  *
+  * All hashing here is engine-neutral integer arithmetic (polynomial
+  * char hashes, no engine hash builtins), so every op is
+  * oracle-declarable — unlike MinHash whose hash family is
+  * implementation-defined.
+  *
+  * Scale shape: SimHash is one explode + one groupBy(doc) + one
+  * self-join on the 16-bit fingerprint (bucket count 65536 bounds the
+  * join fan-out); n-gram Jaccard is the classic prefix-style
+  * candidate join on shared shingles — shuffle keys are (gram) then
+  * (doc_a, doc_b), both with map-side combine. At 100 TB both ops
+  * shuffle token/gram keys only, never document text.
+  */
+object SimilarityOps extends OpModule {
+
+  /** Polynomial char hash of a token, mod 2^30 — identical integer
+    * arithmetic in Spark and DuckDB (no engine hash function). */
+  private def tokHash(w: String): String =
+    s"""aggregate(
+          transform(split($w, ''), c -> CAST(ascii(c) AS BIGINT)),
+          CAST(7 AS BIGINT),
+          (acc, x) -> (acc * 31 + x) % 1073741824)"""
+
+  private val duckTokHash =
+    """list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(string_split(w, ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1073741824)"""
+
+  /** 16-bit SimHash: per-token hash -> per-bit +/-1 votes summed over
+    * the doc -> sign vector packed to a fingerprint; docs sharing a
+    * fingerprint are near-dup candidates. */
+  val simhashPairs = Op(
+    "simhash_pairs",
+    (s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("th", expr(tokHash("w")))
+      val votes = (0 until 16).map { b =>
+        sum(when(expr(s"(th div ${1L << b}) % 2") === 1, 1)
+          .otherwise(-1)).as(s"s$b")
+      }
+      val fp = (0 until 16).map { b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val fps = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), fp.as("fp"))
+      val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+      val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+      a.join(b, "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fp"))
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, $duckTokHash AS th
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)),
+      votes AS (
+        SELECT doc_id,
+               ${(0 until 16).map(b =>
+                  s"SUM(CASE WHEN (th // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+                  .mkString(", ")}
+        FROM toks GROUP BY doc_id),
+      fps AS (
+        SELECT doc_id,
+               ${(0 until 16).map(b =>
+                  s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+                  .mkString(" + ")} AS fp
+        FROM votes)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id"""))
+
+  /** Token-trigram Jaccard similarity join: candidates share >= 1
+    * trigram; J = |∩| / |∪| over distinct trigram sets; threshold
+    * 0.2. The standard shingle-based near-dup join. */
+  val ngramJaccard = Op(
+    "ngram_jaccard",
+    (s, d) => {
+      val grams = Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(0, size(toks) - 3),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
+            .as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = grams.select(col("doc_id").as("doc_a"), col("g"))
+      val b = grams.select(col("doc_id").as("doc_b"), col("g"))
+      val inter = a.join(b, "g")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some("""
+      WITH grams AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+          SELECT doc_id,
+                 unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                         FOR i IN range(0, len(toks) - 2)]) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2"""))
+
+  /** Heuristic language ID from stopword-marker counts (n-gram
+    * heuristic family): argmax over per-language marker hit counts
+    * with a deterministic tie-break, scored against the labeled
+    * `lang` column. */
+  val langId = Op(
+    "lang_id",
+    (s, d) => {
+      def hits(words: Seq[String]): Column =
+        words.map(w => expr(
+          s"size(filter(split(text, ' '), x -> x = '$w'))"))
+          .reduce(_ + _)
+      // marker lists keyed to the corpus vocabulary; deterministic
+      val en = hits(Seq("the", "a", "scan"))
+      val de = hits(Seq("und", "der", "window"))
+      val fr = hits(Seq("le", "la", "join"))
+      Tables(s, d, "documents")
+        .withColumn("h_en", en).withColumn("h_de", de).withColumn("h_fr", fr)
+        .withColumn("pred",
+          when(col("h_en") >= col("h_de") && col("h_en") >= col("h_fr"), "en")
+            .when(col("h_de") >= col("h_fr"), "de")
+            .otherwise("fr"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               length(list_filter(string_split(text,' '), x -> x = 'the'))
+                 + length(list_filter(string_split(text,' '), x -> x = 'a'))
+                 + length(list_filter(string_split(text,' '), x -> x = 'scan'))
+                 AS h_en,
+               length(list_filter(string_split(text,' '), x -> x = 'und'))
+                 + length(list_filter(string_split(text,' '), x -> x = 'der'))
+                 + length(list_filter(string_split(text,' '), x -> x = 'window'))
+                 AS h_de,
+               length(list_filter(string_split(text,' '), x -> x = 'le'))
+                 + length(list_filter(string_split(text,' '), x -> x = 'la'))
+                 + length(list_filter(string_split(text,' '), x -> x = 'join'))
+                 AS h_fr
+        FROM documents)
+      SELECT lang,
+             CASE WHEN h_en >= h_de AND h_en >= h_fr THEN 'en'
+                  WHEN h_de >= h_fr THEN 'de'
+                  ELSE 'fr' END AS pred,
+             COUNT(*) AS n_docs
+      FROM scored GROUP BY 1, 2"""))
+
+  override def ops: Seq[Op] = Seq(simhashPairs, ngramJaccard, langId)
+}
