@@ -22,6 +22,7 @@ object SparkEntry {
     ga.GaOps,
     text.TextOps,
     text.SimilarityOps,
+    multimodal.MultimodalOps,
     vec.VectorOps)
 
   private lazy val all: Seq[Op] = modules.flatMap(_.ops)

@@ -1,0 +1,94 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing tests: binary columns survive the pipeline,
+  * the stub decoder is deterministic with fixed dim and L1 norm,
+  * decoding is partition-preserving (no shuffle), pooling and frame
+  * sampling have the right shapes.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val media = MultimodalOps.mediaTable(spark, sfDir)
+
+  test("media table: binary content with consistent metadata") {
+    val rows = media.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val content = r.getAs[Array[Byte]]("content")
+      assert(content.length.toLong == r.getLong(r.fieldIndex("n_bytes")))
+      assert(Set("image", "audio", "video")(r.getString(1)))
+    }
+  }
+
+  test("decodeFeatures: fixed dim, L1-normalized, deterministic") {
+    import spark.implicits._
+    val ds = media.as[MultimodalOps.MediaRow]
+    val f1 = MultimodalOps.decodeFeatures(ds).collect().sortBy(_.doc_id)
+    val f2 = MultimodalOps.decodeFeatures(ds).collect().sortBy(_.doc_id)
+    assert(f1.length == media.count())
+    f1.foreach { f =>
+      assert(f.features.length == MultimodalOps.FeatureDim)
+      assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-4)
+    }
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.features.sameElements(b.features) })
+  }
+
+  test("decodeFeatures adds no shuffle (narrow plan)") {
+    import spark.implicits._
+    val ds = media.repartition(4).as[MultimodalOps.MediaRow]
+    val decoded = MultimodalOps.decodeFeatures(ds)
+    decoded.collect()
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"decode must not shuffle:\n${plan.take(800)}")
+    assert(decoded.rdd.getNumPartitions == 4)
+  }
+
+  test("pool: averages groups of adjacent bins") {
+    import spark.implicits._
+    val ds = media.as[MultimodalOps.MediaRow]
+    val feats = MultimodalOps.decodeFeatures(ds).toDF()
+    val pooled = MultimodalOps.pool(feats, 4).collect()
+    pooled.foreach { r =>
+      val full = r.getSeq[Float](r.fieldIndex("features"))
+      val p = r.getSeq[Float](r.fieldIndex("pooled"))
+      assert(p.length == 4)
+      for (i <- 0 until 4) {
+        val expect = full.slice(i * 4, i * 4 + 4).map(_.toDouble).sum / 4
+        assert(math.abs(p(i) - expect) < 1e-5)
+      }
+    }
+  }
+
+  test("sampleFrames: chunk count and chunk sizes") {
+    val frames = MultimodalOps.sampleFrames(media, chunkBytes = 100, stride = 2)
+    val byDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = media.select("doc_id", "n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, n) <- sizes) {
+      val nFrames = math.ceil(n / 100.0).toInt
+      val expected = (0 until nFrames by 2).size
+      assert(byDoc(id) == expected, s"doc $id: ${byDoc(id)} != $expected")
+    }
+    // every sampled frame except possibly the last is exactly chunkBytes
+    frames.collect().foreach { r =>
+      val f = r.getAs[Array[Byte]]("frame")
+      assert(f.length <= 100 && f.length > 0)
+    }
+  }
+
+  test("features survive a relational join + groupBy") {
+    import spark.implicits._
+    val feats = MultimodalOps
+      .decodeFeatures(media.as[MultimodalOps.MediaRow]).toDF()
+    val joined = feats.join(Tables(spark, sfDir, "documents"), "doc_id")
+      .groupBy("media_type", "lang").agg(count(lit(1)).as("n"))
+    assert(joined.collect().map(_.getLong(2)).sum == media.count())
+  }
+}
