@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration of graft's native Catalyst extensions.
+  *
+  * Two paths, same functions:
+  *  - `GraftFunctions.register(spark)` — imperative, idempotent; the
+  *    ops call it so any session works.
+  *  - `spark.sql.extensions=graft.ext.GraftExtensions` — declarative,
+  *    for clusters configured at submit time.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_f" -> { args =>
+      require(args.length == 2, "dot_f(arrayA, arrayB)")
+      DotProductFloat(args(0), args(1))
+    },
+    "ngrams" -> { args =>
+      require(args.length == 2, "ngrams(array<string>, n)")
+      NGramsGenerator(args(0), intArg(args(1), "n"))
+    })
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  def inject(extensions: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.ext.GraftFunctions", name),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(extensions)
+}

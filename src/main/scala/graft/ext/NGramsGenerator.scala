@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst Generator / UDTF (SURVEY.md §2.9): emits one row
+  * per token n-gram of a string-array input — the extension point for
+  * operators whose output cardinality is data-dependent (explode,
+  * flatMap) when the built-in generators can't express the semantics.
+  * Registered as `ngrams` via [[GraftFunctions.register]].
+  */
+case class NGramsGenerator(child: Expression, n: Int)
+    extends UnaryExpression with CollectionGenerator with CodegenFallback {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def elementSchema: StructType =
+    StructType(StructField("ngram", StringType, nullable = false) :: Nil)
+
+  override def collectionType: DataType = ArrayType(elementSchema)
+
+  override val inline: Boolean = false
+
+  override def position: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ngrams expects array<string>, got ${other.catalogString}")
+    }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < n) return Iterator.empty
+    val toks = new Array[UTF8String](arr.numElements())
+    var i = 0
+    while (i < toks.length) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      i += 1
+    }
+    (0 to toks.length - n).iterator.map { j =>
+      val gram = UTF8String.concatWs(UTF8String.fromString(" "),
+        toks.slice(j, j + n).toIndexedSeq: _*)
+      InternalRow(gram)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGramsGenerator =
+    copy(child = newChild)
+}

@@ -27,17 +27,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object VectorOps extends OpModule {
 
-  /** embedding ⋅ other, both widened to double, left-to-right fold. */
+  /** embedding ⋅ other via the native codegen'd DotProductFloat
+    * expression (graft.ext): one fused loop, same left-to-right
+    * double accumulation as the aggregate(zip_with(...)) tree it
+    * replaces — ExtensionsSpec asserts bit-equality of the two. */
   private def dot(a: String, b: String): Column =
-    expr(s"""aggregate(
-               zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-               CAST(0.0 AS DOUBLE),
-               (acc, v) -> acc + v)""")
+    expr(s"dot_f($a, $b)")
 
   /** Brute-force top-10 by dot product against the vec_id=0 target. */
   val vectorTopk = Op(
     "vector_topk",
     (s, d) => {
+      graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       val target = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("t_emb"))
@@ -64,6 +65,7 @@ object VectorOps extends OpModule {
   val knnLabel = Op(
     "knn_label",
     (s, d) => {
+      graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -111,6 +113,7 @@ object VectorOps extends OpModule {
   val cosineNeardup = Op(
     "cosine_neardup",
     (s, d) => {
+      graft.ext.GraftFunctions.register(s)
       val a = Tables(s, d, "embeddings")
         .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = Tables(s, d, "embeddings")
@@ -138,6 +141,7 @@ object VectorOps extends OpModule {
   val annBucketTopk = Op(
     "ann_bucket_topk",
     (s, d) => {
+      graft.ext.GraftFunctions.register(s)
       def bucket(c: String): Column =
         (0 to 3).map { i =>
           when(element_at(col(c), i + 1) > 0.0f, lit(1 << i)).otherwise(lit(0))

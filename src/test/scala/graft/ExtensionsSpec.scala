@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst extension tests: dot_f bit-equality with the
+  * lambda-expression formulation (same double accumulation order),
+  * codegen + interpreted agreement, ngrams generator vs the
+  * transform/sequence formulation, and analysis-time type errors.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  private val lambdaDot =
+    """aggregate(
+         zip_with(embedding, t_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  test("dot_f equals the zip_with/aggregate formulation bit-for-bit") {
+    val t = emb.filter(col("vec_id") === 0).select(col("embedding").as("t_emb"))
+    val both = emb.crossJoin(broadcast(t))
+      .select(col("vec_id"),
+        expr("dot_f(embedding, t_emb)").as("native"),
+        expr(lambdaDot).as("lambda"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("dot_f codegen and interpreted paths agree") {
+    val t = emb.filter(col("vec_id") === 0).select(col("embedding").as("t_emb"))
+    val q = emb.crossJoin(broadcast(t))
+      .select(col("vec_id"), expr("dot_f(embedding, t_emb)").as("s"))
+    val on = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val off = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(on == off)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("dot_f null semantics: null array -> null, self-dot is |v|^2 > 0") {
+    val r = spark.sql(
+      "SELECT dot_f(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))")
+      .collect().head
+    assert(r.isNullAt(0))
+    val self = emb.select(expr("dot_f(embedding, embedding)").as("s"))
+      .collect()
+    self.foreach(r => assert(r.getDouble(0) > 0.0))
+  }
+
+  test("dot_f rejects wrong input types at analysis time") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_f(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e.getMessage.contains("dot_f") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("ngrams generator matches the transform/sequence formulation") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+      .withColumn("toks", split(col("text"), " "))
+    val viaGen = docs
+      .select(col("doc_id"), expr("ngrams(toks, 3)"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaTransform = docs
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
+        .as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaGen.sameElements(viaTransform))
+  }
+
+  test("ngrams with n=1 yields one row per token") {
+    val docs = Tables(spark, sfDir, "documents").limit(20)
+      .withColumn("toks", split(col("text"), " "))
+    val n1 = docs.select(col("doc_id"), expr("ngrams(toks, 1)")).count()
+    val nTok = docs.select(explode(col("toks"))).count()
+    assert(n1 == nTok)
+  }
+}

@@ -21,6 +21,7 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    ext.GraftFunctions.register(s)
     s
   }
 
