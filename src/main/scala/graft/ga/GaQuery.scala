@@ -24,6 +24,7 @@ final case class GaQuery(
     endUs: Option[Long] = None,
     rowFilters: Seq[Column] = Nil,
     userSegment: Option[Column] = None,
+    sessionSegment: Option[Column] = None,
     sortDescKey: Option[String] = None,
     maxRows: Option[Int] = None) {
 
@@ -41,6 +42,12 @@ final case class GaQuery(
     * least one event (anywhere in the table) matching `cond`. */
   def segmentUsersWith(cond: Column): GaQuery = copy(userSegment = Some(cond))
 
+  /** GA `sessions::condition::` segment — keep rows of 30-min-gap
+    * sessions containing at least one event matching `cond` (session
+    * scope: the filter keeps whole sessions, not just matching rows). */
+  def segmentSessionsWith(cond: Column): GaQuery =
+    copy(sessionSegment = Some(cond))
+
   def dimensions(ds: (String, Column)*): GaQuery = copy(dims = ds)
 
   def metrics(ms: (String, Column)*): GaQuery = copy(mets = ms)
@@ -52,8 +59,24 @@ final case class GaQuery(
   def maxResults(n: Int): GaQuery = copy(maxRows = Some(n))
 
   def toDF(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.events(spark, sfDir)
+    val raw = Tables.events(spark, sfDir)
       .withColumn("us", unix_micros(col("ts")))
+
+    // session scope needs a session id on every row; compute it once
+    // over the UNFILTERED stream (GA session identity is global, not
+    // per-date-range) — one shuffle on user_id, same as sessionize
+    val base = sessionSegment.fold(raw) { _ =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      raw
+        .withColumn("_prev", lag(col("us"), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("us") - col("_prev") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("_sid", sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop("_prev", "_new")
+    }
 
     var df = base
     startUs.foreach(lo => df = df.filter(col("us") >= lo))
@@ -63,6 +86,12 @@ final case class GaQuery(
     userSegment.foreach { cond =>
       val segUsers = base.filter(cond).select(col("user_id")).distinct()
       df = df.join(segUsers, Seq("user_id"), "left_semi")
+    }
+
+    sessionSegment.foreach { cond =>
+      val segSessions = base.filter(cond)
+        .select(col("user_id"), col("_sid")).distinct()
+      df = df.join(segSessions, Seq("user_id", "_sid"), "left_semi")
     }
 
     val dimCols = dims.map { case (n, c) => c.as(n) }
