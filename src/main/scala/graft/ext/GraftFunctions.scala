@@ -29,6 +29,11 @@ object GraftFunctions {
     "ngrams" -> { args =>
       require(args.length == 2, "ngrams(array<string>, n)")
       NGramsGenerator(args(0), intArg(args(1), "n"))
+    },
+    "kmv_distinct" -> { args =>
+      require(args.nonEmpty && args.length <= 2, "kmv_distinct(col[, k])")
+      if (args.length == 1) KmvDistinct(args(0))
+      else KmvDistinct(args(0), intArg(args(1), "k"))
     })
 
   def register(spark: SparkSession): Unit = {

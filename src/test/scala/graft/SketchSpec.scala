@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV sketch tests: exact below k, bounded error above k, and exact
+  * partitioning-invariance (the mergeability property that makes
+  * pre-aggregated distinct cubes work at scale).
+  */
+class SketchSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("kmv_distinct is exact when distinct count < k") {
+    val ev = Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("ev_kmv")
+    val got = spark.sql(
+      "SELECT event_type, kmv_distinct(user_id) AS n FROM ev_kmv GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"below k the sketch must be exact: $got vs $exact")
+  }
+
+  test("kmv_distinct error < 5% on a large distinct domain") {
+    val li = Tables(spark, sfDir01, "lineitem")
+    li.createOrReplaceTempView("li_kmv")
+    val approx = spark.sql(
+      "SELECT kmv_distinct(l_extendedprice, 1024) FROM li_kmv")
+      .collect().head.getLong(0)
+    val exact = li.select(countDistinct(col("l_extendedprice")))
+      .collect().head.getLong(0)
+    assert(exact > 10000, s"need a large domain, got $exact")
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("kmv_distinct is invariant under repartitioning (exact mergeability)") {
+    val li = Tables(spark, sfDir01, "lineitem")
+    def run(parts: Int): Long = {
+      li.repartition(parts).createOrReplaceTempView("li_kmv_p")
+      spark.sql("SELECT kmv_distinct(l_extendedprice, 256) FROM li_kmv_p")
+        .collect().head.getLong(0)
+    }
+    val r1 = run(1)
+    val r13 = run(13)
+    val r32 = run(32)
+    assert(r1 == r13 && r13 == r32,
+      s"sketch must merge exactly: $r1 / $r13 / $r32")
+  }
+
+  test("kmv_distinct composes with relational ops (sketch cube)") {
+    val ev = Tables.events(spark, sfDir)
+    ev.withColumn("day", to_date(col("ts")))
+      .createOrReplaceTempView("ev_cube")
+    // per-day sketches rolled up to a total — the mergeable-cube shape
+    val perDay = spark.sql(
+      """SELECT day, kmv_distinct(user_id) AS users
+         FROM ev_cube GROUP BY day""").collect()
+    assert(perDay.nonEmpty)
+    val total = spark.sql("SELECT kmv_distinct(user_id) FROM ev_cube")
+      .collect().head.getLong(0)
+    val exactTotal = ev.select(countDistinct(col("user_id")))
+      .collect().head.getLong(0)
+    assert(total == exactTotal) // 15 users at sf0.001 — far below k
+    perDay.foreach(r => assert(r.getLong(1) <= total))
+  }
+}
