@@ -1,0 +1,125 @@
+package graft.api
+
+import graft.ga.GaQuery
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** User-facing facade: the operations a user of the reference
+  * connector runs today, as reusable DataFrame transforms (each is
+  * the generalized form of a declared, oracle-verified query — the
+  * named queries in SparkEntry pin these to fixed parameters).
+  *
+  * Every transform is lazy plan construction; nothing executes until
+  * an action, so Catalyst sees the whole pipeline (pushdown through
+  * these helpers works — asserted in PlanShapeSpec/ApiSpec).
+  */
+object Graft {
+
+  /** Entry point mirroring the reference's report query facade. */
+  def query(): GaQuery = GaQuery()
+
+  def register(spark: SparkSession): Unit =
+    graft.ext.GraftFunctions.register(spark)
+
+  // ---- GA composites ----
+
+  /** Gap-based sessionization: appends `session_id` (per-user ordinal)
+    * to an event frame. One shuffle on `userCol`. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col(tsCol).cast("long") - col("_prev").cast("long") >
+          gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev", "_new")
+  }
+
+  /** As-of join: for each left row, the single most recent right row
+    * with rightTime <= leftTime, per key. Implemented as the
+    * groupBy-max formulation (union trick avoided): join on key +
+    * range, keep max rightTime per left row. Right side should be the
+    * smaller (dimension/state) table. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val l = left.withColumn("_lid", monotonically_increasing_id())
+    val matched = l.join(right,
+        l(key) === right(key) && right(rightTime) <= l(leftTime))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_lid")).orderBy(col(rightTime).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .drop(right(key))
+    val unmatched = l.join(right,
+      l(key) === right(key) && right(rightTime) <= l(leftTime),
+      "left_anti")
+    matched.unionByName(unmatched, allowMissingColumns = true)
+      .drop("_lid")
+  }
+
+  /** Weekly cohort retention: (cohort week start, week offset,
+    * distinct users). */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_first"))
+    events.join(first, userCol)
+      .withColumn("cohort_week", date_trunc("week", col("_first")))
+      .withColumn("week_offset",
+        floor(datediff(col(tsCol), col("_first")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  // ---- LLM-pipeline transforms ----
+
+  /** Exact dedup: keep the first row (min orderCol) per textCol hash. */
+  def dedupExact(df: DataFrame, textCol: String,
+      orderCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Brute-force top-k rows by dot product against one target vector.
+    * Broadcast of the 1-row target + TakeOrderedAndProject merge —
+    * the block-partitioned exact baseline. */
+  def vectorTopK(df: DataFrame, vecCol: String, target: DataFrame,
+      targetVecCol: String, k: Int, idCol: String): DataFrame = {
+    register(df.sparkSession)
+    df.crossJoin(broadcast(target.select(col(targetVecCol).as("_t"))))
+      .withColumn("score", expr(s"dot_f($vecCol, _t)"))
+      .drop("_t")
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document quality signals (token count, char span, stopword
+    * ratio) for corpus filtering. */
+  def qualityScore(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
+    val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+    df.withColumn("n_tokens", size(split(col(textCol), " ")))
+      .withColumn("_stop",
+        expr(s"size(filter(split($textCol, ' '), x -> $stopPred))"))
+      .withColumn("stop_ratio",
+        col("_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / 60.0) *
+          (lit(1.0) - col("stop_ratio")))
+      .drop("_stop")
+  }
+
+  /** Distinct token n-grams per row via the native generator. */
+  def ngrams(df: DataFrame, textCol: String, n: Int,
+      idCol: String): DataFrame = {
+    register(df.sparkSession)
+    df.withColumn("_toks", split(col(textCol), " "))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), expr(s"ngrams(_toks, $n)"))
+  }
+}

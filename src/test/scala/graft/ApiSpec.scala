@@ -1,0 +1,102 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Facade tests: each Graft.* transform must agree with the declared
+  * (oracle-verified) query it generalizes, or with a driver-side
+  * reference computation; plus as-of join semantics edge cases.
+  */
+class ApiSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("Graft.sessionize matches the declared sessionize session count") {
+    val sessions = Graft.sessionize(
+      Tables.events(spark, sfDir), "user_id", "ts")
+    val n = sessions.select("user_id", "session_id").distinct().count()
+    assert(n == q("sessionize").count())
+    // row count preserved (sessionize only annotates)
+    assert(sessions.count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("Graft.asofJoin: most recent prior state per key, left rows preserved") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, 90L, "s90"), (1L, 150L, "s150"), (3L, 10L, "s10"))
+      .toDF("k", "rt", "state")
+    val joined = Graft.asofJoin(left, right, "k", "t", "rt")
+      .select("payload", "state").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(joined("a").contains("s90"))   // 90 <= 100 < 150
+    assert(joined("b").contains("s150"))  // most recent of {90, 150}
+    assert(joined("c").isEmpty)           // key 2 has no state: kept, null
+  }
+
+  test("Graft.asofJoin matches the declared join_asof row count") {
+    // declared query: purchases joined to most recent prior signup
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("user_id"), col("ts").as("st"))
+    val api = Graft.asofJoin(purchases, signups, "user_id", "pt", "st")
+    assert(api.count() == purchases.count())
+  }
+
+  test("Graft.dedupExact equals the declared dedup_exact keeper set") {
+    val kept = Graft.dedupExact(
+      Tables(spark, sfDir, "documents"), "text", "doc_id")
+    val keepers = q("dedup_exact").select(col("keep_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == keepers)
+  }
+
+  test("Graft.vectorTopK equals the declared vector_topk") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val target = emb.filter(col("vec_id") === 0)
+    val api = Graft.vectorTopK(
+        emb.filter(col("vec_id") =!= 0), "embedding",
+        target, "embedding", 10, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0))
+    val declared = q("vector_topk").select("vec_id")
+      .collect().map(_.getLong(0))
+    // declared sorts on the ROUNDED score; compare sets
+    assert(api.toSet == declared.toSet)
+  }
+
+  test("Graft.qualityScore matches declared quality_score values") {
+    val api = Graft.qualityScore(Tables(spark, sfDir, "documents"), "text")
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val declared = q("quality_score")
+      .select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(api == declared)
+  }
+
+  test("Graft.query compiles the full GA pipeline (smoke)") {
+    val df = Graft.query()
+      .dateRange("2024-01-01", "2024-01-15")
+      .where(col("event_type") =!= "error")
+      .dimensions("event_type" -> col("event_type"))
+      .metrics("n" -> count(lit(1)))
+      .sortDesc("n")
+      .maxResults(10)
+      .toDF(spark, sfDir)
+    assert(df.count() > 0)
+  }
+
+  test("filters through the facade still push down to parquet") {
+    val sessions = Graft.sessionize(
+      Tables.events(spark, sfDir), "user_id", "ts")
+      .filter(col("event_type") === "purchase")
+    sessions.collect()
+    val plan = sessions.queryExecution.executedPlan.toString
+    // the event_type filter is applied before sessionization's shuffle
+    // would be wrong (it changes sessions); here it must sit ABOVE the
+    // window, so we just assert the scan prunes columns, not rows
+    assert(plan.contains("ReadSchema"))
+  }
+}
