@@ -26,7 +26,9 @@ final case class GaQuery(
     userSegment: Option[Column] = None,
     sessionSegment: Option[Column] = None,
     sortDescKey: Option[String] = None,
-    maxRows: Option[Int] = None) {
+    maxRows: Option[Int] = None,
+    startIndex: Int = 0,
+    havingFilters: Seq[Column] = Nil) {
 
   private def dayUs(day: String): Long =
     LocalDate.parse(day).toEpochDay * 86400L * 1000000L
@@ -57,6 +59,15 @@ final case class GaQuery(
 
   /** GA `max-results`. */
   def maxResults(n: Int): GaQuery = copy(maxRows = Some(n))
+
+  /** GA `start-index` (1-based, like the API). Requires a sort for a
+    * stable page; pages are [start, start + max-results). */
+  def startAt(index1: Int): GaQuery = copy(startIndex = index1 - 1)
+
+  /** Post-aggregation metric filter (GA metric-scope `filters=`,
+    * e.g. `ga:sessions>10`). */
+  def having(cond: Column): GaQuery =
+    copy(havingFilters = havingFilters :+ cond)
 
   def toDF(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
@@ -100,9 +111,12 @@ final case class GaQuery(
       if (dims.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
 
+    havingFilters.foreach(c => out = out.filter(c))
+
     sortDescKey.foreach { k =>
       out = out.orderBy(col(k).desc +: dims.map(x => col(x._1).asc): _*)
     }
+    if (startIndex > 0) out = out.offset(startIndex)
     maxRows.foreach(n => out = out.limit(n))
     out
   }

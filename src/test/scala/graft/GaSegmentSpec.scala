@@ -82,4 +82,37 @@ class GaSegmentSpec extends AnyFunSuite {
         r.getDouble(r.fieldIndex("w7"))).toMap
     assert(byRange != byRows)
   }
+
+  test("pagination: startAt/maxResults slices the sorted report") {
+    def page(start1: Int, n: Int): Array[String] =
+      GaQuery()
+        .dimensions("event_type" -> col("event_type"),
+          "day" -> to_date(col("ts")))
+        .metrics("n" -> count(lit(1)))
+        .sortDesc("n")
+        .startAt(start1).maxResults(n)
+        .toDF(spark, sfDir)
+        .collect().map(_.toString)
+    val all = page(1, 1000)
+    assert(page(1, 10).sameElements(all.take(10)))
+    assert(page(11, 10).sameElements(all.slice(10, 20)))
+    assert(page(6, 5).sameElements(all.slice(5, 10)))
+  }
+
+  test("having filters metrics post-aggregation") {
+    val rows = GaQuery()
+      .dimensions("event_type" -> col("event_type"),
+        "day" -> to_date(col("ts")))
+      .metrics("n" -> count(lit(1)))
+      .having(col("n") > 10)
+      .toDF(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) > 10))
+    val unfiltered = GaQuery()
+      .dimensions("event_type" -> col("event_type"),
+        "day" -> to_date(col("ts")))
+      .metrics("n" -> count(lit(1)))
+      .toDF(spark, sfDir).count()
+    assert(rows.length < unfiltered)
+  }
 }
