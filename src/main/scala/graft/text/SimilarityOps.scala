@@ -80,13 +80,22 @@ object SimilarityOps extends OpModule {
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id"""))
 
-  /** Token-trigram Jaccard similarity join: candidates share >= 1
-    * trigram; J = |∩| / |∪| over distinct trigram sets; threshold
-    * 0.2. The standard shingle-based near-dup join. */
+  /** Token-trigram Jaccard similarity join with a document-frequency
+    * cap: shingles present in more than `MaxDf` documents are dropped
+    * BEFORE the candidate join (on both the Spark and oracle side, so
+    * the metric is Jaccard over the rare-shingle sets). Ubiquitous
+    * shingles carry no near-dup signal but drive the candidate join
+    * quadratic — the df cap is what keeps this op viable at 100 TB
+    * (stopword-shingle / prefix-filtering practice): join fan-out per
+    * gram is bounded by MaxDf², and the df table itself is one
+    * map-side-combined groupBy. Without the cap this query was
+    * observed to go quadratic at sf0.1 on the 31-word fixture vocab. */
+  val MaxDf = 50
+
   val ngramJaccard = Op(
     "ngram_jaccard",
     (s, d) => {
-      val grams = Tables(s, d, "documents")
+      val allGrams = Tables(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
@@ -95,6 +104,11 @@ object SimilarityOps extends OpModule {
                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
             .as("g"))
         .distinct()
+      val rare = allGrams.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf)
+        .select(col("g"))
+      val grams = allGrams.join(rare, "g")
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = grams.select(col("doc_id").as("doc_a"), col("g"))
       val b = grams.select(col("doc_id").as("doc_b"), col("g"))
@@ -111,8 +125,8 @@ object SimilarityOps extends OpModule {
         .filter(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
-    Some("""
-      WITH grams AS (
+    Some(s"""
+      WITH allgrams AS (
         SELECT DISTINCT doc_id, g
         FROM (
           SELECT doc_id,
@@ -121,6 +135,10 @@ object SimilarityOps extends OpModule {
           FROM (SELECT doc_id, string_split(text, ' ') AS toks
                 FROM documents)
           WHERE len(toks) >= 3)),
+      grams AS (
+        SELECT doc_id, g FROM allgrams
+        WHERE g IN (SELECT g FROM allgrams GROUP BY g
+                    HAVING COUNT(*) <= $MaxDf)),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
