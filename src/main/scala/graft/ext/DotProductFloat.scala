@@ -13,8 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * intermediate product array — while keeping bit-identical results
   * (same left-to-right double accumulation order).
   *
-  * Null elements contribute 0; mismatched lengths stop at the shorter
-  * array. Registered as `dot_f` via [[GraftFunctions.register]].
+  * Semantics match the lambda tree EXACTLY so
+  * [[RewriteDotProduct]] may substitute it anywhere: mismatched
+  * lengths or any null element yield NULL (zip_with pads the shorter
+  * side with null and aggregate propagates it). Registered as `dot_f`
+  * via [[GraftFunctions.register]].
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,6 +33,8 @@ case class DotProductFloat(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullIntolerant: Boolean = true
 
   override def prettyName: String = "dot_f"
@@ -37,13 +42,13 @@ case class DotProductFloat(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     acc
@@ -52,17 +57,18 @@ case class DotProductFloat(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -43,13 +43,15 @@ object GraftFunctions {
     }
   }
 
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.ext.GraftFunctions", name),
         builder))
     }
+    extensions.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
