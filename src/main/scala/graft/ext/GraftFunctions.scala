@@ -51,6 +51,8 @@ object GraftFunctions {
         builder))
     }
     extensions.injectOptimizerRule(_ => RewriteDotProduct)
+    extensions.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 

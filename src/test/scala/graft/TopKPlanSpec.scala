@@ -1,0 +1,107 @@
+package graft
+
+import graft.plans.{TopKPerKeyStrategy, WindowTopKRewrite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom whole-operator tests: the window-top-k rewrite swaps the
+  * row_number/filter idiom for the bounded-heap TopKPerKeyExec, with
+  * results identical to the stock window plan, and leaves non-matching
+  * window shapes alone.
+  */
+class TopKPlanSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private def withTopK[A](f: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ WindowTopKRewrite
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    try f
+    finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == WindowTopKRewrite)
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+    }
+  }
+
+  private def top3PerCustomer: DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  test("rewrite plans the idiom as TopKPerKeyExec") {
+    withTopK {
+      val df = top3PerCustomer
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), plan.take(800))
+      assert(!plan.contains("Window"), plan.take(800))
+    }
+  }
+
+  test("results identical to the stock window plan, including ranks") {
+    val stock = top3PerCustomer.collect().map(_.toString).sorted
+    val custom = withTopK(top3PerCustomer.collect()).map(_.toString).sorted
+    assert(custom.sameElements(stock))
+    assert(stock.nonEmpty)
+  }
+
+  test("strict < and reversed comparisons are recognized") {
+    withTopK {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val lt = Tables(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") < 4)
+      lt.collect()
+      assert(lt.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      val rev = Tables(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(lit(3) >= col("rn"))
+      rev.collect()
+      assert(rev.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(lt.count() == top3PerCustomer.count())
+    }
+  }
+
+  test("multi-function windows are NOT rewritten (need the real sort)") {
+    withTopK {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = Tables(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rn") <= 3)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan.take(800))
+      assert(!plan.contains("TopKPerKey"), plan.take(800))
+    }
+  }
+
+  test("declared window_rank query is unaffected (uses rank + dense_rank)") {
+    val without = q("window_rank").collect().map(_.toString).sorted
+    val withR = withTopK(q("window_rank").collect()).map(_.toString).sorted
+    assert(without.sameElements(withR))
+  }
+
+  test("rewrite survives a column-pruning Project between filter and window") {
+    withTopK {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = Tables(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .select("o_custkey", "o_orderkey", "rn")
+        .filter(col("rn") <= 2)
+      val rows = df.collect()
+      val perKey = rows.groupBy(_.getLong(0))
+      perKey.values.foreach(g => assert(g.length <= 2))
+      assert(rows.map(r => (r.getLong(0), r.getInt(2))).distinct.length == rows.length)
+    }
+  }
+}
