@@ -86,5 +86,37 @@ object Windows extends OpModule {
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
       FROM daily"""))
 
-  override def ops: Seq[Op] = Seq(windowRank, windowAnalytic, windowFrame)
+  /** Same top-3-per-customer semantics as `window_rank`, but planned
+    * through the custom TopKPerKey operator (graft.plans): the
+    * WindowTopKRewrite rule turns the row_number/filter idiom into
+    * the bounded-heap exec, so the driver's oracle gate covers the
+    * custom physical operator end-to-end. */
+  val topkPerKey = Op(
+    "topk_per_key",
+    (s, d) => {
+      import graft.plans.{TopKPerKeyStrategy, WindowTopKRewrite}
+      if (!s.experimental.extraOptimizations.contains(WindowTopKRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ WindowTopKRewrite
+      if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ TopKPerKeyStrategy
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders)
+      WHERE rn <= 3"""))
+
+  override def ops: Seq[Op] =
+    Seq(windowRank, windowAnalytic, windowFrame, topkPerKey)
 }
