@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import java.sql.Timestamp
 
@@ -80,6 +80,32 @@ object StreamOps {
 
   val GapUs: Long = 1800L * 1000000L
 
+  /** µs since epoch; Timestamp.getTime is ms-truncated, sub-ms lives
+    * in getNanos. */
+  private def tsUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Gap-session fold shared by both stateful implementations:
+    * returns (closed sessions emitted this batch, open session). */
+  private def foldSessions(userId: Long, sorted: Seq[Ev],
+      start: Option[SessionState]): (Seq[SessionOut], Option[SessionState]) = {
+    var cur = start
+    val closed = Seq.newBuilder[SessionOut]
+    for (e <- sorted) {
+      val eUs = tsUs(e.ts)
+      cur match {
+        case Some(s) if eUs - s.lastUs > GapUs =>
+          closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.value)
+          cur = Some(SessionState(eUs, eUs, 1L, e.value))
+        case Some(s) =>
+          cur = Some(SessionState(s.startUs, eUs, s.n + 1, s.value + e.value))
+        case None =>
+          cur = Some(SessionState(eUs, eUs, 1L, e.value))
+      }
+    }
+    (closed.result(), cur)
+  }
+
   /** Custom sessionization with explicit state: 30-min gap splits
     * inside a micro-batch; event-time timeout (watermark past
     * last-event + gap) closes a session across batches. Emits only
@@ -99,32 +125,63 @@ object StreamOps {
             state.remove()
             Iterator(SessionOut(userId, s.startUs, s.lastUs, s.n, s.value))
           } else {
-            // µs since epoch; Timestamp.getTime is ms-truncated, the
-            // sub-ms part lives in getNanos
-            def us(t: Timestamp): Long =
-              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-            val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            for (e <- sorted) {
-              val eUs = us(e.ts)
-              cur match {
-                case Some(s) if eUs - s.lastUs > GapUs =>
-                  closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.value)
-                  cur = Some(SessionState(eUs, eUs, 1L, e.value))
-                case Some(s) =>
-                  cur = Some(SessionState(s.startUs, eUs, s.n + 1, s.value + e.value))
-                case None =>
-                  cur = Some(SessionState(eUs, eUs, 1L, e.value))
-              }
-            }
+            val sorted = evs.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            val (closed, cur) = foldSessions(userId, sorted, state.getOption)
             cur.foreach { s =>
               state.update(s)
               // close when watermark passes last event + gap
               state.setTimeoutTimestamp((s.lastUs + GapUs) / 1000L)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  // ---- transformWithState variant (Spark 4 arbitrary-state API) ----
+
+  /** Same closed-session semantics as [[sessionizeStateful]], on the
+    * transformWithState API: typed ValueState handle + explicit
+    * event-time timers (re-registered as the session extends; stale
+    * timers are ignored by re-checking the session's true expiry).
+    * Requires the RocksDB state store provider. */
+  class SessionProcessor extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+      val prior = if (state.exists()) Some(state.get()) else None
+      val (closed, cur) = foldSessions(userId, sorted, prior)
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer((s.lastUs + GapUs) / 1000L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      // a timer registered before the session was extended fires
+      // early — only close when this timer IS the session's expiry
+      if (expiredTimerInfo.getExpiryTimeInMs >= (s.lastUs + GapUs) / 1000L) {
+        state.clear()
+        Iterator(SessionOut(userId, s.startUs, s.lastUs, s.n, s.value))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeTws(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -157,4 +157,41 @@ class StreamingSpec extends AnyFunSuite {
     }.sorted
     assert(got.sameElements(batchFixed))
   }
+
+  test("transformWithState sessionization equals batch sessionize") {
+    import spark.implicits._
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](7, spark, None)
+      in.addData(allEvents)
+      val query = StreamOps.sessionizeTws(in.toDS()).writeStream
+        .format("memory").queryName("t_tws")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", freshDir()).start()
+      query.processAllAvailable()
+      in.addData(Ev(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.table("t_tws")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "start_us", "end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted
+      val batch = q("sessionize").collect().map { r =>
+        (r.getLong(r.fieldIndex("user_id")), r.getLong(r.fieldIndex("start_us")),
+          r.getLong(r.fieldIndex("end_us")), r.getLong(r.fieldIndex("n_events")))
+      }.sorted
+      assert(got.sameElements(batch))
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
