@@ -131,6 +131,57 @@ object Aggs extends OpModule {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
     None)
 
+  /** CUBE over market segment x order status (all four grouping-set
+    * combinations; GROUPING() flags disambiguate null dimension
+    * values from the subtotal rows). */
+  val aggCube = Op(
+    "agg_cube",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      od.join(cu, od("o_custkey") === cu("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"))
+    },
+    Some("""
+      SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+             ROUND(SUM(o_totalprice), 2) AS total,
+             CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_st
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY CUBE(c_mktsegment, o_orderstatus)"""))
+
+  /** Ordered string aggregation: per-segment sorted list of the top
+    * nations by customer count (collect_list is unordered in Spark,
+    * so both engines sort before joining — determinism rule 1). */
+  val aggStrings = Op(
+    "agg_strings",
+    (s, d) => {
+      val cu = Tables(s, d, "customer")
+      val na = Tables(s, d, "nation")
+      cu.join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+        .groupBy(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT c_mktsegment, n_name, COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT c_mktsegment, COUNT(*) AS n_nations,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM per GROUP BY c_mktsegment"""))
+
   override def ops: Seq[Op] =
-    Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll)
+    Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
+      aggCube, aggStrings)
 }

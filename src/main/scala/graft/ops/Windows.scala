@@ -117,6 +117,42 @@ object Windows extends OpModule {
         FROM orders)
       WHERE rn <= 3"""))
 
+  /** Distribution window functions over each customer's orders:
+    * quartile bucket, percent_rank, cume_dist, and the frame-wide
+    * first/last values — all deterministic under the total order
+    * (price desc, orderkey). */
+  val windowDist = Op(
+    "window_dist",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables(s, d, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("best_price", first(col("o_totalprice")).over(wFull))
+        .withColumn("worst_price", last(col("o_totalprice")).over(wFull))
+        .select(col("o_custkey"), col("o_orderkey"), col("quartile"),
+          col("pct_rank"), col("cume"), col("best_price"),
+          col("worst_price"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(NTILE(4) OVER w AS INT) AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cume,
+             FIRST_VALUE(o_totalprice) OVER wf AS best_price,
+             LAST_VALUE(o_totalprice) OVER wf AS worst_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey),
+             wf AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)"""))
+
   override def ops: Seq[Op] =
-    Seq(windowRank, windowAnalytic, windowFrame, topkPerKey)
+    Seq(windowRank, windowAnalytic, windowFrame, topkPerKey, windowDist)
 }
