@@ -60,6 +60,21 @@ class SourcesSpec extends AnyFunSuite {
       .sameElements(orig.collect().map(_.toString).sorted))
   }
 
+  test("orc round-trip preserves data and pushes predicates") {
+    val orig = Tables(spark, sfDir, "orders")
+    val dir = tmp() + "/orders_orc"
+    orig.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == orig.count())
+    val filtered = back.filter(col("o_totalprice") > 300000.0)
+    filtered.collect()
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"orc pushdown missing:\n${plan.take(600)}")
+    assert(filtered.count() ==
+      orig.filter(col("o_totalprice") > 300000.0).count())
+  }
+
   test("props JSON column: from_json -> MapType -> explode") {
     val ev = Tables.events(spark, sfDir)
     val m = ev.withColumn("m",
