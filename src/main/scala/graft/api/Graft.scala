@@ -22,6 +22,18 @@ object Graft {
   def register(spark: SparkSession): Unit =
     graft.ext.GraftFunctions.register(spark)
 
+  /** SQL entry (SURVEY §3.3 lifecycle B): register every fixture
+    * table as a temp view (events with the ns→µs normalization
+    * applied) so `spark.sql(...)` works directly alongside the
+    * DataFrame DSL — same Catalyst pipeline plus a parse step. */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    graft.Tables.names.foreach { t =>
+      val df =
+        if (t == "events") graft.Tables.events(spark, sfDir)
+        else graft.Tables(spark, sfDir, t)
+      df.createOrReplaceTempView(t)
+    }
+
   // ---- GA composites ----
 
   /** Gap-based sessionization: appends `session_id` (per-user ordinal)

@@ -105,6 +105,14 @@ final case class GaQuery(
       df = df.join(segSessions, Seq("user_id", "_sid"), "left_semi")
     }
 
+    require(mets.nonEmpty,
+      "GaQuery needs at least one metric (GA reports always carry metrics); " +
+        "call .metrics(\"name\" -> aggExpr, ...)")
+    sortDescKey.foreach { k =>
+      require(mets.exists(_._1 == k) || dims.exists(_._1 == k),
+        s"sortDesc('$k') references no declared dimension or metric " +
+          s"(have: ${(dims ++ mets).map(_._1).mkString(", ")})")
+    }
     val dimCols = dims.map { case (n, c) => c.as(n) }
     val aggCols = mets.map { case (n, c) => c.as(n) }
     var out =

@@ -99,4 +99,39 @@ class ApiSpec extends AnyFunSuite {
     // window, so we just assert the scan prunes columns, not rows
     assert(plan.contains("ReadSchema"))
   }
+
+  test("registerTables enables the SQL entry with identical results") {
+    Graft.registerTables(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+                ROUND(SUM(l_quantity), 2) AS sum_qty,
+                COUNT(*) AS n
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2""").collect().map(_.toString).sorted
+    val viaDf = q("pricing_agg")
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(_.toString).sorted
+    assert(viaSql.sameElements(viaDf))
+    // events view carries the normalized µs timestamp
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM events WHERE ts >= TIMESTAMP '2024-01-01'")
+      .collect().head.getLong(0)
+    assert(n == Tables.events(spark, sfDir).count())
+  }
+
+  test("GaQuery raises clear errors for missing metrics and unknown sort keys") {
+    val noMetrics = intercept[IllegalArgumentException] {
+      Graft.query().dimensions("t" -> col("event_type")).toDF(spark, sfDir)
+    }
+    assert(noMetrics.getMessage.contains("at least one metric"))
+    val badSort = intercept[IllegalArgumentException] {
+      Graft.query()
+        .dimensions("t" -> col("event_type"))
+        .metrics("n" -> count(lit(1)))
+        .sortDesc("nope")
+        .toDF(spark, sfDir)
+    }
+    assert(badSort.getMessage.contains("nope"))
+  }
 }
