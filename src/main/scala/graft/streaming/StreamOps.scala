@@ -62,6 +62,13 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment: join the hit stream to a static
+    * dimension (broadcast per micro-batch — the static side is
+    * re-planned each trigger, so dimension updates are picked up). */
+  def enrich(events: DataFrame, dim: DataFrame,
+      joinKey: String): DataFrame =
+    events.join(broadcast(dim), Seq(joinKey), "left")
+
   /** Stateful exact dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,72 @@
+package graft
+
+import graft.api.Graft
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input robustness: every facade transform and representative
+  * operator shape must return an empty (or grand-total) result on
+  * zero rows, never throw — the degenerate partitions of a 100 TB run
+  * are empty all the time.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  private lazy val emptyEvents = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType))))
+
+  private lazy val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("sessionize on zero events") {
+    assert(Graft.sessionize(emptyEvents, "user_id", "ts").count() == 0)
+  }
+
+  test("cohortRetention on zero events") {
+    assert(Graft.cohortRetention(emptyEvents, "user_id", "ts").count() == 0)
+  }
+
+  test("dedupExact on zero documents") {
+    assert(Graft.dedupExact(emptyDocs, "text", "doc_id").count() == 0)
+  }
+
+  test("qualityScore on zero documents") {
+    assert(Graft.qualityScore(emptyDocs, "text").count() == 0)
+  }
+
+  test("asofJoin with an empty right side keeps all left rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "p")
+    val right = Seq.empty[(Long, Long, String)].toDF("k", "rt", "s")
+    val out = Graft.asofJoin(left, right, "k", "t", "rt").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("s")))
+  }
+
+  test("aggregation over zero rows yields the grand-total row semantics") {
+    val agg = emptyEvents.agg(count(lit(1)).as("n"),
+      sum(col("value")).as("s")).collect().head
+    assert(agg.getLong(0) == 0L && agg.isNullAt(1))
+    // grouped aggregation yields zero rows instead
+    assert(emptyEvents.groupBy("event_type").count().count() == 0)
+  }
+
+  test("window functions over zero rows") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    assert(emptyEvents.withColumn("rn", row_number().over(w)).count() == 0)
+  }
+
+  test("kmv_distinct over zero rows returns 0") {
+    emptyEvents.createOrReplaceTempView("empty_ev")
+    val n = spark.sql("SELECT kmv_distinct(user_id) FROM empty_ev")
+      .collect().head.getLong(0)
+    assert(n == 0L)
+  }
+}

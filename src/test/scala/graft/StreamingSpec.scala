@@ -194,4 +194,41 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stream-static join enriches events with a dimension") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev](8, spark, None)
+    val t0 = Timestamp.valueOf("2024-06-01 10:00:00")
+    in.addData(Ev(1, t0, 1L, "view", 1.0), Ev(2, t0, 2L, "view", 1.0),
+      Ev(3, t0, 99L, "view", 1.0))
+    val got = runToEnd(StreamOps.enrich(in.toDF(), dim, "user_id"),
+      "t_enrich", OutputMode.Append())
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("gold"))
+    assert(got(2L).contains("silver"))
+    assert(got(3L).isEmpty) // left join keeps unmatched stream rows
+  }
+
+  test("foreachBatch sink sees every micro-batch exactly once") {
+    import spark.implicits._
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[Ev](9, spark, None)
+    val query = in.toDF().writeStream
+      .option("checkpointLocation", freshDir())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) }
+        () // Unit: required shape for the Scala foreachBatch overload
+      }
+      .start()
+    in.addData(allEvents.take(10))
+    query.processAllAvailable()
+    in.addData(allEvents.slice(10, 15))
+    query.processAllAvailable()
+    query.stop()
+    val byBatch = seen.toSeq.sortBy(_._1)
+    assert(byBatch.map(_._2).sum == 15)
+    assert(byBatch.map(_._1) == byBatch.map(_._1).distinct)
+  }
 }
