@@ -176,6 +176,75 @@ object VectorOps extends OpModule {
       ORDER BY score DESC, vec_id
       LIMIT 10"""))
 
+  /** IVF-style ANN: the first 16 vectors act as deterministic
+    * centroids; every vector is assigned to its nearest centroid
+    * (inverted lists), and the query probes only the target's top-2
+    * centroids' lists before exact scoring. This is the real 100 TB
+    * similarity-search shape — centroid id becomes the partition key,
+    * probing prunes the scan to nprobe/nlist of the data — expressed
+    * entirely as joins + windows so both engines run it identically. */
+  val ivfTopk = Op(
+    "ivf_topk",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // invert: every vector -> nearest centroid (dot desc, c_id tiebreak)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_score").desc, col("c_id"))
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .withColumn("c_rn", row_number().over(wAssign))
+        .filter(col("c_rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      // target = vec 0; probe its 2 nearest centroids
+      val probes = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .orderBy(col("c_score").desc, col("c_id"))
+        .limit(2)
+        .select(col("c_id"))
+      val target = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("t_emb"))
+      assigned.join(broadcast(probes), "c_id")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(target))
+        .withColumn("score", round(dot("embedding", "t_emb"), 4))
+        .select(col("vec_id"), col("c_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS c_rn
+          FROM embeddings e, c)
+        WHERE c_rn = 1),
+      probes AS (
+        SELECT c.c_id
+        FROM embeddings t, c
+        WHERE t.vec_id = 0
+        ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                        CAST(c.c_emb AS DOUBLE[])), 4) DESC,
+                 c.c_id
+        LIMIT 2),
+      t AS (SELECT embedding AS t_emb FROM embeddings WHERE vec_id = 0)
+      SELECT a.vec_id, a.c_id,
+             ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(t.t_emb AS DOUBLE[])), 4) AS score
+      FROM assigned a JOIN probes USING (c_id), t
+      WHERE a.vec_id <> 0
+      ORDER BY score DESC, a.vec_id
+      LIMIT 10"""))
+
   override def ops: Seq[Op] =
-    Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk)
+    Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk)
 }
