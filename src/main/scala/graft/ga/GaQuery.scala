@@ -73,10 +73,13 @@ final case class GaQuery(
     val raw = Tables.events(spark, sfDir)
       .withColumn("us", unix_micros(col("ts")))
 
-    // session scope needs a session id on every row; compute it once
-    // over the UNFILTERED stream (GA session identity is global, not
-    // per-date-range) — one shuffle on user_id, same as sessionize
-    val base = sessionSegment.fold(raw) { _ =>
+    // session scope and session-count metrics need a session id on
+    // every row; compute it once over the UNFILTERED stream (GA
+    // session identity is global, not per-date-range) — one shuffle
+    // on user_id, same as sessionize
+    val needsSessions = sessionSegment.isDefined ||
+      mets.exists(_._1 == GaMetrics.SessionsKey)
+    val base = if (!needsSessions) raw else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))

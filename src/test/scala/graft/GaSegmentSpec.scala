@@ -115,4 +115,27 @@ class GaSegmentSpec extends AnyFunSuite {
       .toDF(spark, sfDir).count()
     assert(rows.length < unfiltered)
   }
+
+  test("GaMetrics named metrics: sessions metric equals declared sessionize count") {
+    import graft.ga.GaMetrics
+    val report = GaQuery()
+      .metrics(GaMetrics.sessions, GaMetrics.users, GaMetrics.events)
+      .toDF(spark, sfDir).collect().head
+    assert(report.getLong(0) == q("sessionize").count())
+    val ev = Tables.events(spark, sfDir)
+    assert(report.getLong(1) == ev.select("user_id").distinct().count())
+    assert(report.getLong(2) == ev.count())
+  }
+
+  test("GaMetrics per-dimension report with sessions") {
+    import graft.ga.GaMetrics
+    val perType = GaQuery()
+      .dimensions("event_type" -> col("event_type"))
+      .metrics(GaMetrics.events, GaMetrics.totalValue)
+      .sortDesc("events")
+      .toDF(spark, sfDir).collect()
+    assert(perType.length == 5)
+    val counts = perType.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
 }
