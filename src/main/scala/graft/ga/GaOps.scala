@@ -187,6 +187,35 @@ object GaOps extends OpModule {
       FROM events
       GROUP BY 1, 2"""))
 
+  /** Batch analog of the sliding window (1 hour every 30 minutes):
+    * every event lands in exactly two windows; the oracle reproduces
+    * Spark's epoch-aligned window starts with integer µs arithmetic
+    * (start ∈ {floor30(ts) − 30min, floor30(ts)}). */
+  val windowSliding = Op(
+    "window_sliding",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .select(
+          unix_micros(col("window.start")).as("win_start_us"),
+          col("event_type"), col("n_events"), col("total_value")),
+    Some("""
+      WITH ev AS (
+        SELECT event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      exp AS (
+        SELECT event_type, value,
+               unnest([us - (us % 1800000000) - 1800000000,
+                       us - (us % 1800000000)]) AS win_start_us
+        FROM ev)
+      SELECT win_start_us, event_type, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM exp GROUP BY 1, 2"""))
+
   /** Full GA report pipeline (date-range + user-scope segment + dims +
     * metrics + sort + max-results), compiled through the GaQuery DSL:
     * events in [2024-01-05, 2024-01-20), segment = users with ≥1
@@ -226,5 +255,5 @@ object GaOps extends OpModule {
       LIMIT 50"""))
 
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
-    cohortRetention, windowTumbling, gaReport)
+    cohortRetention, windowTumbling, windowSliding, gaReport)
 }
