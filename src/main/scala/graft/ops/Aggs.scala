@@ -131,6 +131,22 @@ object Aggs extends OpModule {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")),
     None)
 
+  /** Approximate quantiles via percentile_approx (GK-style sketch;
+    * GA latency/duration percentile metrics). No oracle — sketch
+    * merge order is partitioning-dependent; the unit test bounds the
+    * rank error against the exact percentile instead. */
+  val aggQuantileSketch = Op(
+    "agg_quantile_sketch",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("p95")),
+    None)
+
   /** CUBE over market segment x order status (all four grouping-set
     * combinations; GROUPING() flags disambiguate null dimension
     * values from the subtotal rows). */
@@ -183,5 +199,5 @@ object Aggs extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
-      aggCube, aggStrings)
+      aggCube, aggStrings, aggQuantileSketch)
 }

@@ -116,4 +116,33 @@ class RelationalSpec extends AnyFunSuite {
     val nOnly = joined.select("n_name").distinct().count()
     assert(cubeN == rollupN + nOnly)
   }
+
+  test("agg_quantile_sketch within rank-error bounds of exact percentiles") {
+    val approx = q("agg_quantile_sketch").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((flag, (p50, p95)) <- approx) {
+      val vals = Tables(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === flag)
+        .select("l_extendedprice").collect().map(_.getDouble(0)).sorted
+      def rankOf(v: Double): Double =
+        vals.count(_ <= v).toDouble / vals.length
+      // accuracy 1000 => rank error <= 1/1000; allow 1% slack
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.01, s"$flag p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.01, s"$flag p95 rank ${rankOf(p95)}")
+    }
+  }
+
+  test("seeded sampling: deterministic for a fixed seed+partitioning, fraction bounds") {
+    val od = Tables(spark, sfDir, "orders")
+    val s1 = od.sample(withReplacement = false, 0.2, seed = 42L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    val s2 = od.sample(withReplacement = false, 0.2, seed = 42L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "same seed must resample identically")
+    val frac = s1.length.toDouble / od.count()
+    assert(frac > 0.1 && frac < 0.3, s"fraction $frac far from 0.2")
+    val s3 = od.sample(withReplacement = false, 0.2, seed = 7L)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted
+    assert(!s1.sameElements(s3), "different seeds should differ")
+  }
 }
