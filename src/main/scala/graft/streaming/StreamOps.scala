@@ -69,6 +69,31 @@ object StreamOps {
       joinKey: String): DataFrame =
     events.join(broadcast(dim), Seq(joinKey), "left")
 
+  /** Stream-stream self-join with event-time range: each purchase
+    * matched to same-user signups in the preceding 2 hours. Both
+    * sides carry watermarks so the join state (buffered unmatched
+    * rows) is evicted once the range condition can no longer match —
+    * the only shape under which stream-stream join state stays
+    * bounded at 100 TB. */
+  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+    val signups = events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(signups,
+      expr("""user_id = s_user
+              AND purchase_ts >= signup_ts
+              AND purchase_ts <= signup_ts + INTERVAL 2 HOURS"""))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
   /** Stateful exact dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

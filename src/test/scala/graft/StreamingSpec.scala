@@ -231,4 +231,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBatch.map(_._2).sum == 15)
     assert(byBatch.map(_._1) == byBatch.map(_._1).distinct)
   }
+
+  test("stream-stream join with watermarks equals the batch range join") {
+    import spark.implicits._
+    val in = MemoryStream[Ev](10, spark, None)
+    in.addData(allEvents)
+    val got = runToEnd(StreamOps.signupPurchaseJoin(in.toDF()),
+      "t_ssjoin", OutputMode.Append())
+      .collect().map(_.toString).sorted
+    val ev = allEvents.toDF()
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id"), col("value"))
+    val batch = purchases.join(signups,
+        expr("""user_id = s_user
+                AND purchase_ts >= signup_ts
+                AND purchase_ts <= signup_ts + INTERVAL 2 HOURS"""))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+      .collect().map(_.toString).sorted
+    assert(got.length == batch.length && got.sameElements(batch))
+    assert(batch.nonEmpty, "fixture should contain matching pairs")
+  }
 }
