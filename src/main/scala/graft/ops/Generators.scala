@@ -58,5 +58,33 @@ object Generators extends OpModule {
       FROM documents
       GROUP BY lang"""))
 
-  override def ops: Seq[Op] = Seq(explodeTokens, pivotLang)
+  /** Top-20 token trigrams via the CUSTOM Generator UDTF
+    * (graft.ext.NGramsGenerator, registered as `ngrams`) — puts the
+    * custom generator itself under the driver's oracle gate; the
+    * DuckDB side builds the same trigrams with a list comprehension. */
+  val ngramTop = Op(
+    "ngram_top",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(expr("ngrams(toks, 3)"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+    Some("""
+      SELECT g AS ngram, COUNT(*) AS n
+      FROM (
+        SELECT unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                       FOR i IN range(0, len(toks) - 2)]) AS g
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3)
+      GROUP BY g
+      ORDER BY n DESC, g
+      LIMIT 20"""))
+
+  override def ops: Seq[Op] = Seq(explodeTokens, pivotLang, ngramTop)
 }
