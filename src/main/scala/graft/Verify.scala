@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // native extensions (dot_f/ngrams/kmv_distinct + the dot-product
+      // and window-top-k rewrite rules) active in the main path
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       // events.ts is Parquet TIMESTAMP(NANOS); Spark 4 needs this to
       // read it at all (FIXTURES.md:85-91).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,9 +39,10 @@ class RewriteRuleSpec extends AnyFunSuite {
       assert(optimized.contains("dot_f"), optimized.take(800))
       assert(!optimized.contains("aggregate("), optimized.take(800))
     }
-    // without the rule the lambda tree survives
+    // the rule is also injected session-wide via GraftExtensions, so
+    // the plain session rewrites too — assert that path as well
     val plain = scored.queryExecution.optimizedPlan.toString
-    assert(!plain.contains("dot_f"))
+    assert(plain.contains("dot_f"))
   }
 
   test("rewritten query returns identical results") {
