@@ -37,19 +37,18 @@ object Graft {
   // ---- GA composites ----
 
   /** Gap-based sessionization: appends `session_id` (per-user ordinal)
-    * to an event frame. One shuffle on `userCol`. */
+    * to an event frame. One shuffle on `userCol`. Gaps compare at
+    * MICROSECOND precision (unix_micros), matching the oracle-verified
+    * sessionize query — casting a timestamp to long would truncate to
+    * seconds and merge sessions whose gap is within 1s of the
+    * threshold. `tieBreak` columns extend the event-time ordering so
+    * equal-timestamp events sessionize deterministically. */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-      gapMinutes: Int = 30): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    events
-      .withColumn("_prev", lag(col(tsCol), 1).over(w))
-      .withColumn("_new", when(col("_prev").isNull ||
-        col(tsCol).cast("long") - col("_prev").cast("long") >
-          gapMinutes * 60L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("_new")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop("_prev", "_new")
-  }
+      gapMinutes: Int = 30, tieBreak: Seq[String] = Nil): DataFrame =
+    graft.ga.GaSessions.addSessionId(events, col(userCol),
+      unix_micros(col(tsCol)),
+      unix_micros(col(tsCol)) +: tieBreak.map(col),
+      gapMinutes * 60L * 1000000L, "session_id")
 
   /** As-of join: for each left row, the single most recent right row
     * with rightTime <= leftTime, per key. Implemented as the
@@ -59,15 +58,24 @@ object Graft {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
     val l = left.withColumn("_lid", monotonically_increasing_id())
-    val matched = l.join(right,
-        l(key) === right(key) && right(rightTime) <= l(leftTime))
+    // right columns that collide with left names (the common
+    // trades.ts / quotes.ts shape) are suffixed `_r` in the output —
+    // otherwise the post-join frame has ambiguous references and the
+    // matched/unmatched union is ill-formed
+    val collisions = right.columns.toSet
+      .intersect(left.columns.toSet) - key
+    val r = collisions.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, c + "_r"))
+    val rtName = if (collisions(rightTime)) rightTime + "_r" else rightTime
+    val matched = l.join(r,
+        l(key) === r(key) && r(rtName) <= l(leftTime))
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_lid")).orderBy(col(rightTime).desc)))
+        Window.partitionBy(col("_lid")).orderBy(col(rtName).desc)))
       .filter(col("_rn") === 1)
       .drop("_rn")
-      .drop(right(key))
-    val unmatched = l.join(right,
-      l(key) === right(key) && right(rightTime) <= l(leftTime),
+      .drop(r(key))
+    val unmatched = l.join(r,
+      l(key) === r(key) && r(rtName) <= l(leftTime),
       "left_anti")
     matched.unionByName(unmatched, allowMissingColumns = true)
       .drop("_lid")

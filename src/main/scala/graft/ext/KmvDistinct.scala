@@ -65,7 +65,10 @@ case class KmvDistinct(
 
   private def add(buf: mutable.TreeSet[Long], u: Long): Unit = {
     if (buf.size < k) buf += u
-    else if (u < buf.max) { buf -= buf.max; buf += u }
+    // evict only for a hash NOT already kept: a duplicate arriving
+    // while full must be a no-op, else `buf += u` dedups and the
+    // eviction silently shrinks the k-smallest set (undercounting)
+    else if (u < buf.max && !buf.contains(u)) { buf -= buf.max; buf += u }
   }
 
   override def eval(buf: mutable.TreeSet[Long]): Any =

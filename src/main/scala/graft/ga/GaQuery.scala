@@ -79,18 +79,9 @@ final case class GaQuery(
     // on user_id, same as sessionize
     val needsSessions = sessionSegment.isDefined ||
       mets.exists(_._1 == GaMetrics.SessionsKey)
-    val base = if (!needsSessions) raw else {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      raw
-        .withColumn("_prev", lag(col("us"), 1).over(w))
-        .withColumn("_new", when(col("_prev").isNull ||
-          col("us") - col("_prev") > 1800L * 1000000L, 1L).otherwise(0L))
-        .withColumn("_sid", sum(col("_new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .drop("_prev", "_new")
-    }
+    val base = if (!needsSessions) raw else
+      GaSessions.addSessionId(raw, col("user_id"), col("us"),
+        Seq(col("us"), col("event_id")), 1800L * 1000000L, "_sid")
 
     var df = base
     startUs.foreach(lo => df = df.filter(col("us") >= lo))
@@ -98,7 +89,9 @@ final case class GaQuery(
     rowFilters.foreach(c => df = df.filter(c))
 
     userSegment.foreach { cond =>
-      val segUsers = base.filter(cond).select(col("user_id")).distinct()
+      // derive from `raw`, not `base`: a user-scope segment never
+      // references _sid, so it must not pay the sessionization window
+      val segUsers = raw.filter(cond).select(col("user_id")).distinct()
       df = df.join(segUsers, Seq("user_id"), "left_semi")
     }
 

@@ -87,6 +87,8 @@ object MultimodalOps extends OpModule {
     media
       .withColumn("n_frames",
         ceil(col("n_bytes").cast("double") / chunkBytes).cast("int"))
+      // empty payloads have zero frames; sequence(0, -1) would throw
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("media_type"), col("content"),
         explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_id"))
       .select(col("doc_id"), col("media_type"), col("frame_id"),

@@ -44,7 +44,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
               WindowSpecDefinition(partitionSpec, orderSpec, _)), _)),
             partitionSpec2, orderSpec2, child, _)
             if partitionSpec == partitionSpec2 && orderSpec == orderSpec2 &&
-              orderSpec.nonEmpty =>
+              orderSpec.nonEmpty && partitionSpec.nonEmpty =>
+          // partitionSpec.nonEmpty: a GLOBAL row_number top-k has no
+          // clustering keys — ClusteredDistribution(Nil) is rejected at
+          // planning, and Spark's TakeOrderedAndProject already handles
+          // that shape; leave it to the stock planner
           // Spark's InferWindowGroupLimit may already have inserted its
           // own group-limit below the window; strip it — TopKPerKeyExec
           // subsumes it and, unlike it, needs no sorted input

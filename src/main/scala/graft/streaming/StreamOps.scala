@@ -24,6 +24,9 @@ object StreamOps {
   /** The events table replayed as a file-based stream (schema fixed
     * from the batch read; ns epoch -> µs timestamp like Tables.events). */
   def replay(spark: SparkSession, sfDir: String): DataFrame = {
+    // events.ts is Parquet TIMESTAMP(NANOS) — same defensive conf as
+    // Tables.events, so replay works in any session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     spark.readStream
       .schema(schema)

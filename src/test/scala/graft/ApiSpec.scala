@@ -134,4 +134,17 @@ class ApiSpec extends AnyFunSuite {
     }
     assert(badSort.getMessage.contains("nope"))
   }
+
+  test("asofJoin works when both sides name the time column identically") {
+    import spark.implicits._
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq((1L, 90L, 9.5), (1L, 150L, 9.7))
+      .toDF("sym", "ts", "px")
+    val out = Graft.asofJoin(trades, quotes, "sym", "ts", "ts")
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("t1") == 9.5)
+    assert(out("t2") == 9.7)
+  }
 }

@@ -91,4 +91,20 @@ class MultimodalSpec extends AnyFunSuite {
       .groupBy("media_type", "lang").agg(count(lit(1)).as("n"))
     assert(joined.collect().map(_.getLong(2)).sum == media.count())
   }
+
+  test("sampleFrames emits zero frames for empty payloads (regression)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media_type", StringType),
+      StructField("content", BinaryType), StructField("n_bytes", LongType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", Array.emptyByteArray, 0L),
+      Row(2L, "image", Array.fill[Byte](150)(7), 150L))
+    val df = spark.createDataFrame(rows, schema)
+    val frames = MultimodalOps.sampleFrames(df, chunkBytes = 100, stride = 1)
+      .collect()
+    assert(frames.forall(_.getLong(0) == 2L))
+    assert(frames.length == 2) // ceil(150/100) = 2 frames, stride 1
+  }
 }

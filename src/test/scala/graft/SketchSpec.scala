@@ -65,4 +65,23 @@ class SketchSpec extends AnyFunSuite {
     assert(total == exactTotal) // 15 users at sf0.001 — far below k
     perDay.foreach(r => assert(r.getLong(1) <= total))
   }
+
+  test("kmv_distinct survives heavy duplication (regression: dup eviction)") {
+    import spark.implicits._
+    // 500 distinct keys, each repeated 200 times, shuffled across
+    // partitions: with k=256 < distinct count, every partition streams
+    // duplicates into a full buffer — the old eviction bug shrank the
+    // k-smallest set on each duplicate and undercounted badly
+    val df = (0 until 100000).map(i => i % 500).toDF("k").repartition(16)
+    df.createOrReplaceTempView("dup_kmv")
+    val approx = spark.sql("SELECT kmv_distinct(k, 256) FROM dup_kmv")
+      .collect().head.getLong(0)
+    assert(math.abs(approx - 500).toDouble / 500 < 0.15,
+      s"approx $approx vs exact 500")
+    // and duplication must not change the estimate at all vs distinct input
+    (0 until 500).toDF("k").createOrReplaceTempView("uniq_kmv")
+    val uniq = spark.sql("SELECT kmv_distinct(k, 256) FROM uniq_kmv")
+      .collect().head.getLong(0)
+    assert(approx == uniq, s"dup input $approx != distinct input $uniq")
+  }
 }

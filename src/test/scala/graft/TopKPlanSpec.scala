@@ -104,4 +104,15 @@ class TopKPlanSpec extends AnyFunSuite {
       assert(rows.map(r => (r.getLong(0), r.getInt(2))).distinct.length == rows.length)
     }
   }
+
+  test("global (unpartitioned) row_number top-k is NOT rewritten and still runs") {
+    withTopK {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = Tables(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val rows = df.collect() // must not crash at planning
+      assert(rows.length == 5)
+      assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    }
+  }
 }
