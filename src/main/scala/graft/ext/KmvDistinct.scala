@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.types.{DataType, LongType}
 
 import java.nio.ByteBuffer
@@ -34,8 +34,6 @@ case class KmvDistinct(
 
   require(k >= 16, s"k must be >= 16, got $k")
 
-  private lazy val hasher = XxHash64(Seq(child), 42L)
-
   override def children: Seq[Expression] = Seq(child)
 
   override def nullable: Boolean = false
@@ -49,11 +47,13 @@ case class KmvDistinct(
 
   override def update(buf: mutable.TreeSet[Long],
       input: InternalRow): mutable.TreeSet[Long] = {
-    val v = child.eval(input)
+    // evaluate the child ONCE and hash the value directly (hashing
+    // via an XxHash64 expression would re-evaluate the child);
     // buffer stores sign-flipped hashes so Long ordering = unsigned
-    // ordering; flip exactly once, here
+    // ordering — flip exactly once, here
+    val v = child.eval(input)
     if (v != null)
-      add(buf, hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue)
+      add(buf, XxHash64Function.hash(v, child.dataType, 42L) ^ Long.MinValue)
     buf
   }
 

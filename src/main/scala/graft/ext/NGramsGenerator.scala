@@ -49,12 +49,17 @@ case class NGramsGenerator(child: Expression, n: Int)
       i += 1
     }
     (0 to toks.length - n).iterator.map { j =>
-      val gram = UTF8String.concatWs(UTF8String.fromString(" "),
-        toks.slice(j, j + n).toIndexedSeq: _*)
+      val window = java.util.Arrays.copyOfRange(toks, j, j + n)
+      val gram = UTF8String.concatWs(NGramsGenerator.Space,
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(window): _*)
       InternalRow(gram)
     }
   }
 
   override protected def withNewChildInternal(newChild: Expression): NGramsGenerator =
     copy(child = newChild)
+}
+
+object NGramsGenerator {
+  private val Space = UTF8String.fromString(" ")
 }

@@ -57,10 +57,15 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Exact +0.0 only: a -0.0 seed yields -0.0 on empty arrays under
+    * the lambda tree but +0.0 from dot_f, so rewriting it would not
+    * be bit-preserving (cooperative == cannot tell them apart). */
   private def isZero(e: Expression): Boolean = e match {
-    case Literal(0.0, DoubleType) => true
+    case Literal(d: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(d) == 0L
     case c: Cast if c.dataType == DoubleType => isZero(c.child)
-    case Literal(v, _) => v == 0.0 || v == 0
+    case Literal(v: Int, _) => v == 0
+    case Literal(v: Long, _) => v == 0L
     case _ => false
   }
 

@@ -71,6 +71,10 @@ case class TopKPerKeyExec(
     val keysLocal = keys
     val childOutput = child.output
     val rankIsLong = rankAttr.dataType == LongType
+    // hoist the output attributes so the task closure captures only
+    // locals — referencing the `output` method inside mapPartitions
+    // would capture `this` (the whole plan subtree) per task
+    val outAttrs = output
     child.execute().mapPartitions({ iter =>
       val ordering = RowOrdering.create(orderLocal, childOutput)
       val keyProj = GenerateUnsafeProjection.generate(keysLocal, childOutput)
@@ -95,7 +99,9 @@ case class TopKPerKeyExec(
       }
       // downstream operators require UnsafeRow; convert on emit
       val outProj = GenerateUnsafeProjection.generate(
-        output.map(a => BoundReference(output.indexOf(a), a.dataType, a.nullable)))
+        outAttrs.zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable)
+        })
       heaps.valuesIterator.flatMap { heap =>
         val rows = heap.dequeueAll.reverse // ascending sort order
         rows.iterator.zipWithIndex.map { case (r, i) =>

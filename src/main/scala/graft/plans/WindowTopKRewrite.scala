@@ -20,18 +20,25 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
-  /** rn <= k / rn < k / k >= rn / k > rn → max rank to keep. */
+  /** rn <= k / rn < k / k >= rn / k > rn → max rank to keep.
+    * Bounds-checked: out-of-Int-range longs and the Int.MinValue - 1
+    * decrement must not wrap (a wrapped k would turn an always-false
+    * filter into keep-everything); non-positive k falls through to
+    * the stock plan via the caller's k > 0 guard. */
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = {
     def lit(e: Expression): Option[Int] = e match {
       case Literal(v: Int, IntegerType) => Some(v)
-      case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+      case Literal(v: Long, LongType)
+          if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
       case _ => None
     }
+    def litMinusOne(e: Expression): Option[Int] =
+      lit(e).flatMap(v => if (v == Int.MinValue) None else Some(v - 1))
     cond match {
       case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rn) => lit(l)
-      case LessThan(a: Attribute, l) if a.semanticEquals(rn) => lit(l).map(_ - 1)
+      case LessThan(a: Attribute, l) if a.semanticEquals(rn) => litMinusOne(l)
       case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rn) => lit(l)
-      case GreaterThan(l, a: Attribute) if a.semanticEquals(rn) => lit(l).map(_ - 1)
+      case GreaterThan(l, a: Attribute) if a.semanticEquals(rn) => litMinusOne(l)
       case _ => None
     }
   }

@@ -27,13 +27,18 @@ object StreamOps {
     // events.ts is Parquet TIMESTAMP(NANOS) — same defensive conf as
     // Tables.events, so replay works in any session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      // file source requires a directory; glob-filter to the events table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source wants a directory: when events.parquet is
+    // itself a directory of part files stream it directly; when it is
+    // a single file (the fixture layout), stream the parent with a
+    // basename glob — a glob against a directory layout would match
+    // nothing and silently yield an empty stream
+    val reader = spark.readStream.schema(schema)
+    val stream =
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour counts per event_type, 10-minute watermark —
