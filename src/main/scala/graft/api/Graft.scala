@@ -70,7 +70,13 @@ object Graft {
     val matched = l.join(r,
         l(key) === r(key) && r(rtName) <= l(leftTime))
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_lid")).orderBy(col(rtName).desc)))
+        // tie-break over the remaining right columns (all unique names
+        // after the _r suffixing) so equal-timestamp right rows pick a
+        // deterministic winner
+        Window.partitionBy(col("_lid")).orderBy(
+          col(rtName).desc +:
+            r.columns.filterNot(c => c == key || c == rtName)
+              .toIndexedSeq.map(c => col(c).asc): _*)))
       .filter(col("_rn") === 1)
       .drop("_rn")
       .drop(r(key))
@@ -85,12 +91,18 @@ object Graft {
     * distinct users). */
   def cohortRetention(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
+    // both the cohort label and the offset use the SAME epoch-week
+    // bucketing (us div week), matching the oracle-verified
+    // cohort_retention query — mixing calendar weeks with
+    // days-since-first/7 would misalign cells for users whose first
+    // event falls mid-week
+    val weekUs = 604800000000L
     val first = events.groupBy(col(userCol))
-      .agg(min(col(tsCol)).as("_first"))
+      .agg(min(unix_micros(col(tsCol))).as("_first_us"))
     events.join(first, userCol)
-      .withColumn("cohort_week", date_trunc("week", col("_first")))
+      .withColumn("cohort_week", expr(s"_first_us div $weekUs"))
       .withColumn("week_offset",
-        floor(datediff(col(tsCol), col("_first")) / 7).cast("int"))
+        expr(s"unix_micros($tsCol) div $weekUs") - col("cohort_week"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
@@ -122,7 +134,11 @@ object Graft {
     * ratio) for corpus filtering. */
   def qualityScore(df: DataFrame, textCol: String,
       stopwords: Seq[String] = Seq("a", "the")): DataFrame = {
-    val stopPred = stopwords.map(w => s"x = '$w'").mkString(" or ")
+    require(stopwords.nonEmpty, "qualityScore needs at least one stopword")
+    // escape quotes/backslashes: the predicate is spliced into SQL text
+    def esc(w: String): String =
+      w.replace("\\", "\\\\").replace("'", "\\'")
+    val stopPred = stopwords.map(w => s"x = '${esc(w)}'").mkString(" or ")
     df.withColumn("n_tokens", size(split(col(textCol), " ")))
       .withColumn("_stop",
         expr(s"size(filter(split($textCol, ' '), x -> $stopPred))"))
@@ -134,7 +150,8 @@ object Graft {
       .drop("_stop")
   }
 
-  /** Distinct token n-grams per row via the native generator. */
+  /** Token n-grams per row via the native generator (one row per
+    * OCCURRENCE — apply .distinct() downstream for set semantics). */
   def ngrams(df: DataFrame, textCol: String, n: Int,
       idCol: String): DataFrame = {
     register(df.sparkSession)

@@ -120,6 +120,9 @@ final case class GaQuery(
     sortDescKey.foreach { k =>
       out = out.orderBy(col(k).desc +: dims.map(x => col(x._1).asc): _*)
     }
+    require(startIndex == 0 || sortDescKey.isDefined,
+      "startAt requires sortDesc: paging an unordered report returns " +
+        "arbitrary, unstable pages")
     if (startIndex > 0) out = out.offset(startIndex)
     maxRows.foreach(n => out = out.limit(n))
     out

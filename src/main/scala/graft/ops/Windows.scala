@@ -94,13 +94,10 @@ object Windows extends OpModule {
   val topkPerKey = Op(
     "topk_per_key",
     (s, d) => {
-      import graft.plans.{TopKPerKeyStrategy, WindowTopKRewrite}
-      if (!s.experimental.extraOptimizations.contains(WindowTopKRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ WindowTopKRewrite
-      if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ TopKPerKeyStrategy
+      // the rewrite + strategy load via spark.sql.extensions
+      // (GraftExtensions) in Verify/Bench/test sessions; on a session
+      // without them the idiom below still runs correctly through the
+      // stock Window plan — never mutate shared session state here
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables(s, d, "orders")

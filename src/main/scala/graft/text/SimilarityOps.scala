@@ -150,7 +150,8 @@ object SimilarityOps extends OpModule {
       FROM inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2"""))
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+              >= 0.2"""))
 
   /** Heuristic language ID from stopword-marker counts (n-gram
     * heuristic family): argmax over per-language marker hit counts

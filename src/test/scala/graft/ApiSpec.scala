@@ -147,4 +147,25 @@ class ApiSpec extends AnyFunSuite {
     assert(out("t1") == 9.5)
     assert(out("t2") == 9.7)
   }
+
+  test("Graft.cohortRetention equals the declared cohort_retention cells") {
+    val api = Graft.cohortRetention(Tables.events(spark, sfDir), "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val declared = q("cohort_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(api.sameElements(declared))
+  }
+
+  test("asofJoin picks a deterministic winner among equal-timestamp rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "p")
+    val right = Seq((1L, 90L, "z-state"), (1L, 90L, "a-state"))
+      .toDF("k", "rt", "s")
+    val winners = (1 to 3).map { _ =>
+      Graft.asofJoin(left, right, "k", "t", "rt")
+        .select("s").collect().head.getString(0)
+    }
+    assert(winners.distinct.length == 1)
+    assert(winners.head == "a-state") // tie-break: remaining cols asc
+  }
 }
