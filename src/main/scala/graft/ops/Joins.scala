@@ -166,7 +166,60 @@ object Joins extends OpModule {
       SELECT event_id, user_id, us AS purchase_us, last_signup_us
       FROM sp WHERE event_type = 'purchase'"""))
 
+  /** Full outer: per-nation rich-customer counts vs supplier counts —
+    * either side may miss a nation, both are kept with null-coalesced
+    * counts. */
+  val joinFull = Op(
+    "join_full",
+    (s, d) => {
+      val rich = Tables(s, d, "customer")
+        .filter(col("c_acctbal") > 9000.0)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_rich"))
+      val sup = Tables(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_sup"))
+      rich.join(sup, rich("nk") === sup("nk2"), "full_outer")
+        .select(
+          coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+          coalesce(col("n_sup"), lit(0L)).as("n_sup"))
+    },
+    Some("""
+      WITH rich AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_rich
+        FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1),
+      sup AS (
+        SELECT s_nationkey AS nk2, COUNT(*) AS n_sup
+        FROM supplier GROUP BY 1)
+      SELECT COALESCE(nk, nk2) AS nationkey,
+             COALESCE(n_rich, 0) AS n_rich,
+             COALESCE(n_sup, 0) AS n_sup
+      FROM rich FULL OUTER JOIN sup ON nk = nk2"""))
+
+  /** Scalar-subquery pattern (orders above the global average price):
+    * the 1-row aggregate broadcasts and the comparison stays in the
+    * scan stage — the decorrelated form Catalyst produces for
+    * `WHERE x > (SELECT AVG(...))`. */
+  val joinScalarSub = Op(
+    "above_avg",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val avgPrice = od.agg(avg(col("o_totalprice")).as("avg_price"))
+      od.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"),
+          round(min(col("o_totalprice")), 2).as("min_above"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_above,
+             ROUND(MIN(o_totalprice), 2) AS min_above
+      FROM orders
+      WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+      GROUP BY o_orderpriority"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
-      joinTheta, joinAsof)
+      joinTheta, joinAsof, joinFull, joinScalarSub)
 }
