@@ -37,5 +37,42 @@ object Sets extends OpModule {
     (s, d) => segRich(s, d).except(segBuilding(s, d)),
     Some(s"$richSql EXCEPT $bldgSql"))
 
-  override def ops: Seq[Op] = Seq(setUnion, setIntersect, setExcept)
+  /** Multiset (ALL) variants over nation keys, which repeat per
+    * customer/supplier — duplicates carry multiplicity through
+    * UNION/INTERSECT/EXCEPT ALL; aggregated to per-key counts so the
+    * declared output is a deterministic set. */
+  private val custNk = "SELECT c_nationkey AS nk FROM customer"
+  private val suppNk = "SELECT s_nationkey AS nk FROM supplier"
+
+  private def nkCust(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "customer").select(col("c_nationkey").as("nk"))
+  private def nkSupp(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "supplier").select(col("s_nationkey").as("nk"))
+
+  val setUnionAll = Op(
+    "set_union_all",
+    (s, d) => nkCust(s, d).unionAll(nkSupp(s, d))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n")),
+    Some(s"""
+      SELECT nk, COUNT(*) AS n
+      FROM ($custNk UNION ALL $suppNk) GROUP BY nk"""))
+
+  val setIntersectAll = Op(
+    "set_intersect_all",
+    (s, d) => nkCust(s, d).intersectAll(nkSupp(s, d))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n")),
+    Some(s"""
+      SELECT nk, COUNT(*) AS n
+      FROM ($custNk INTERSECT ALL $suppNk) GROUP BY nk"""))
+
+  val setExceptAll = Op(
+    "set_except_all",
+    (s, d) => nkCust(s, d).exceptAll(nkSupp(s, d))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n")),
+    Some(s"""
+      SELECT nk, COUNT(*) AS n
+      FROM ($custNk EXCEPT ALL $suppNk) GROUP BY nk"""))
+
+  override def ops: Seq[Op] = Seq(setUnion, setIntersect, setExcept,
+    setUnionAll, setIntersectAll, setExceptAll)
 }

@@ -145,4 +145,20 @@ class RelationalSpec extends AnyFunSuite {
       .select("o_orderkey").collect().map(_.getLong(0)).sorted
     assert(!s1.sameElements(s3), "different seeds should differ")
   }
+
+  test("multiset algebra: per-key UNION ALL = a+b; EXCEPT ALL + INTERSECT ALL = a") {
+    val ua = q("set_union_all").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ia = q("set_intersect_all").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ea = q("set_except_all").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = Tables(spark, sfDir, "customer").groupBy(col("c_nationkey"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = Tables(spark, sfDir, "supplier").groupBy(col("s_nationkey"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for (k <- ua.keySet) {
+      assert(ua(k) == a.getOrElse(k, 0L) + b.getOrElse(k, 0L))
+      assert(ea.getOrElse(k, 0L) + ia.getOrElse(k, 0L) == a.getOrElse(k, 0L))
+      assert(ia.getOrElse(k, 0L) ==
+        math.min(a.getOrElse(k, 0L), b.getOrElse(k, 0L)))
+    }
+  }
 }
