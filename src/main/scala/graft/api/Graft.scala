@@ -16,6 +16,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Graft {
 
+  /** Collision-free internal column name: `base` if unused in `taken`,
+    * else the first `base1`, `base2`, ... that is — user frames with
+    * columns named like our temporaries must not be corrupted. */
+  private def fresh(base: String, taken: Set[String]): String =
+    if (!taken(base)) base
+    else Iterator.from(1).map(i => s"$base$i").find(n => !taken(n)).get
+
   /** Entry point mirroring the reference's report query facade. */
   def query(): GaQuery = GaQuery()
 
@@ -57,34 +64,44 @@ object Graft {
     * smaller (dimension/state) table. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
-    val l = left.withColumn("_lid", monotonically_increasing_id())
+    // all internal names derived collision-free from BOTH schemas — a
+    // user column named _lid/_rn/<col>_r must survive unchanged
+    var taken = left.columns.toSet ++ right.columns.toSet
+    val lid = fresh("_lid", taken); taken += lid
+    val rnCol = fresh("_rn", taken); taken += rnCol
+    val l = left.withColumn(lid, monotonically_increasing_id())
     // right columns that collide with left names (the common
     // trades.ts / quotes.ts shape) are suffixed `_r` in the output —
     // otherwise the post-join frame has ambiguous references and the
     // matched/unmatched union is ill-formed
     val collisions = right.columns.toSet
       .intersect(left.columns.toSet) - key
-    val r = collisions.foldLeft(right)((df, c) =>
-      df.withColumnRenamed(c, c + "_r"))
-    val rtName = if (collisions(rightTime)) rightTime + "_r" else rightTime
+    val renames = right.columns.filter(collisions).map { c =>
+      val n = fresh(c + "_r", taken); taken += n
+      c -> n
+    }.toMap
+    val r = renames.foldLeft(right) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    val rtName = renames.getOrElse(rightTime, rightTime)
     val matched = l.join(r,
         l(key) === r(key) && r(rtName) <= l(leftTime))
-      .withColumn("_rn", row_number().over(
+      .withColumn(rnCol, row_number().over(
         // tie-break over the remaining right columns (all unique names
         // after the _r suffixing) so equal-timestamp right rows pick a
         // deterministic winner
-        Window.partitionBy(col("_lid")).orderBy(
+        Window.partitionBy(col(lid)).orderBy(
           col(rtName).desc +:
             r.columns.filterNot(c => c == key || c == rtName)
               .toIndexedSeq.map(c => col(c).asc): _*)))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .filter(col(rnCol) === 1)
+      .drop(rnCol)
       .drop(r(key))
     val unmatched = l.join(r,
       l(key) === r(key) && r(rtName) <= l(leftTime),
       "left_anti")
     matched.unionByName(unmatched, allowMissingColumns = true)
-      .drop("_lid")
+      .drop(lid)
   }
 
   /** Weekly cohort retention: (cohort week start, week offset,
@@ -97,12 +114,13 @@ object Graft {
     // days-since-first/7 would misalign cells for users whose first
     // event falls mid-week
     val weekUs = 604800000000L
+    val firstUs = fresh("_first_us", events.columns.toSet)
     val first = events.groupBy(col(userCol))
-      .agg(min(unix_micros(col(tsCol))).as("_first_us"))
+      .agg(min(unix_micros(col(tsCol))).as(firstUs))
     events.join(first, userCol)
-      .withColumn("cohort_week", expr(s"_first_us div $weekUs"))
+      .withColumn("cohort_week", expr(s"`$firstUs` div $weekUs"))
       .withColumn("week_offset",
-        expr(s"unix_micros($tsCol) div $weekUs") - col("cohort_week"))
+        expr(s"unix_micros(`$tsCol`) div $weekUs") - col("cohort_week"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
@@ -112,9 +130,10 @@ object Graft {
   /** Exact dedup: keep the first row (min orderCol) per textCol hash. */
   def dedupExact(df: DataFrame, textCol: String,
       orderCol: String): DataFrame = {
+    val rn = fresh("_rn", df.columns.toSet)
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** Brute-force top-k rows by dot product against one target vector.
@@ -123,9 +142,10 @@ object Graft {
   def vectorTopK(df: DataFrame, vecCol: String, target: DataFrame,
       targetVecCol: String, k: Int, idCol: String): DataFrame = {
     register(df.sparkSession)
-    df.crossJoin(broadcast(target.select(col(targetVecCol).as("_t"))))
-      .withColumn("score", expr(s"dot_f($vecCol, _t)"))
-      .drop("_t")
+    val t = fresh("_t", df.columns.toSet)
+    df.crossJoin(broadcast(target.select(col(targetVecCol).as(t))))
+      .withColumn("score", expr(s"dot_f(`$vecCol`, `$t`)"))
+      .drop(t)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -139,15 +159,16 @@ object Graft {
     def esc(w: String): String =
       w.replace("\\", "\\\\").replace("'", "\\'")
     val stopPred = stopwords.map(w => s"x = '${esc(w)}'").mkString(" or ")
+    val stop = fresh("_stop", df.columns.toSet)
     df.withColumn("n_tokens", size(split(col(textCol), " ")))
-      .withColumn("_stop",
-        expr(s"size(filter(split($textCol, ' '), x -> $stopPred))"))
+      .withColumn(stop,
+        expr(s"size(filter(split(`$textCol`, ' '), x -> $stopPred))"))
       .withColumn("stop_ratio",
-        col("_stop").cast("double") / col("n_tokens"))
+        col(stop).cast("double") / col("n_tokens"))
       .withColumn("quality",
         least(lit(1.0), col("n_tokens").cast("double") / 60.0) *
           (lit(1.0) - col("stop_ratio")))
-      .drop("_stop")
+      .drop(stop)
   }
 
   /** Token n-grams per row via the native generator (one row per
@@ -155,8 +176,9 @@ object Graft {
   def ngrams(df: DataFrame, textCol: String, n: Int,
       idCol: String): DataFrame = {
     register(df.sparkSession)
-    df.withColumn("_toks", split(col(textCol), " "))
-      .filter(size(col("_toks")) >= n)
-      .select(col(idCol), expr(s"ngrams(_toks, $n)"))
+    val toks = fresh("_toks", df.columns.toSet)
+    df.withColumn(toks, split(col(textCol), " "))
+      .filter(size(col(toks)) >= n)
+      .select(col(idCol), expr(s"ngrams(`$toks`, $n)"))
   }
 }

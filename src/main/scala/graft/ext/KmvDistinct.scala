@@ -77,7 +77,10 @@ case class KmvDistinct(
       // k-th smallest unsigned hash mapped to (0, 1]
       val r = (buf.max.toDouble - Long.MinValue.toDouble) /
         (Long.MaxValue.toDouble - Long.MinValue.toDouble)
-      math.round((k - 1) / r)
+      // r == 0 iff the k-th smallest unsigned hash is 0 (astronomically
+      // unlikely but possible): dividing would yield Long.MaxValue.
+      // Fall back to the exact lower bound we do know: k distinct seen.
+      if (r <= 0.0) buf.size.toLong else math.round((k - 1) / r)
     }
 
   override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {

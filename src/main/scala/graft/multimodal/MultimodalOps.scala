@@ -128,7 +128,7 @@ object MultimodalOps extends OpModule {
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS media_type,
              COUNT(*) AS n_items,
-             SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
              MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
       FROM documents GROUP BY 1"""))
 

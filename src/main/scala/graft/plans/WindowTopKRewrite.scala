@@ -17,8 +17,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * window functions (rank, lag, ...) need the real sorted window.
   * Users keep writing idiomatic Spark; the optimizer swaps in the
   * operator, the same way AQE swaps join strategies.
+  *
+  * MEMORY PRECONDITION: the heap exec holds k rows per distinct key in
+  * executor memory with no spill path — per-partition footprint is
+  * O(k · distinct keys in that partition · row size). That beats the
+  * window sort whenever rows-per-key >> k (the top-N-per-entity shape
+  * this targets); for k near the per-key row count over a very high
+  * cardinality key the stock window plan's external sort is safer —
+  * disable the rewrite with `spark.graft.topkRewrite.enabled=false`
+  * (per query via `spark.conf.set`, it is read at optimization time).
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.topkRewrite.enabled"
 
   /** rn <= k / rn < k / k >= rn / k > rn → max rank to keep.
     * Bounds-checked: out-of-Int-range longs and the Int.MinValue - 1
@@ -68,7 +79,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, RowNumberWindow(rn, keys, order, child)) =>
       limitOf(cond, rn) match {
         case Some(k) if k > 0 => TopKPerKey(keys, order, k, rn, child)

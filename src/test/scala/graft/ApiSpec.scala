@@ -156,6 +156,36 @@ class ApiSpec extends AnyFunSuite {
     assert(api.sameElements(declared))
   }
 
+  test("facade internal names never collide with user columns") {
+    import spark.implicits._
+    // user frames that already use every internal temp name we splice
+    val left = Seq((1L, 100L, 7L, 9L, "keep-l"))
+      .toDF("k", "t", "_lid", "_rn", "payload")
+    val right = Seq((1L, 90L, 5L, "keep-r"))
+      .toDF("k", "rt", "_lid", "state")
+    val out = Graft.asofJoin(left, right, "k", "t", "rt")
+    // user _lid/_rn survive with their values intact; the colliding
+    // right _lid is suffixed, not overwritten
+    val row = out.collect().head
+    assert(row.getAs[Long]("_lid") == 7L)
+    assert(row.getAs[Long]("_rn") == 9L)
+    assert(row.getAs[String]("state") == "keep-r")
+    assert(out.columns.count(_.startsWith("_lid")) == 2)
+
+    val dedupIn = Seq((1L, "x", 42L), (2L, "x", 43L))
+      .toDF("id", "text", "_rn")
+    val kept = Graft.dedupExact(dedupIn, "text", "id").collect()
+    assert(kept.length == 1 && kept.head.getAs[Long]("_rn") == 42L)
+
+    val emb = Seq((1L, Array(1f, 0f), "tv"), (2L, Array(0f, 1f), "tv2"))
+      .toDF("vec_id", "embedding", "_t")
+    val target = Seq(Tuple1(Array(1f, 0f))).toDF("embedding")
+    val top = Graft.vectorTopK(emb, "embedding", target, "embedding", 1, "vec_id")
+      .collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L)
+    assert(top.head.getAs[String]("_t") == "tv") // user column preserved
+  }
+
   test("asofJoin picks a deterministic winner among equal-timestamp rows") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a")).toDF("k", "t", "p")

@@ -105,6 +105,23 @@ class TopKPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.topkRewrite.enabled=false disables the rewrite") {
+    withTopK {
+      spark.conf.set(WindowTopKRewrite.EnabledKey, "false")
+      try {
+        val df = top3PerCustomer
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("TopKPerKey"), plan.take(800))
+        assert(plan.contains("Window"), plan.take(800))
+      } finally spark.conf.unset(WindowTopKRewrite.EnabledKey)
+      // and back on again without restarting the session
+      val df2 = top3PerCustomer
+      df2.collect()
+      assert(df2.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    }
+  }
+
   test("global (unpartitioned) row_number top-k is NOT rewritten and still runs") {
     withTopK {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -58,6 +58,16 @@ def main(sf_dir, out_dir):
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             o_rel = con.sql(sql)
+            # HUGEINT survives fetchall() as a plain int (so the value
+            # compare below passes) but the driver's pandas/arrow path
+            # widens it to float64/object and hash-mismatches — flag it.
+            wide = [c for c, t in zip(o_rel.columns, o_rel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if wide:
+                print(f"FAIL {name}: oracle outputs HUGEINT column(s) "
+                      f"{wide} — CAST them (outside the aggregate)")
+                n_fail += 1
+                continue
             o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e).splitlines()[0]}")
