@@ -51,9 +51,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // the -1.0 failure sentinel must not shrink (improve) the headline
-    // total: sum only successful timings and report failures separately
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // total: any failure makes the total non-comparable against the
+    // BASELINE 2x gate, so report -1 rather than a partial (smaller,
+    // better-looking) sum
     val failed = results.count(_._2 < 0)
+    val total =
+      if (failed > 0) -1.0 else results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -58,22 +58,25 @@ object Graft {
       gapMinutes * 60L * 1000000L, "session_id")
 
   /** As-of join: for each left row, the single most recent right row
-    * with rightTime <= leftTime, per key. Implemented as the
-    * groupBy-max formulation (union trick avoided): join on key +
-    * range, keep max rightTime per left row. Right side should be the
-    * smaller (dimension/state) table. */
+    * with rightTime <= leftTime, per key (null right columns when no
+    * such row exists). Same running-window kernel as the declared
+    * `join_asof` (ops/Joins.scala): both sides union-tagged, ONE
+    * shuffle on `key`, a running `last(right_struct, ignoreNulls)`
+    * window carries O(1) state per partition row — no per-left-row
+    * fanout, no window partitioned by row id. At a trades/quotes
+    * shape this streams in time order regardless of how many right
+    * rows precede each left row. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String): DataFrame = {
     // all internal names derived collision-free from BOTH schemas — a
-    // user column named _lid/_rn/<col>_r must survive unchanged
+    // user column named _side/_ord/<col>_r must survive unchanged
     var taken = left.columns.toSet ++ right.columns.toSet
-    val lid = fresh("_lid", taken); taken += lid
-    val rnCol = fresh("_rn", taken); taken += rnCol
-    val l = left.withColumn(lid, monotonically_increasing_id())
+    val side = fresh("_side", taken); taken += side
+    val ord = fresh("_ord", taken); taken += ord
+    val rs = fresh("_rstate", taken); taken += rs
+    val rsLast = fresh("_rlast", taken); taken += rsLast
     // right columns that collide with left names (the common
-    // trades.ts / quotes.ts shape) are suffixed `_r` in the output —
-    // otherwise the post-join frame has ambiguous references and the
-    // matched/unmatched union is ill-formed
+    // trades.ts / quotes.ts shape) are suffixed `_r` in the output
     val collisions = right.columns.toSet
       .intersect(left.columns.toSet) - key
     val renames = right.columns.filter(collisions).map { c =>
@@ -84,24 +87,30 @@ object Graft {
       df.withColumnRenamed(from, to)
     }
     val rtName = renames.getOrElse(rightTime, rightTime)
-    val matched = l.join(r,
-        l(key) === r(key) && r(rtName) <= l(leftTime))
-      .withColumn(rnCol, row_number().over(
-        // tie-break over the remaining right columns (all unique names
-        // after the _r suffixing) so equal-timestamp right rows pick a
-        // deterministic winner
-        Window.partitionBy(col(lid)).orderBy(
-          col(rtName).desc +:
-            r.columns.filterNot(c => c == key || c == rtName)
-              .toIndexedSeq.map(c => col(c).asc): _*)))
-      .filter(col(rnCol) === 1)
-      .drop(rnCol)
-      .drop(r(key))
-    val unmatched = l.join(r,
-      l(key) === r(key) && r(rtName) <= l(leftTime),
-      "left_anti")
-    matched.unionByName(unmatched, allowMissingColumns = true)
-      .drop(lid)
+    val rPayload = r.columns.filterNot(_ == key).toIndexedSeq
+    // right rows carry their payload as ONE struct (null on left
+    // rows), so the running window tracks a single value
+    val rTagged = r.select(
+      col(key),
+      col(rtName).as(ord),
+      struct(rPayload.map(col): _*).as(rs),
+      lit(0).as(side))
+    val lTagged = left
+      .withColumn(ord, col(leftTime))
+      .withColumn(side, lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // order: time asc; right before left at equal time (<= semantics);
+    // among equal-time right rows the struct DESC makes last() pick the
+    // field-wise minimum — the same deterministic winner as ordering
+    // the remaining right columns ascending
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ord).asc, col(side).asc, col(rs).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(rsLast, last(col(rs), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rPayload.map(c => col(rsLast).getField(c).as(c)): _*)
   }
 
   /** Weekly cohort retention: (cohort week start, week offset,
@@ -114,13 +123,21 @@ object Graft {
     // days-since-first/7 would misalign cells for users whose first
     // event falls mid-week
     val weekUs = 604800000000L
-    val firstUs = fresh("_first_us", events.columns.toSet)
+    var taken = events.columns.toSet
+    val firstUs = fresh("_first_us", taken); taken += firstUs
+    // tsCol resolves through col() (DataFrame API), like sessionize —
+    // splicing it into SQL text with backticks would break dotted /
+    // struct-field paths. Only our own fresh top-level temporaries
+    // appear in expr() below (`div` has no Column-API equivalent).
+    val usCol = fresh("_us", taken)
     val first = events.groupBy(col(userCol))
       .agg(min(unix_micros(col(tsCol))).as(firstUs))
     events.join(first, userCol)
+      .withColumn(usCol, unix_micros(col(tsCol)))
       .withColumn("cohort_week", expr(s"`$firstUs` div $weekUs"))
       .withColumn("week_offset",
-        expr(s"unix_micros(`$tsCol`) div $weekUs") - col("cohort_week"))
+        expr(s"`$usCol` div $weekUs") - col("cohort_week"))
+      .drop(usCol)
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }

@@ -79,8 +79,24 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
       }
   }
 
+  /** Lenient kill-switch parse: only an explicit "false"/"FALSE"
+    * disables the rewrite. `String.toBoolean` would throw
+    * IllegalArgumentException for values like "1" or "off", failing
+    * the whole query at optimization time with an error that never
+    * names the offending key. */
+  private def enabled: Boolean = {
+    val raw = conf.getConfString(EnabledKey, "true")
+    if (raw.equalsIgnoreCase("true")) true
+    else if (raw.equalsIgnoreCase("false")) false
+    else {
+      logWarning(s"$EnabledKey='$raw' is not a boolean; keeping the " +
+        "rewrite enabled (set it to 'false' to disable)")
+      true
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    if (!enabled) plan
     else rewrite(plan)
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -186,6 +186,24 @@ class ApiSpec extends AnyFunSuite {
     assert(top.head.getAs[String]("_t") == "tv") // user column preserved
   }
 
+  test("asofJoin plans exactly one shuffle and no per-row window partition") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("event_id"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("st"))
+    val df = Graft.asofJoin(purchases, signups, "user_id", "pt", "st")
+    df.collect() // finalize AQE
+    // keep only the final AQE plan (toString repeats the initial plan)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles:\n${plan.take(2000)}")
+    // the window partitions by the join key, never by a generated row id
+    assert(!plan.contains("monotonically_increasing_id"), plan.take(2000))
+  }
+
   test("asofJoin picks a deterministic winner among equal-timestamp rows") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a")).toDF("k", "t", "p")

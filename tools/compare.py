@@ -61,8 +61,10 @@ def main(sf_dir, out_dir):
             # HUGEINT survives fetchall() as a plain int (so the value
             # compare below passes) but the driver's pandas/arrow path
             # widens it to float64/object and hash-mismatches — flag it.
+            # substring match: a HUGEINT nested in LIST/STRUCT (str like
+            # "HUGEINT[]") breaks the driver's arrow path just the same
             wide = [c for c, t in zip(o_rel.columns, o_rel.types)
-                    if str(t) in ("HUGEINT", "UHUGEINT")]
+                    if "HUGEINT" in str(t)]
             if wide:
                 print(f"FAIL {name}: oracle outputs HUGEINT column(s) "
                       f"{wide} — CAST them (outside the aggregate)")
