@@ -21,9 +21,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * is the LSH/IVF variant: a deterministic sign-bit bucket key
   * prunes the candidate set before any scoring, which is exactly the
   * 100 TB move (bucket key → partition pruning / co-partitioned
-  * join). `cosine_neardup` is the all-pairs O(n²) exact join — only
-  * viable per-bucket or per-block at scale, declared here as the
-  * correctness reference for the LSH variants.
+  * join). `cosine_neardup` scores pairs within the same sign bucket
+  * (an equi-join on the bucket key — no cartesian anywhere in the
+  * module except `knn_label`'s bounded 20-row broadcast probe set).
   */
 object VectorOps extends OpModule {
 
@@ -33,6 +33,14 @@ object VectorOps extends OpModule {
     * replaces — ExtensionsSpec asserts bit-equality of the two. */
   private def dot(a: String, b: String): Column =
     expr(s"dot_f($a, $b)")
+
+  /** Deterministic sign-bit LSH bucket: bit i set iff dim i+1 > 0.
+    * Shared by `ann_bucket_topk` (probe pruning) and `cosine_neardup`
+    * (pair blocking) — the bucket is the partition key at scale. */
+  private def signBucket(c: String, bits: Int = 4): Column =
+    (0 until bits).map { i =>
+      when(element_at(col(c), i + 1) > 0.0f, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Brute-force top-10 by dot product against the vec_id=0 target. */
   val vectorTopk = Op(
@@ -108,30 +116,48 @@ object VectorOps extends OpModule {
             FROM votes)
       WHERE vr = 1"""))
 
-  /** Exact embedding-cosine near-duplicate pairs (dot ≥ 0.3, i<j) —
-    * the all-pairs correctness reference for the bucketed variant. */
+  /** Embedding-cosine near-duplicate pairs (dot ≥ 0.3, i<j), blocked
+    * by the sign-bit LSH bucket: pairs are scored only WITHIN a
+    * bucket, so the join is an equi-join on the bucket key — never an
+    * unbounded cartesian. This is the production near-dup shape (cf.
+    * SimHash/MinHash banding): at 100 TB the bucket key (with more
+    * bits) is the shuffle/partition key and per-bucket pair counts
+    * bound the fan-out; cross-bucket pairs are sacrificed recall, the
+    * standard LSH trade. The oracle runs the identical blocked
+    * semantics; exact all-pairs scoring stays available per-block via
+    * `vector_topk`'s brute-force kernel on a bounded slice. */
   val cosineNeardup = Op(
     "cosine_neardup",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      val a = Tables(s, d, "embeddings")
-        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = Tables(s, d, "embeddings")
-        .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
+      val emb = Tables(s, d, "embeddings")
+        .withColumn("bucket", signBucket("embedding"))
+      val a = emb.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("bucket"))
+      val b = emb.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("bucket").as("bucket_b"))
+      a.join(b, col("bucket") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
         .withColumn("score", round(dot("emb_a", "emb_b"), 4))
         .filter(col("score") >= 0.3)
         .select(col("id_a"), col("id_b"), col("score"))
     },
     Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+              + CASE WHEN CAST(embedding[3] AS DOUBLE) > 0 THEN 4 ELSE 0 END
+              + CASE WHEN CAST(embedding[4] AS DOUBLE) > 0 THEN 8 ELSE 0 END)
+                 AS bucket
+        FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 4)
                AS score
-      FROM embeddings a, embeddings b
-      WHERE a.vec_id < b.vec_id
-        AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      FROM e a JOIN e b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 4) >= 0.3"""))
 
   /** LSH-bucketed ANN: deterministic 4-bit sign-hash bucket
@@ -142,12 +168,8 @@ object VectorOps extends OpModule {
     "ann_bucket_topk",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      def bucket(c: String): Column =
-        (0 to 3).map { i =>
-          when(element_at(col(c), i + 1) > 0.0f, lit(1 << i)).otherwise(lit(0))
-        }.reduce(_ + _)
       val emb = Tables(s, d, "embeddings")
-        .withColumn("bucket", bucket("embedding"))
+        .withColumn("bucket", signBucket("embedding"))
       val target = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("t_emb"), col("bucket").as("t_bucket"))
       emb.join(broadcast(target), col("bucket") === col("t_bucket"))

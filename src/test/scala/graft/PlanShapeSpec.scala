@@ -67,6 +67,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan.take(800))
   }
 
+  test("cosine_neardup joins on the bucket key, never a cartesian") {
+    val plan = executedPlan(q("cosine_neardup"))
+    assert(!plan.contains("CartesianProduct"),
+      s"unbounded cartesian in near-dup plan:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in near-dup plan:\n${plan.take(1500)}")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
