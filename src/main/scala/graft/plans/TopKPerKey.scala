@@ -1,5 +1,8 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -43,11 +46,25 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
+object TopKPerKeyExec {
+  /** Max distinct keys whose heaps are held in memory per partition.
+    * Above the threshold the heap map is spilled to local disk as a
+    * key-sorted run and merged at emission time, so per-partition
+    * memory is bounded at O(maxKeys · k · rowSize) no matter the key
+    * cardinality (a per-row-unique key degrades to external merge
+    * instead of OOM, where stock Spark's window would sort-spill). */
+  val MaxKeysKey = "spark.graft.topkRewrite.maxKeysPerPartition"
+  val DefaultMaxKeys: Int = 4 * 1024 * 1024
+}
+
 /** Physical per-key bounded-heap top-k. Requires clustering on the
   * keys (the planner inserts the hash exchange exactly as it would
   * for the window); inside each partition a max-heap per key holds
   * the current best k rows, and output is emitted per key in sort
-  * order with the 1-based rank appended. */
+  * order with the 1-based rank appended. When the number of distinct
+  * keys in a partition exceeds [[TopKPerKeyExec.MaxKeysKey]], heaps
+  * spill to local disk as key-sorted runs (each key's candidates
+  * already reduced to ≤ k rows) and are k-way merged on emission. */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -75,20 +92,98 @@ case class TopKPerKeyExec(
     // locals — referencing the `output` method inside mapPartitions
     // would capture `this` (the whole plan subtree) per task
     val outAttrs = output
+    // spill threshold resolved on the driver at execution time
+    val maxKeys = {
+      val raw = conf.getConfString(TopKPerKeyExec.MaxKeysKey,
+        TopKPerKeyExec.DefaultMaxKeys.toString)
+      try math.max(1, raw.trim.toInt)
+      catch { case _: NumberFormatException => TopKPerKeyExec.DefaultMaxKeys }
+    }
     child.execute().mapPartitions({ iter =>
       val ordering = RowOrdering.create(orderLocal, childOutput)
+      val heapOrd = ordering.asInstanceOf[Ordering[UnsafeRow]]
       val keyProj = GenerateUnsafeProjection.generate(keysLocal, childOutput)
       // max-heap per key: head = worst of the current best k
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      val spills = mutable.ArrayBuffer.empty[File]
+      Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        spills.foreach(f => { f.delete(); () })
+      })
+
+      // grouping order across runs: unsigned lexicographic key bytes.
+      // Equal key VALUES have equal UnsafeRow bytes (same projection
+      // schema — the property hash exchanges already rely on), so any
+      // consistent total order groups them; semantic order not needed.
+      def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val x = (a(i) & 0xff) - (b(i) & 0xff)
+          if (x != 0) return x
+          i += 1
+        }
+        a.length - b.length
+      }
+
+      // drain the heap map to a key-sorted run on local disk:
+      // [keyLen, keyBytes, nRows, (rowLen, rowBytes)*] per key
+      def spillHeaps(): Unit = {
+        val f = File.createTempFile("graft-topk-spill-", ".bin")
+        spills += f
+        val out = new DataOutputStream(new BufferedOutputStream(
+          new FileOutputStream(f), 1 << 16))
+        try {
+          heaps.toArray.sortWith((x, y) =>
+            compareBytes(x._1.getBytes, y._1.getBytes) < 0)
+            .foreach { case (key, heap) =>
+              val kb = key.getBytes
+              out.writeInt(kb.length)
+              out.write(kb)
+              val rows = heap.dequeueAll.reverse // ascending sort order
+              out.writeInt(rows.length)
+              rows.foreach { r =>
+                val b = r.getBytes
+                out.writeInt(b.length)
+                out.write(b)
+              }
+            }
+        } finally out.close()
+        heaps.clear()
+      }
+
+      def spillReader(f: File, numFields: Int): Iterator[(Array[Byte], Array[UnsafeRow])] =
+        new Iterator[(Array[Byte], Array[UnsafeRow])] {
+          private val in = new DataInputStream(new BufferedInputStream(
+            new FileInputStream(f), 1 << 16))
+          private var nextKeyLen = readLen()
+          private def readLen(): Int =
+            try in.readInt()
+            catch { case _: EOFException => in.close(); -1 }
+          override def hasNext: Boolean = nextKeyLen >= 0
+          override def next(): (Array[Byte], Array[UnsafeRow]) = {
+            val kb = new Array[Byte](nextKeyLen)
+            in.readFully(kb)
+            val n = in.readInt()
+            val rows = Array.tabulate(n) { _ =>
+              val len = in.readInt()
+              val b = new Array[Byte](len)
+              in.readFully(b)
+              val r = new UnsafeRow(numFields)
+              r.pointTo(b, len)
+              r
+            }
+            nextKeyLen = readLen()
+            (kb, rows)
+          }
+        }
+
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElse(key, null) match {
-          case null =>
-            val h = mutable.PriorityQueue.empty[UnsafeRow](
-              ordering.asInstanceOf[Ordering[UnsafeRow]])
-            heaps.put(key.copy(), h)
-            h
-          case h => h
+        var heap = heaps.getOrElse(key, null)
+        if (heap == null) {
+          if (heaps.size >= maxKeys) spillHeaps()
+          heap = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+          heaps.put(key.copy(), heap)
         }
         if (heap.size < kLocal) {
           heap += row.copy().asInstanceOf[UnsafeRow]
@@ -97,13 +192,13 @@ case class TopKPerKeyExec(
           heap += row.copy().asInstanceOf[UnsafeRow]
         }
       }
+
       // downstream operators require UnsafeRow; convert on emit
       val outProj = GenerateUnsafeProjection.generate(
         outAttrs.zipWithIndex.map { case (a, i) =>
           BoundReference(i, a.dataType, a.nullable)
         })
-      heaps.valuesIterator.flatMap { heap =>
-        val rows = heap.dequeueAll.reverse // ascending sort order
+      def emitGroup(rows: Seq[UnsafeRow]): Iterator[InternalRow] =
         rows.iterator.zipWithIndex.map { case (r, i) =>
           val joined = new GenericInternalRow(childOutput.length + 1)
           var j = 0
@@ -115,6 +210,40 @@ case class TopKPerKeyExec(
             if (rankIsLong) (i + 1).toLong else (i + 1))
           outProj(joined).asInstanceOf[InternalRow]
         }
+
+      if (spills.isEmpty) {
+        heaps.valuesIterator.flatMap(h => emitGroup(h.dequeueAll.reverse))
+      } else {
+        // spill the in-memory remainder so every source is a key-sorted
+        // file run, then merge candidates per key (≤ k per run) through
+        // a fresh bounded heap — memory O(runs · k) per emitted key
+        spillHeaps()
+        val numFields = childOutput.length
+        val runs = spills.toIndexedSeq.map(f => spillReader(f, numFields).buffered)
+        new Iterator[Seq[UnsafeRow]] {
+          override def hasNext: Boolean = runs.exists(_.hasNext)
+          override def next(): Seq[UnsafeRow] = {
+            var minKey: Array[Byte] = null
+            runs.foreach { r =>
+              if (r.hasNext &&
+                (minKey == null || compareBytes(r.head._1, minKey) < 0))
+                minKey = r.head._1
+            }
+            val heap = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+            runs.foreach { r =>
+              while (r.hasNext && compareBytes(r.head._1, minKey) == 0) {
+                r.next()._2.foreach { row =>
+                  if (heap.size < kLocal) heap += row
+                  else if (ordering.compare(row, heap.head) < 0) {
+                    heap.dequeue()
+                    heap += row
+                  }
+                }
+              }
+            }
+            heap.dequeueAll.reverse
+          }
+        }.flatMap(emitGroup)
       }
     }, preservesPartitioning = true)
   }

@@ -18,14 +18,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Users keep writing idiomatic Spark; the optimizer swaps in the
   * operator, the same way AQE swaps join strategies.
   *
-  * MEMORY PRECONDITION: the heap exec holds k rows per distinct key in
-  * executor memory with no spill path — per-partition footprint is
-  * O(k · distinct keys in that partition · row size). That beats the
-  * window sort whenever rows-per-key >> k (the top-N-per-entity shape
-  * this targets); for k near the per-key row count over a very high
-  * cardinality key the stock window plan's external sort is safer —
-  * disable the rewrite with `spark.graft.topkRewrite.enabled=false`
-  * (per query via `spark.conf.set`, it is read at optimization time).
+  * MEMORY: the heap exec holds k rows per distinct key in executor
+  * memory up to `spark.graft.topkRewrite.maxKeysPerPartition` keys;
+  * beyond that, heaps spill to local disk as key-sorted runs and are
+  * merged at emission (see [[TopKPerKeyExec]]), so a very high
+  * cardinality key degrades to external merge instead of OOM. The
+  * rewrite beats the window sort whenever rows-per-key >> k (the
+  * top-N-per-entity shape this targets); to force the stock plan use
+  * `spark.graft.topkRewrite.enabled=false` (per query via
+  * `spark.conf.set`, it is read at optimization time).
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 

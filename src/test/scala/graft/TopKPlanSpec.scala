@@ -122,6 +122,43 @@ class TopKPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("spill path: per-row-unique key under a tiny key budget matches stock plan") {
+    // every o_orderkey is unique -> one heap per row, worst case for
+    // the in-memory map; cap it at 64 keys so each partition spills
+    // many runs and the merge path produces the output
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("o_totalprice").desc, col("o_custkey"))
+    def query = Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_orderkey", "o_custkey", "rn")
+    val stock = query.collect().map(_.toString).sorted
+    val spilled = withTopK {
+      spark.conf.set(graft.plans.TopKPerKeyExec.MaxKeysKey, "64")
+      try {
+        val df = query
+        val rows = df.collect()
+        assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+        rows
+      } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxKeysKey)
+    }.map(_.toString).sorted
+    assert(spilled.sameElements(stock))
+    assert(stock.nonEmpty)
+  }
+
+  test("spill path: repeated keys across spill epochs merge to one top-k group") {
+    // low key budget + low-cardinality key: the same key's heap is
+    // spilled repeatedly, so its final top-k must merge candidates
+    // from every run (and ranks must stay 1..k exactly once)
+    val spilled = withTopK {
+      spark.conf.set(graft.plans.TopKPerKeyExec.MaxKeysKey, "1")
+      try top3PerCustomer.collect()
+      finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxKeysKey)
+    }
+    val stock = top3PerCustomer.collect()
+    assert(spilled.map(_.toString).sorted.sameElements(stock.map(_.toString).sorted))
+  }
+
   test("global (unpartitioned) row_number top-k is NOT rewritten and still runs") {
     withTopK {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
