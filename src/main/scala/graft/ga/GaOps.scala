@@ -254,6 +254,37 @@ object GaOps extends OpModule {
       ORDER BY n_events DESC, event_type, day
       LIMIT 50"""))
 
+  /** The reference API's actual string surface: `filters=` and
+    * `segment=` mini-language strings (SURVEY.md §2.2 [P] operators
+    * `==,!=,>,<,=@,!@,=~,!~` with `,`=OR over `;`=AND) compiled by
+    * [[GaFilters]] — exercises contains, equality, numeric compare,
+    * regex-not-match, and a user-scope condition segment in one
+    * report. */
+  val gaFilters = Op(
+    "ga_filters",
+    (s, d) =>
+      GaQuery()
+        .filters("ga:event_type=@ur,ga:event_type==signup" +
+          ";ga:value>50.5;ga:event_type!~^v")
+        .segment("users::condition::ga:value>=180")
+        .dimensions("event_type" -> col("event_type"))
+        .metrics(
+          "n_events" -> count(lit(1)),
+          "total_value" -> round(sum(col("value")), 2))
+        .sortDesc("n_events")
+        .toDF(s, d),
+    Some("""
+      WITH seg AS (
+        SELECT DISTINCT user_id FROM events WHERE value >= 180)
+      SELECT event_type, COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events JOIN seg USING (user_id)
+      WHERE (contains(event_type, 'ur') OR event_type = 'signup')
+        AND value > 50.5
+        AND NOT regexp_matches(event_type, '^v')
+      GROUP BY 1
+      ORDER BY n_events DESC, event_type"""))
+
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
-    cohortRetention, windowTumbling, windowSliding, gaReport)
+    cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters)
 }

@@ -40,6 +40,19 @@ final case class GaQuery(
   /** GA `filters=` — row-scope predicate. */
   def where(cond: Column): GaQuery = copy(rowFilters = rowFilters :+ cond)
 
+  /** GA `filters=` string form, e.g.
+    * `"ga:event_type==purchase,ga:event_type==signup;ga:value>50"`
+    * (`,`=OR binds tighter than `;`=AND) — parsed by [[GaFilters]]. */
+  def filters(s: String): GaQuery = where(GaFilters.parse(s))
+
+  /** GA `segment=` string form: `users::condition::<filters>` (user
+    * scope, semi-join) or `sessions::condition::<filters>` (session
+    * scope, keeps whole 30-min-gap sessions). */
+  def segment(s: String): GaQuery = GaFilters.parseSegment(s) match {
+    case ("users", cond) => segmentUsersWith(cond)
+    case (_, cond) => segmentSessionsWith(cond)
+  }
+
   /** GA `users::condition::` segment — keep rows of users who have at
     * least one event (anywhere in the table) matching `cond`. */
   def segmentUsersWith(cond: Column): GaQuery = copy(userSegment = Some(cond))
