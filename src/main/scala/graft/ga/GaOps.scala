@@ -285,6 +285,36 @@ object GaOps extends OpModule {
       GROUP BY 1
       ORDER BY n_events DESC, event_type"""))
 
+  /** GA pagination (`start-index` + `max-results`): page 3 of the
+    * by-(event_type, day) report under a total order — sortDesc
+    * appends the dims ascending, and (event_type, day) is the group
+    * key, so every page is deterministic. Plans as a global sort +
+    * CollectLimit(offset+limit): at 100 TB deep paging pays
+    * offset+limit per partition, which is why GA caps start-index —
+    * the facade mirrors that contract rather than materializing
+    * row numbers. */
+  val pageTopk = Op(
+    "page_topk",
+    (s, d) =>
+      GaQuery()
+        .dimensions("event_type" -> col("event_type"),
+          "day" -> to_date(col("ts")))
+        .metrics(
+          "n_events" -> count(lit(1)),
+          "total_value" -> round(sum(col("value")), 2))
+        .sortDesc("n_events")
+        .startAt(21)
+        .maxResults(10)
+        .toDF(s, d),
+    Some("""
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY n_events DESC, event_type, day
+      LIMIT 10 OFFSET 20"""))
+
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
-    cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters)
+    cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
+    pageTopk)
 }

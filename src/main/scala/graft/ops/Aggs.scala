@@ -147,6 +147,29 @@ object Aggs extends OpModule {
             .as("p95")),
     None)
 
+  /** KMV sketch under a driver-visible *bounded-error* oracle: emit
+    * the exact distinct count plus a boolean asserting the sketch is
+    * within 15% of it (k=1024 → ~3.1% standard error, so 15% is ~5σ;
+    * with fewer than k distinct values KMV is exact). The oracle
+    * emits the exact count and literal TRUE — the hash matches iff
+    * every group's estimate is in bound. */
+  val kmvBound = Op(
+    "kmv_bound",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          expr("kmv_distinct(user_id, 1024)").as("_kmv"))
+        .select(
+          col("event_type"), col("n_exact"),
+          (abs(col("_kmv") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.15).as("within_bound")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             TRUE AS within_bound
+      FROM events GROUP BY event_type"""))
+
   /** CUBE over market segment x order status (all four grouping-set
     * combinations; GROUPING() flags disambiguate null dimension
     * values from the subtotal rows). */
@@ -199,5 +222,5 @@ object Aggs extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
-      aggCube, aggStrings, aggQuantileSketch)
+      aggCube, aggStrings, aggQuantileSketch, kmvBound)
 }

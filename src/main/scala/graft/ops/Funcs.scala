@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Op, OpModule, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
 
 /** Scalar functions (SURVEY.md §2.8): string / regexp / date / math /
   * json / array builtins — the GA dimension-filter and derived-metric
@@ -176,6 +177,39 @@ object Funcs extends OpModule {
                6) AS sum8
       FROM embeddings"""))
 
+  /** Map functions over the props payload (SURVEY §2.8 map surface):
+    * from_json→map, map_concat with a column-built map, sorted-key
+    * projection (map entry order is never part of the contract — the
+    * deterministic read is array_sort(map_keys) + element_at lookups),
+    * element_at, size. The oracle mirrors the VALUES (DuckDB's JSON
+    * path + the same constant keys), not Spark's map layout. */
+  val mapFuncs = Op(
+    "map_funcs",
+    (s, d) => {
+      val ev = Tables.events(s, d).filter(col("event_id") < 500)
+      val m = map_concat(
+        from_json(col("props"), MapType(StringType, StringType)),
+        map(lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string")))
+      ev.withColumn("m", m)
+        .select(
+          col("event_id"),
+          array_sort(map_keys(col("m"))).as("keys"),
+          transform(array_sort(map_keys(col("m"))),
+            k => element_at(col("m"), k)).as("vals"),
+          element_at(col("m"), "k").as("k_val"),
+          size(col("m")).as("n_entries"))
+    },
+    Some("""
+      SELECT event_id,
+             ['k', 'type', 'uid'] AS keys,
+             [json_extract_string(props, '$.k'), event_type,
+              CAST(user_id AS VARCHAR)] AS vals,
+             json_extract_string(props, '$.k') AS k_val,
+             3 AS n_entries
+      FROM events WHERE event_id < 500"""))
+
   override def ops: Seq[Op] =
-    Seq(stringFuncs, regexpFuncs, dateFuncs, mathFuncs, jsonFuncs, arrayBasic)
+    Seq(stringFuncs, regexpFuncs, dateFuncs, mathFuncs, jsonFuncs,
+      arrayBasic, mapFuncs)
 }
