@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-check of the driver's DuckDB oracle compare (SURVEY.md §5.2).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json OUT.json]
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
@@ -45,13 +45,14 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(
@@ -73,13 +74,16 @@ def main(sf_dir, out_dir):
             o_cols, o_rows = canon(o_rel.fetchall(), o_rel.columns)
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e).splitlines()[0]}")
+            report[name] = {"pass": False, "err": str(e).splitlines()[0]}
             n_fail += 1
             continue
         if s_cols != o_cols:
             print(f"FAIL {name}: columns {s_cols} != {o_cols}")
+            report[name] = {"pass": False, "err": "columns"}
             n_fail += 1
         elif len(s_rows) != len(o_rows):
             print(f"FAIL {name}: rows {len(s_rows)} != {len(o_rows)}")
+            report[name] = {"pass": False, "err": "rows"}
             n_fail += 1
         elif s_rows != o_rows:
             bad = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows))
@@ -87,13 +91,24 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
             print(f"  spark : {s_rows[bad]}")
             print(f"  duckdb: {o_rows[bad]}")
+            report[name] = {"pass": False, "err": "values"}
             n_fail += 1
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
+            report[name] = {"pass": True, "rows": len(s_rows)}
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "passed": n_pass, "failed": n_fail,
+                   "queries": report}, open(json_out, "w"), indent=1)
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    jo = None
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        i = argv.index("--json")
+        jo = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo))
