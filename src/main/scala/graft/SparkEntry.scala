@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Sets,
     ops.Funcs,
     ops.Generators,
+    sources.SourceOps,
     ga.GaOps,
     text.TextOps,
     text.SimilarityOps,

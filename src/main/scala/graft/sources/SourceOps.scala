@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips (SURVEY.md §2.1): csv and json ingest and
+  * the partitioned-parquet sink, declared as driver-visible queries.
+  *
+  * Each op writes a copy of a fixture table to /tmp in the target
+  * format, reads it back with an EXPLICIT schema (at 100 TB schema
+  * inference is an extra full scan — production readers always pin
+  * the schema), and returns a result the oracle computes from the
+  * original parquet: hash equality proves the round-trip is
+  * lossless. Paths are keyed by the sfDir hash so concurrent Verify
+  * runs at different SFs never collide.
+  *
+  * `sink_partitioned` is the 100 TB layout primitive: a
+  * `partitionBy(col)` parquet write produces the hive-style directory
+  * tree whose partition column filter is pruned at FILE LISTING time
+  * (PartitionFilters in the scan, not a data read) — the batch analog
+  * of the date-partitioned event store every GA-like pipeline uses.
+  */
+object SourceOps extends OpModule {
+
+  private def tmp(name: String, sfDir: String): String =
+    s"/tmp/graft_src_${name}_${Integer.toHexString(sfDir.hashCode)}"
+
+  /** nation -> csv (header) -> explicit-schema read -> projection.
+    * Integer/string columns only: csv is a textual format, so the op
+    * sticks to types with exact textual round-trips. */
+  val csvRoundtrip = Op(
+    "csv_roundtrip",
+    (s, d) => {
+      val path = tmp("csv", d)
+      Tables(s, d, "nation")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true")
+        .csv(path)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+
+  /** supplier -> ndjson -> explicit-schema read. Doubles round-trip
+    * exactly through Spark's JSON writer (shortest repr that parses
+    * back to the same IEEE value). */
+  val jsonRoundtrip = Op(
+    "json_roundtrip",
+    (s, d) => {
+      val path = tmp("json", d)
+      Tables(s, d, "supplier").write.mode("overwrite").json(path)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, " +
+          "s_acctbal DOUBLE")
+        .json(path)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+    },
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"))
+
+  /** events -> parquet partitioned by event_type -> read back with a
+    * partition filter -> daily aggregate. The event_type predicate is
+    * satisfied by directory pruning (PartitionFilters), not row
+    * filtering; the oracle computes the same aggregate straight from
+    * the source table. */
+  val sinkPartitioned = Op(
+    "sink_partitioned",
+    (s, d) => {
+      val path = tmp("part", d)
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    },
+    Some("""
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1"""))
+
+  override def ops: Seq[Op] = Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned)
+}

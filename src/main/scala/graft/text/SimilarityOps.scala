@@ -92,40 +92,45 @@ object SimilarityOps extends OpModule {
     * observed to go quadratic at sf0.1 on the 31-word fixture vocab. */
   val MaxDf = 50
 
-  val ngramJaccard = Op(
-    "ngram_jaccard",
-    (s, d) => {
-      val allGrams = Tables(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          explode(expr(
-            """transform(sequence(0, size(toks) - 3),
-                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
-            .as("g"))
-        .distinct()
-      val rare = allGrams.groupBy(col("g"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDf)
-        .select(col("g"))
-      val grams = allGrams.join(rare, "g")
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val a = grams.select(col("doc_id").as("doc_a"), col("g"))
-      val b = grams.select(col("doc_id").as("doc_b"), col("g"))
-      val inter = a.join(b, "g")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .withColumn("jaccard",
-          round(col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")), 4))
-        .filter(col("jaccard") >= 0.2)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    },
-    Some(s"""
+  /** Shared candidate-pair kernel: (doc_a, doc_b, jaccard) with
+    * jaccard >= 0.2 over rare trigram shingles — used by both the
+    * declared `ngram_jaccard` query and as the edge set of
+    * `neardup_cluster`. */
+  private[text] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val allGrams = Tables(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, size(toks) - 3),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
+          .as("g"))
+      .distinct()
+    val rare = allGrams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("g"))
+    val grams = allGrams.join(rare, "g")
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("g"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("g"))
+    val inter = a.join(b, "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The ngram_jaccard oracle text, shared with neardup_cluster's
+    * recursive-CTE oracle (edges must be the identical pair set). */
+  private val ngramJaccardSql = s"""
       WITH allgrams AS (
         SELECT DISTINCT doc_id, g
         FROM (
@@ -151,7 +156,69 @@ object SimilarityOps extends OpModule {
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
-              >= 0.2"""))
+              >= 0.2"""
+
+  val ngramJaccard = Op(
+    "ngram_jaccard",
+    (s, d) => jaccardPairs(s, d),
+    Some(ngramJaccardSql))
+
+  /** Near-duplicate *clustering*: connected components over the
+    * jaccard>=0.2 pair graph via hash-to-min label propagation —
+    * each doc's cluster id is the min doc_id reachable through
+    * near-dup edges (the canonical-document choice of a dedup
+    * pipeline: keep cluster_id == doc_id, drop the rest).
+    *
+    * Scale shape: the classic large-graph CC loop — per iteration
+    * one shuffle join (edges x labels) + one min-combine groupBy,
+    * converging in diameter(G) iterations (near-dup clusters are
+    * shallow; capped at 30). `localCheckpoint` truncates the plan
+    * lineage each round so the loop's cost stays per-iteration
+    * constant instead of re-deriving the whole chain. The oracle is
+    * an exact recursive-CTE transitive closure over the identical
+    * edge SQL. */
+  val neardupCluster = Op(
+    "neardup_cluster",
+    (s, d) => {
+      val pairs = jaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      var labels = docs.withColumn("lbl", col("doc_id")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 30) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+          .groupBy(col("dst"))
+          .agg(min(col("lbl")).as("nbr_min"))
+          .withColumnRenamed("dst", "doc_id")
+        val next = labels
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val nChanged = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels = next
+        converged = nChanged == 0
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS ($ngramJaccardSql),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      SELECT a AS doc_id, MIN(b) AS cluster_id
+      FROM reach GROUP BY a"""))
 
   /** Heuristic language ID from stopword-marker counts (n-gram
     * heuristic family): argmax over per-language marker hit counts
@@ -200,5 +267,6 @@ object SimilarityOps extends OpModule {
              COUNT(*) AS n_docs
       FROM scored GROUP BY 1, 2"""))
 
-  override def ops: Seq[Op] = Seq(simhashPairs, ngramJaccard, langId)
+  override def ops: Seq[Op] =
+    Seq(simhashPairs, ngramJaccard, neardupCluster, langId)
 }

@@ -75,6 +75,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nested-loop join in near-dup plan:\n${plan.take(1500)}")
   }
 
+  test("sink_partitioned read prunes partitions at listing time") {
+    val plan = executedPlan(q("sink_partitioned"))
+    val part = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(part.contains("event_type"),
+      s"partition filter not applied at listing: $part")
+    // the pruned partition predicate must NOT survive as a row filter
+    assert(!plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("event_type")),
+      "partition predicate re-evaluated per row")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -21,6 +21,40 @@ class TextVecSpec extends AnyFunSuite {
     assert(rows.length == docs.count().toInt)
   }
 
+  test("neardup_cluster: transitive chain A~B~C lands in one cluster") {
+    // A and C share no trigram, but both chain through B: jaccard
+    // (A,B) = (B,C) = 4/16 = 0.25 >= 0.2, (A,C) = 0 — only the
+    // transitive closure puts all three in cluster min(doc_id)=1
+    import spark.implicits._
+    val w = (1 to 24).map(i => s"w$i")
+    val a = w.slice(0, 12).mkString(" ")
+    val b = (w.slice(6, 12) ++ w.slice(12, 18)).mkString(" ")
+    val c = (w.slice(12, 18) ++ w.slice(18, 24)).mkString(" ")
+    val lone = "x1 x2 x3 x4"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc").toString
+    Seq((1L, a), (2L, b), (3L, c), (9L, lone))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.SimilarityOps.neardupCluster.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("neardup_cluster: every jaccard pair shares a cluster; labels are component minima") {
+    val labels = q("neardup_cluster")
+    val pairs = q("ngram_jaccard")
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb"))
+    assert(pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb")).count() == 0)
+    // cluster ids are members of their own cluster and are minima
+    assert(labels.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val reps = labels.select(col("cluster_id").as("rep")).distinct()
+    assert(labels.join(reps, col("doc_id") === col("rep"), "left_semi")
+      .count() == reps.count())
+  }
+
   test("dedup_exact is idempotent: re-dedup of keepers finds no dups") {
     val keep = q("dedup_exact").select(col("keep_id").as("doc_id"))
     val kept = docs.join(keep, "doc_id")
