@@ -285,6 +285,47 @@ object GaOps extends OpModule {
       GROUP BY 1
       ORDER BY n_events DESC, event_type"""))
 
+  /** Session-scope segment + `ga:sessions` metric through the facade:
+    * keep whole 30-min-gap sessions containing >= 1 purchase, then
+    * count distinct sessions and sum value per event type. Exercises
+    * the facade's auto-sessionization (metrics named `sessions`
+    * trigger the _sid window) and the session-scope semi-join on
+    * (user_id, _sid) — one extra shuffle on user_id, same as
+    * sessionize. */
+  val gaSessions = Op(
+    "ga_sessions",
+    (s, d) =>
+      GaQuery()
+        .segment("sessions::condition::ga:event_type==purchase")
+        .dimensions("event_type" -> col("event_type"))
+        .metrics(GaMetrics.sessions, GaMetrics.totalValue)
+        .sortDesc(GaMetrics.SessionsKey)
+        .toDF(s, d),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      seg AS (
+        SELECT DISTINCT user_id, sid FROM sess
+        WHERE event_type = 'purchase')
+      SELECT event_type,
+             COUNT(DISTINCT (user_id, sid)) AS sessions,
+             ROUND(SUM(value), 2) AS total_value
+      FROM sess JOIN seg USING (user_id, sid)
+      GROUP BY 1"""))
+
   /** GA pagination (`start-index` + `max-results`): page 3 of the
     * by-(event_type, day) report under a total order — sortDesc
     * appends the dims ascending, and (event_type, day) is the group
@@ -316,5 +357,5 @@ object GaOps extends OpModule {
 
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
     cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
-    pageTopk)
+    gaSessions, pageTopk)
 }

@@ -170,6 +170,24 @@ object Aggs extends OpModule {
              TRUE AS within_bound
       FROM events GROUP BY event_type"""))
 
+  /** Two-phase salted aggregation (Skew.saltedSumCount) as a declared
+    * query: event_type has only 5 hot values — the exact shape where
+    * one reducer per key melts at 100 TB. The salt fans each hot key
+    * over 32 partial reducers; the merge is algebraic (sum of sums),
+    * so the oracle is the plain GROUP BY. */
+  val aggSalted = Op(
+    "agg_salted",
+    (s, d) =>
+      Skew.saltedSumCount(Tables.events(s, d), col("event_type"),
+        col("value"), col("event_id"), 32)
+        .select(col("k").as("event_type"),
+          round(col("total"), 2).as("total_value"),
+          col("n").as("n_events")),
+    Some("""
+      SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type"""))
+
   /** CUBE over market segment x order status (all four grouping-set
     * combinations; GROUPING() flags disambiguate null dimension
     * values from the subtotal rows). */
@@ -222,5 +240,5 @@ object Aggs extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
-      aggCube, aggStrings, aggQuantileSketch, kmvBound)
+      aggCube, aggStrings, aggQuantileSketch, kmvBound, aggSalted)
 }
