@@ -153,6 +153,15 @@ object Graft {
       .filter(col(rn) === 1).drop(rn)
   }
 
+  /** Near-dup clustering: connected components over a pair DataFrame
+    * (e.g. from a similarity join) — each node gets the min reachable
+    * id as `cluster_id`; keep `cluster_id == id` rows as the
+    * canonical documents. Hash-to-min label propagation, one
+    * join+min-combine shuffle per round, diameter(G) rounds. */
+  def neardupCluster(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    graft.ops.Graphs.connectedComponents(nodes, idCol, pairs, srcCol, dstCol)
+
   /** Brute-force top-k rows by dot product against one target vector.
     * Broadcast of the 1-row target + TakeOrderedAndProject merge —
     * the block-partitioned exact baseline. */

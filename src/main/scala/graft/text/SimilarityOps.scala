@@ -182,30 +182,8 @@ object SimilarityOps extends OpModule {
     (s, d) => {
       val pairs = jaccardPairs(s, d)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-      val docs = Tables(s, d, "documents").select(col("doc_id"))
-      var labels = docs.withColumn("lbl", col("doc_id")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 30) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
-          .groupBy(col("dst"))
-          .agg(min(col("lbl")).as("nbr_min"))
-          .withColumnRenamed("dst", "doc_id")
-        val next = labels
-          .join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        val nChanged = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels = next
-        converged = nChanged == 0
-        iter += 1
-      }
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      graft.ops.Graphs.connectedComponents(
+        Tables(s, d, "documents"), "doc_id", pairs, "doc_a", "doc_b")
     },
     Some(s"""
       WITH RECURSIVE pairs AS ($ngramJaccardSql),

@@ -53,6 +53,16 @@ class ApiSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == keepers)
   }
 
+  test("Graft.neardupCluster: 4-hop chain converges to min id; singleton kept") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    val out = Graft.neardupCluster(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("Graft.vectorTopK equals the declared vector_topk") {
     val emb = Tables(spark, sfDir, "embeddings")
     val target = emb.filter(col("vec_id") === 0)
