@@ -87,6 +87,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "partition predicate re-evaluated per row")
   }
 
+  test("agg_salted shuffles on (key, salt) before the merge exchange") {
+    val plan = executedPlan(q("agg_salted"))
+    val exchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    // phase 1 must fan hot keys across reducers: its exchange keys are
+    // (event_type, salt) — the computed salt shows up as a
+    // _groupingexpression attribute; phase 2 merges on the bare key
+    assert(exchanges.exists(l =>
+      l.contains("event_type") && l.contains("_groupingexpression")),
+      s"no salted exchange found:\n${exchanges.mkString("\n")}")
+  }
+
+  test("ga_sessions windows are partitioned (no global single-partition window)") {
+    val plan = executedPlan(q("ga_sessions"))
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("user_id")),
+      s"window not partitioned by user_id:\n${windows.mkString("\n")}")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
