@@ -285,6 +285,65 @@ object GaOps extends OpModule {
       GROUP BY 1
       ORDER BY n_events DESC, event_type"""))
 
+  /** GA session-quality metrics (`ga:bounceRate`,
+    * `ga:avgSessionDuration` [P]): per day-of-session-start, session
+    * count, bounce rate (single-event sessions / sessions) and mean
+    * session duration. Two-level aggregation: the per-session rollup
+    * rides the same user_id shuffle as sessionize; the daily rollup
+    * is a second small shuffle on the day key. Duration is integral
+    * µs and bounce counts are integers, so both ratios round
+    * deterministically. */
+  val sessionMetrics = Op(
+    "session_metrics",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
+        .withColumn(
+          "new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn(
+          "sid",
+          sum(col("new_s")).over(
+            perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"))
+        .groupBy(to_date(timestamp_micros(col("start_us"))).as("day"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          round(avg(when(col("n_events") === 1, 1.0).otherwise(0.0)), 4)
+            .as("bounce_rate"),
+          round(avg(col("end_us") - col("start_us")), 2).as("avg_dur_us")),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+               MIN(us) AS start_us, MAX(us) AS end_us
+        FROM sess GROUP BY user_id, sid)
+      SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+             COUNT(*) AS n_sessions,
+             ROUND(AVG(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 4)
+               AS bounce_rate,
+             ROUND(AVG(end_us - start_us), 2) AS avg_dur_us
+      FROM per_session GROUP BY 1"""))
+
   /** Session-scope segment + `ga:sessions` metric through the facade:
     * keep whole 30-min-gap sessions containing >= 1 purchase, then
     * count distinct sessions and sum value per event type. Exercises
@@ -357,5 +416,5 @@ object GaOps extends OpModule {
 
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
     cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
-    gaSessions, pageTopk)
+    gaSessions, sessionMetrics, pageTopk)
 }

@@ -2,6 +2,7 @@
 """Local pre-check of the driver's DuckDB oracle compare (SURVEY.md §5.2).
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json OUT.json]
+       [--skip name1,name2]   # e.g. oracles too heavy at a given SF
 
 Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
@@ -45,7 +46,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -54,6 +55,10 @@ def main(sf_dir, out_dir, json_out=None):
     n_pass = n_fail = 0
     report = {}
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}")
+            report[name] = {"pass": None, "err": "skipped"}
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -106,9 +111,14 @@ def main(sf_dir, out_dir, json_out=None):
 
 if __name__ == "__main__":
     jo = None
+    sk = ()
     argv = sys.argv[1:]
     if "--json" in argv:
         i = argv.index("--json")
         jo = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
-    sys.exit(main(argv[0], argv[1], jo))
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        sk = tuple(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], jo, sk))
