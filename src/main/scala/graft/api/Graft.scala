@@ -89,8 +89,11 @@ object Graft {
     val rtName = renames.getOrElse(rightTime, rightTime)
     val rPayload = r.columns.filterNot(_ == key).toIndexedSeq
     // right rows carry their payload as ONE struct (null on left
-    // rows), so the running window tracks a single value
-    val rTagged = r.select(
+    // rows), so the running window tracks a single value. A right row
+    // with a null timestamp can never satisfy rightTime <= leftTime
+    // (SQL comparison is null) — drop it here; unfiltered it would
+    // sort NULLS FIRST and leak its payload into every left row
+    val rTagged = r.filter(col(rtName).isNotNull).select(
       col(key),
       col(rtName).as(ord),
       struct(rPayload.map(col): _*).as(rs),

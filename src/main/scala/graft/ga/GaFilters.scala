@@ -114,7 +114,12 @@ object GaFilters {
     var i = 0
     while (i < v.length) {
       val ch = v.charAt(i)
-      if (ch == '\\' && i + 1 < v.length) {
+      // the mini-language only escapes its own metacharacters (; , \);
+      // any other backslash pair — e.g. the \d of a =~ regex — must
+      // pass through untouched
+      if (ch == '\\' && i + 1 < v.length &&
+          (v.charAt(i + 1) == ';' || v.charAt(i + 1) == ',' ||
+            v.charAt(i + 1) == '\\')) {
         out.append(v.charAt(i + 1)); i += 2
       } else {
         out.append(ch); i += 1

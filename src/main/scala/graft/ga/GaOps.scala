@@ -296,16 +296,8 @@ object GaOps extends OpModule {
   val sessionMetrics = Op(
     "session_metrics",
     (s, d) =>
-      ev(s, d)
-        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
-        .withColumn(
-          "new_s",
-          when(col("prev_us").isNull ||
-            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
-        .withColumn(
-          "sid",
-          sum(col("new_s")).over(
-            perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      GaSessions.addSessionId(ev(s, d), col("user_id"), col("us"),
+        Seq(col("us"), col("event_id")), GapUs, "sid")
         .groupBy(col("user_id"), col("sid"))
         .agg(
           count(lit(1)).as("n_events"),

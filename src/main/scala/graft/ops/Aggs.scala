@@ -155,7 +155,9 @@ object Aggs extends OpModule {
     * every group's estimate is in bound. */
   val kmvBound = Op(
     "kmv_bound",
-    (s, d) =>
+    (s, d) => {
+      // resolve kmv_distinct even on sessions without GraftExtensions
+      graft.ext.GraftFunctions.register(s)
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
@@ -164,7 +166,8 @@ object Aggs extends OpModule {
         .select(
           col("event_type"), col("n_exact"),
           (abs(col("_kmv") - col("n_exact")) <=
-            col("n_exact").cast("double") * 0.15).as("within_bound")),
+            col("n_exact").cast("double") * 0.15).as("within_bound"))
+    },
     Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
              TRUE AS within_bound

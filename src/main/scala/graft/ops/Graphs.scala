@@ -23,9 +23,14 @@ object Graphs {
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30): DataFrame = {
+    // materialize the undirected edge list ONCE: every iteration runs
+    // two jobs over it (label join + convergence count), and the
+    // caller's edge plan is often an expensive similarity join that
+    // must not be re-derived 2x per round
     val und = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"))
       .withColumn("lbl", col("id")).localCheckpoint()
     var converged = false
@@ -47,6 +52,12 @@ object Graphs {
       converged = nChanged == 0
       iter += 1
     }
+    // a silent cap would emit a plausible-looking but WRONG labeling
+    // (multiple cluster_ids inside one component) — fail instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(component min-id eccentricity exceeds maxIter); raise maxIter")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream}
 
-import org.apache.spark.TaskContext
+import org.apache.spark.{SparkEnv, TaskContext}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -106,9 +106,25 @@ case class TopKPerKeyExec(
       // max-heap per key: head = worst of the current best k
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       val spills = mutable.ArrayBuffer.empty[File]
+      val readerStreams = mutable.ArrayBuffer.empty[DataInputStream]
       Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        // close any reader the output iterator abandoned (e.g. under a
+        // limit) before deleting — delete-on-open-fd only works on
+        // POSIX and the fds would otherwise linger until task end
+        readerStreams.foreach(s => try s.close() catch { case _: Exception => () })
         spills.foreach(f => { f.delete(); () })
       })
+      // spill where the cluster expects spills: the first configured
+      // spark.local.dir (the scratch disks sized for shuffle/spill),
+      // not java.io.tmpdir (often a small root or tmpfs partition)
+      val spillDir: File = {
+        val base = Option(SparkEnv.get)
+          .map(_.conf.get("spark.local.dir",
+            System.getProperty("java.io.tmpdir")))
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+          .split(",")(0).trim
+        new File(base)
+      }
 
       // grouping order across runs: unsigned lexicographic key bytes.
       // Equal key VALUES have equal UnsafeRow bytes (same projection
@@ -128,7 +144,7 @@ case class TopKPerKeyExec(
       // drain the heap map to a key-sorted run on local disk:
       // [keyLen, keyBytes, nRows, (rowLen, rowBytes)*] per key
       def spillHeaps(): Unit = {
-        val f = File.createTempFile("graft-topk-spill-", ".bin")
+        val f = File.createTempFile("graft-topk-spill-", ".bin", spillDir)
         spills += f
         val out = new DataOutputStream(new BufferedOutputStream(
           new FileOutputStream(f), 1 << 16))
@@ -155,6 +171,7 @@ case class TopKPerKeyExec(
         new Iterator[(Array[Byte], Array[UnsafeRow])] {
           private val in = new DataInputStream(new BufferedInputStream(
             new FileInputStream(f), 1 << 16))
+          readerStreams += in
           private var nextKeyLen = readLen()
           private def readLen(): Int =
             try in.readInt()

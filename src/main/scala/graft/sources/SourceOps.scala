@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
 object SourceOps extends OpModule {
 
   private def tmp(name: String, sfDir: String): String =
-    s"/tmp/graft_src_${name}_${Integer.toHexString(sfDir.hashCode)}"
+    // keyed by SF *and* pid: two concurrent runs at the same SF must
+    // not overwrite each other's files mid-read
+    s"/tmp/graft_src_${name}_${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
 
   /** nation -> csv (header) -> explicit-schema read -> projection.
     * Integer/string columns only: csv is a textual format, so the op

@@ -34,6 +34,21 @@ class ApiSpec extends AnyFunSuite {
     assert(joined("c").isEmpty)           // key 2 has no state: kept, null
   }
 
+  test("Graft.asofJoin: null right timestamps never match; null left time gets null state") {
+    import spark.implicits._
+    val left = Seq((1L, Some(100L), "a"), (1L, None, "nolt"))
+      .toDF("k", "t", "payload")
+    val right = Seq((1L, None, "stale"), (1L, Some(90L), "s90"))
+      .toDF("k", "rt", "state")
+    val out = Graft.asofJoin(left, right, "k", "t", "rt")
+      .select("payload", "state").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // rt=null can never satisfy rt <= t: only s90 is eligible
+    assert(out("a").contains("s90"))
+    // t=null matches nothing (SQL null comparison), row still kept
+    assert(out("nolt").isEmpty)
+  }
+
   test("Graft.asofJoin matches the declared join_asof row count") {
     // declared query: purchases joined to most recent prior signup
     val ev = Tables.events(spark, sfDir)

@@ -56,6 +56,18 @@ class GaFiltersSpec extends AnyFunSuite {
     assert(n("ga:dim==plain") == 1)
   }
 
+  test("regex escape sequences pass through =~ values untouched") {
+    import spark.implicits._
+    val df = Seq("42", "dog", "a.b", "axb").toDF("dim")
+    def n(s: String): Long = df.filter(GaFilters.parse(s)).count()
+    // \d must stay a digit class, not collapse to literal 'd'
+    assert(n("ga:dim=~^\\d+$") == 1)
+    // \. must stay a literal dot, not match any char
+    assert(n("ga:dim=~^a\\.b$") == 1)
+    // only the mini-language's own metachars unescape
+    assert(n("ga:dim=~^\\d+$,ga:dim==dog") == 2)
+  }
+
   test("operator search stops at the first operator (values may contain them)") {
     import spark.implicits._
     val df = Seq("x=1", "y").toDF("dim")

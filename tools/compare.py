@@ -113,12 +113,16 @@ if __name__ == "__main__":
     jo = None
     sk = ()
     argv = sys.argv[1:]
-    if "--json" in argv:
-        i = argv.index("--json")
-        jo = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    if "--skip" in argv:
-        i = argv.index("--skip")
-        sk = tuple(argv[i + 1].split(","))
-        argv = argv[:i] + argv[i + 2:]
+    for flag in ("--json", "--skip"):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                sys.exit(f"usage: {flag} requires a value")
+            if flag == "--json":
+                jo = argv[i + 1]
+            else:
+                sk = tuple(argv[i + 1].split(","))
+            argv = argv[:i] + argv[i + 2:]
+    if len(argv) < 2:
+        sys.exit(__doc__)
     sys.exit(main(argv[0], argv[1], jo, sk))
