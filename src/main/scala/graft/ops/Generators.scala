@@ -86,5 +86,38 @@ object Generators extends OpModule {
       ORDER BY n DESC, g
       LIMIT 20"""))
 
-  override def ops: Seq[Op] = Seq(explodeTokens, pivotLang, ngramTop)
+  /** Wide→long reshape (pivot's inverse, pandas `melt`): per-flag
+    * pricing metrics unpivoted to (metric, value) rows via the native
+    * `Dataset.unpivot` — a Generator-backed Expand, row-multiplying
+    * within partitions with no extra shuffle. All measures are cast
+    * to double (unpivot requires one value type); the oracle is the
+    * explicit UNION ALL. */
+  val unpivotMetrics = Op(
+    "unpivot_metrics",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "value"),
+    Some("""
+      WITH wide AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'n_rows', n_rows FROM wide"""))
+
+  override def ops: Seq[Op] =
+    Seq(explodeTokens, pivotLang, ngramTop, unpivotMetrics)
 }
