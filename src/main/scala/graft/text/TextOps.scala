@@ -30,6 +30,36 @@ object TextOps extends OpModule {
       SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY 1"""))
 
+  /** Deterministic train/val/test corpus split: bucket =
+    * Knuth-multiplicative hash of doc_id in pure 64-bit-safe integer
+    * arithmetic (identical in any engine — no RNG, no engine hash
+    * builtin), 80/10/10. The property a training pipeline needs:
+    * membership is a pure function of the id, so re-runs, backfills
+    * and incremental appends never reshuffle examples across splits.
+    * Per-row expression + one shuffle on the (split, lang) group key. */
+  val splitHash = Op(
+    "split_hash",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("(doc_id % 100000) * 2654435761 % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars")),
+    Some("""
+      SELECT CASE WHEN (doc_id % 100000) * 2654435761 % 100 < 80
+                  THEN 'train'
+                  WHEN (doc_id % 100000) * 2654435761 % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split,
+             lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY 1, 2"""))
+
   /** Per-language corpus statistics: docs, tokens, distinct tokens,
     * type-token ratio, average document length. */
   val textStats = Op(
@@ -215,6 +245,6 @@ object TextOps extends OpModule {
     },
     None)
 
-  override def ops: Seq[Op] = Seq(dedupExact, textStats, tfidfTop,
-    tokenCount, qualityScore, docFingerprint, dedupMinhash)
+  override def ops: Seq[Op] = Seq(dedupExact, splitHash, textStats,
+    tfidfTop, tokenCount, qualityScore, docFingerprint, dedupMinhash)
 }
