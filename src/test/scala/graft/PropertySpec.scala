@@ -100,6 +100,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    val genGraph = Gen.zip(
+      Gen.choose(5, 40),
+      Gen.listOfN(60, Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L))))
+    for ((n, rawEdges) <- samples(genGraph, 6)) {
+      val nodes = (0L until n.toLong).toList
+      val edges = rawEdges.filter { case (a, b) =>
+        a < n && b < n && a != b }
+      // reference: sequential union-find with min-root linking
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map(x => x -> find(x)).toMap
+      val got = graft.ops.Graphs.connectedComponents(
+        nodes.toDF("id"), "id",
+        if (edges.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+        else edges.toDF("a", "b"),
+        "a", "b", maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
   test("geomean aggregator: merge associativity across partitionings") {
     val vals = Tables(spark, sfDir, "lineitem").select("l_quantity")
     val gm = udaf(graft.functions.GeoMean)
