@@ -173,6 +173,57 @@ object Aggs extends OpModule {
              TRUE AS within_bound
       FROM events GROUP BY event_type"""))
 
+  /** HLL++ under a driver-visible bounded-error oracle (same pattern
+    * as kmv_bound): rsd=0.02 → 15% is ~7σ; the boolean hash-matches
+    * the oracle's TRUE iff every group estimate is in bound. */
+  val hllBound = Op(
+    "hll_bound",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("_hll"))
+        .select(
+          col("event_type"), col("n_exact"),
+          (abs(col("_hll") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.15).as("within_bound")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+             TRUE AS within_bound
+      FROM events GROUP BY event_type"""))
+
+  /** percentile_approx (GK sketch) under a bounded-error oracle: the
+    * sketch's p50/p95 must land within the exact p45..p55 / p90..p99
+    * value ranges — a rank-error bound far looser than the sketch's
+    * 1/1000 accuracy, evaluated entirely in integral-rank space so
+    * the boolean is deterministic. */
+  val quantileBound = Op(
+    "quantile_bound",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+            .as("_p95"),
+          expr("percentile(l_extendedprice, 0.45)").as("_lo50"),
+          expr("percentile(l_extendedprice, 0.55)").as("_hi50"),
+          expr("percentile(l_extendedprice, 0.90)").as("_lo95"),
+          expr("percentile(l_extendedprice, 0.99)").as("_hi95"),
+          count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"), col("n"),
+          (col("_p50") >= col("_lo50") && col("_p50") <= col("_hi50"))
+            .as("p50_in_bound"),
+          (col("_p95") >= col("_lo95") && col("_p95") <= col("_hi95"))
+            .as("p95_in_bound")),
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             TRUE AS p50_in_bound, TRUE AS p95_in_bound
+      FROM lineitem GROUP BY l_returnflag"""))
+
   /** Two-phase salted aggregation (Skew.saltedSumCount) as a declared
     * query: event_type has only 5 hot values — the exact shape where
     * one reducer per key melts at 100 TB. The salt fans each hot key
@@ -243,5 +294,6 @@ object Aggs extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
-      aggCube, aggStrings, aggQuantileSketch, kmvBound, aggSalted)
+      aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
+      quantileBound, aggSalted)
 }
