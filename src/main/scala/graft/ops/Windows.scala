@@ -64,7 +64,15 @@ object Windows extends OpModule {
 
   /** 7-day trailing moving average over pre-aggregated daily revenue.
     * The inner daily sum is rounded first so both engines average the
-    * same 7 values in the same frame order. */
+    * same 7 values in the same frame order.
+    *
+    * The outer window is deliberately UNPARTITIONED (Spark warns
+    * "moving all data to a single partition"): its input is the
+    * per-day rollup, whose cardinality is the number of distinct days
+    * (~2.4k here, bounded by the calendar at any data scale) — the
+    * distributed work is the groupBy beneath it. A global time-series
+    * frame over a date-grain rollup is the one window shape where a
+    * single partition is the correct 100 TB plan. */
   val windowFrame = Op(
     "window_frame",
     (s, d) => {
