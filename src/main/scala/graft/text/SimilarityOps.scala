@@ -36,32 +36,28 @@ object SimilarityOps extends OpModule {
              c -> CAST(ascii(c) AS BIGINT))),
          (acc, x) -> (acc * 31 + x) % 1073741824)"""
 
-  /** 16-bit SimHash: per-token hash -> per-bit +/-1 votes summed over
-    * the doc -> sign vector packed to a fingerprint; docs sharing a
-    * fingerprint are near-dup candidates. */
-  val simhashPairs = Op(
-    "simhash_pairs",
-    (s, d) => {
-      val toks = Tables(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("th", expr(tokHash("w")))
-      val votes = (0 until 16).map { b =>
-        sum(when(expr(s"(th div ${1L << b}) % 2") === 1, 1)
-          .otherwise(-1)).as(s"s$b")
-      }
-      val fp = (0 until 16).map { b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val fps = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), fp.as("fp"))
-      val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
-      val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
-      a.join(b, "fp")
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("fp"))
-    },
-    Some(s"""
-      WITH toks AS (
+  /** Shared 16-bit SimHash fingerprint kernel: per-token hash ->
+    * per-bit +/-1 votes summed over the doc -> sign vector packed to
+    * a fingerprint. Returns (doc_id, fp). */
+  private[text] def simhashFps(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("th", expr(tokHash("w")))
+    val votes = (0 until 16).map { b =>
+      sum(when(expr(s"(th div ${1L << b}) % 2") === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val fp = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** The fps CTE chain of the SimHash oracle, shared by
+    * `simhash_pairs` and `simhash_multiprobe`. */
+  private val simhashFpsSql = s"""
+      toks AS (
         SELECT doc_id, $duckTokHash AS th
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
               FROM documents)),
@@ -76,9 +72,71 @@ object SimilarityOps extends OpModule {
                ${(0 until 16).map(b =>
                   s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
                   .mkString(" + ")} AS fp
-        FROM votes)
+        FROM votes)"""
+
+  /** Docs sharing an identical fingerprint are near-dup candidates:
+    * equi-self-join on fp (bucket count 65536 bounds the fan-out). */
+  val simhashPairs = Op(
+    "simhash_pairs",
+    (s, d) => {
+      val fps = simhashFps(s, d)
+      val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+      val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+      a.join(b, "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fp"))
+    },
+    Some(s"""
+      WITH $simhashFpsSql
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
       FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id"""))
+
+  /** Multiprobe SimHash: near-dup pairs within Hamming distance 2 of
+    * each other's fingerprints. Each doc probes 17 buckets (its fp
+    * plus all 16 one-bit flips); two fps at distance <= 2 always share
+    * a probe (d=0 identity, d=1 one side flips the differing bit,
+    * d=2 each side flips one of the two), so the equi-join on the
+    * probe key finds every qualifying pair without a cartesian —
+    * candidates are then exact-filtered on bit_count(xor). The
+    * classic multiprobe-LSH recall/fan-out trade: 17x probe rows
+    * buys distance-2 recall with a pure equi-shuffle plan. */
+  val simhashMultiprobe = Op(
+    "simhash_multiprobe",
+    (s, d) => {
+      val fps = simhashFps(s, d)
+      val probes = fps.select(col("doc_id"), col("fp"),
+        explode(expr(
+          """concat(array(fp),
+               transform(sequence(0, 15), b -> fp ^ shiftleft(1L, b)))"""))
+          .as("probe"))
+      val a = probes.select(col("doc_id").as("doc_a"),
+        col("fp").as("fp_a"), col("probe"))
+      val b = probes.select(col("doc_id").as("doc_b"),
+        col("fp").as("fp_b"), col("probe"))
+      a.join(b, "probe")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)"))
+        .filter(col("hamming") <= 2)
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("int").as("hamming"))
+    },
+    Some(s"""
+      WITH $simhashFpsSql,
+      probes AS (
+        SELECT doc_id, fp,
+               unnest(list_prepend(fp,
+                 [xor(fp, 1::BIGINT << b) FOR b IN range(0, 16)])) AS probe
+        FROM fps),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM probes a JOIN probes b
+          ON a.probe = b.probe AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2"""))
 
   /** Token-trigram Jaccard similarity join with a document-frequency
     * cap: shingles present in more than `MaxDf` documents are dropped
@@ -246,5 +304,6 @@ object SimilarityOps extends OpModule {
       FROM scored GROUP BY 1, 2"""))
 
   override def ops: Seq[Op] =
-    Seq(simhashPairs, ngramJaccard, neardupCluster, langId)
+    Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
+      langId)
 }
