@@ -23,6 +23,7 @@ object SparkEntry {
     ga.GaOps,
     text.TextOps,
     text.SimilarityOps,
+    text.CurationOps,
     multimodal.MultimodalOps,
     vec.VectorOps)
 

@@ -182,7 +182,13 @@ object Funcs extends OpModule {
     * projection (map entry order is never part of the contract — the
     * deterministic read is array_sort(map_keys) + element_at lookups),
     * element_at, size. The oracle mirrors the VALUES (DuckDB's JSON
-    * path + the same constant keys), not Spark's map layout. */
+    * path + the same constant keys), not Spark's map layout.
+    *
+    * Keys/vals are emitted pipe-JOINED STRINGS, not arrays: the
+    * driver's pandas compare cannot sort/hash ndarray cells
+    * (CORRECTNESS_r03 `unhashable type: numpy.ndarray`). Values are
+    * coalesced to a sentinel first so neither engine's join-skips-null
+    * behavior is ever exercised. */
   val mapFuncs = Op(
     "map_funcs",
     (s, d) => {
@@ -194,17 +200,21 @@ object Funcs extends OpModule {
       ev.withColumn("m", m)
         .select(
           col("event_id"),
-          array_sort(map_keys(col("m"))).as("keys"),
-          transform(array_sort(map_keys(col("m"))),
-            k => element_at(col("m"), k)).as("vals"),
+          concat_ws("|", array_sort(map_keys(col("m")))).as("keys"),
+          concat_ws("|",
+            transform(array_sort(map_keys(col("m"))),
+              k => coalesce(element_at(col("m"), k), lit("<null>"))))
+            .as("vals"),
           element_at(col("m"), "k").as("k_val"),
           size(col("m")).as("n_entries"))
     },
     Some("""
       SELECT event_id,
-             ['k', 'type', 'uid'] AS keys,
-             [json_extract_string(props, '$.k'), event_type,
-              CAST(user_id AS VARCHAR)] AS vals,
+             'k|type|uid' AS keys,
+             concat_ws('|',
+               COALESCE(json_extract_string(props, '$.k'), '<null>'),
+               COALESCE(event_type, '<null>'),
+               COALESCE(CAST(user_id AS VARCHAR), '<null>')) AS vals,
              json_extract_string(props, '$.k') AS k_val,
              3 AS n_entries
       FROM events WHERE event_id < 500"""))

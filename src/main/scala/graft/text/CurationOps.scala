@@ -1,0 +1,284 @@
+package graft.text
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over the `documents` corpus
+  * (SURVEY.md §2.11 north star: the LLM pre-training pipeline steps
+  * that sit between raw crawl and tokenizer).
+  *
+  * Scale shapes, op by op:
+  *  - `redact_terms`, `rep_ratio`: pure per-row regex / array
+  *    expression work inside WholeStageCodegen — zero shuffles.
+  *  - `sample_stratified`: per-row deterministic hash filter — zero
+  *    shuffles; membership is a pure function of the id, so re-runs
+  *    and incremental appends never resample (same property as
+  *    `split_hash`).
+  *  - `pack_sequences`: one shuffle on the stratum key; the running
+  *    sum is windowed per stratum, never a global single-partition
+  *    window.
+  *  - `dedup_keep_best`: reuses the rare-gram candidate join +
+  *    hash-to-min CC of `neardup_cluster`, then one window per
+  *    cluster — all shuffles key-bounded.
+  *  - `contamination`: the eval-benchmark gram set is tiny by
+  *    construction (benchmarks are MBs, the crawl is TBs), so it is
+  *    broadcast — the train side is never shuffled, only scanned.
+  */
+object CurationOps extends OpModule {
+
+  /** Denylist scrubbing: regex term redaction + per-doc hit count —
+    * the PII/denylist scrub shape (the pattern here is a vocabulary
+    * denylist because the synthetic corpus has no emails/phones, but
+    * the plan is byte-identical to a PII regex scrub: one codegen'd
+    * regexp_replace + regexp_count per row, no shuffle). */
+  val redactTerms = Op(
+    "redact_terms",
+    (s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("""\b(customer|vector|key)\b"""))
+          .as("n_hits"),
+        regexp_replace(col("text"), """\b(customer|vector|key)\b""",
+          "[REDACTED]").as("redacted")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\b(customer|vector|key)\b'))
+               AS INT) AS n_hits,
+             regexp_replace(text, '\b(customer|vector|key)\b',
+               '[REDACTED]', 'g') AS redacted
+      FROM documents"""))
+
+  /** Repetition ratios — the Gopher-style quality signals: fraction
+    * of duplicated words, fraction of duplicated word-bigrams, and
+    * top-single-word dominance. All per-row array expressions (the
+    * top1 scan is O(types·tokens) per row, bounded by the ~100-token
+    * docs; at 100 TB this stays embarrassingly parallel row work). */
+  val repRatio = Op(
+    "rep_ratio",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("bg", expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> concat_ws(' ', toks[i], toks[i+1]))"""))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 6).as("dup_word_ratio"),
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
+            / size(col("bg")), 6).as("dup_bigram_ratio"),
+          round(expr(
+            """array_max(transform(array_distinct(toks),
+                 w -> size(filter(toks, x -> x = w))))""").cast("double")
+            / size(col("toks")), 6).as("top1_ratio")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks), 6) AS dup_word_ratio,
+             ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                   / len(bg), 6) AS dup_bigram_ratio,
+             ROUND(CAST(list_aggregate(
+                     list_transform(list_distinct(toks),
+                       w -> len(list_filter(toks, x -> x = w))),
+                     'max') AS DOUBLE) / len(toks), 6) AS top1_ratio
+      FROM (SELECT doc_id, toks,
+                   [toks[i+1] || ' ' || toks[i+2]
+                    FOR i IN range(0, len(toks) - 1)] AS bg
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents)
+            WHERE len(toks) >= 2)"""))
+
+  /** Deterministic per-stratum (language) sampling: keep a document
+    * iff its Knuth-multiplicative hash bucket falls under the
+    * stratum's rate — the corpus-rebalancing step (up/down-weighting
+    * languages or sources). Pure per-row integer arithmetic, no RNG,
+    * no shuffle; the same doc is kept on every re-run and backfill. */
+  val sampleStratified = Op(
+    "sample_stratified",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("(doc_id % 100000) * 2654435761 % 1000"))
+        .withColumn("rate",
+          when(col("lang") === "en", 100)
+            .when(col("lang") === "de", 300)
+            .when(col("lang") === "es", 500)
+            .when(col("lang") === "fr", 700)
+            .otherwise(900))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket")),
+    Some("""
+      SELECT doc_id, lang, bucket
+      FROM (SELECT doc_id, lang,
+                   (doc_id % 100000) * 2654435761 % 1000 AS bucket
+            FROM documents)
+      WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
+                               WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+                               ELSE 900 END"""))
+
+  /** Sequence packing: assign documents to fixed-capacity token bins
+    * (contiguous greedy fill in deterministic doc_id order) — the
+    * pre-tokenization packing pass of a training pipeline. The
+    * running sum is windowed PER STRATUM (lang), never globally: at
+    * 100 TB each shard/stratum packs independently, which is both the
+    * realistic semantics (shards are the unit of training-file
+    * layout) and the scalable window shape. */
+  val packSequences = Op(
+    "pack_sequences",
+    (s, d) => {
+      val cap = 512
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("prefix",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin_id",
+          floor(col("prefix").cast("double") / cap).cast("long"))
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("tot_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, doc_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      p AS (
+        SELECT lang, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prefix
+        FROM t)
+      SELECT lang,
+             CAST(FLOOR(CAST(prefix AS DOUBLE) / 512) AS BIGINT) AS bin_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc
+      FROM p GROUP BY 1, 2"""))
+
+  /** Near-dup retention policy: within each connected near-dup
+    * cluster (same edge set + CC as `neardup_cluster`), keep the
+    * highest-quality document (quality formula identical to
+    * `quality_score`; ties broken by doc_id). This is the step a
+    * dedup pipeline actually ships: not "find the pairs" but "decide
+    * which copy survives". One extra window per cluster on top of the
+    * CC labels — all shuffles stay key-bounded. */
+  val dedupKeepBest = Op(
+    "dedup_keep_best",
+    (s, d) => {
+      val pairs = SimilarityOps.jaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val cc = graft.ops.Graphs.connectedComponents(
+        Tables(s, d, "documents"), "doc_id", pairs, "doc_a", "doc_b")
+      val q = Tables(s, d, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("stop_cnt",
+          expr("size(filter(split(text, ' '), w -> w = 'a' or w = 'the'))"))
+        .select(
+          col("doc_id"),
+          round(
+            least(lit(1.0), col("n_tokens").cast("double") / lit(60.0)) *
+              (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")),
+            6).as("quality"))
+      val rk = row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id")))
+      cc.join(q, "doc_id")
+        .withColumn("rk", rk)
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("rk") === 1, col("quality"))).as("best_quality"))
+    },
+    Some(s"""
+      WITH RECURSIVE pairs AS (${SimilarityOps.ngramJaccardSql}),
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+             FROM reach GROUP BY a),
+      q AS (
+        SELECT doc_id,
+               ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                / 60.0)
+                 * (1.0 - CAST(length(list_filter(string_split(text, ' '),
+                      w -> w = 'a' OR w = 'the')) AS DOUBLE)
+                    / len(string_split(text, ' '))), 6) AS quality
+        FROM documents),
+      ranked AS (
+        SELECT cc.cluster_id, cc.doc_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                 ORDER BY q.quality DESC, cc.doc_id) AS rk
+        FROM cc JOIN q USING (doc_id))
+      SELECT cluster_id, COUNT(*) AS n_members,
+             MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+             MAX(CASE WHEN rk = 1 THEN quality END) AS best_quality
+      FROM ranked GROUP BY cluster_id"""))
+
+  /** Eval-set contamination check: which "train" documents share any
+    * word 8-gram with the held-out "eval" slice (both slices cut by
+    * the same deterministic hash as `split_hash`/`sample_stratified`).
+    * 8-grams (not the dedup trigrams) because contamination wants
+    * near-verbatim evidence, not topical similarity. The eval gram
+    * set is benchmark-sized → broadcast; the train side is scanned
+    * once and never shuffled on text bytes, only (doc_id, gram-hit)
+    * pairs reach the final count. */
+  val contamination = Op(
+    "contamination",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("(doc_id % 100000) * 2654435761 % 1000"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
+        .withColumn("grams", expr(
+          """transform(sequence(0, size(toks) - 8),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                              toks[i+3], toks[i+4], toks[i+5],
+                              toks[i+6], toks[i+7]))"""))
+      val trainG = docs.filter(col("bucket") < 800)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .distinct()
+      val evalG = docs.filter(col("bucket") >= 900)
+        .select(explode(col("grams")).as("g"))
+        .distinct()
+      trainG.join(broadcast(evalG), "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               (doc_id % 100000) * 2654435761 % 1000 AS bucket,
+               unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                       || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                       || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]
+                       FOR i IN range(0, len(toks) - 7)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      train AS (SELECT DISTINCT doc_id, g FROM g WHERE bucket < 800),
+      evalg AS (SELECT DISTINCT g FROM g WHERE bucket >= 900)
+      SELECT doc_id, COUNT(*) AS n_shared_grams
+      FROM train JOIN evalg USING (g)
+      GROUP BY doc_id"""))
+
+  override def ops: Seq[Op] = Seq(redactTerms, repRatio,
+    sampleStratified, packSequences, dedupKeepBest, contamination)
+}

@@ -188,7 +188,7 @@ object SimilarityOps extends OpModule {
 
   /** The ngram_jaccard oracle text, shared with neardup_cluster's
     * recursive-CTE oracle (edges must be the identical pair set). */
-  private val ngramJaccardSql = s"""
+  private[text] val ngramJaccardSql = s"""
       WITH allgrams AS (
         SELECT DISTINCT doc_id, g
         FROM (
