@@ -123,23 +123,29 @@ object CurationOps extends OpModule {
   /** Sequence packing: assign documents to fixed-capacity token bins
     * (contiguous greedy fill in deterministic doc_id order) — the
     * pre-tokenization packing pass of a training pipeline. The
-    * running sum is windowed PER STRATUM (lang), never globally: at
-    * 100 TB each shard/stratum packs independently, which is both the
-    * realistic semantics (shards are the unit of training-file
-    * layout) and the scalable window shape. */
+    * running sum is windowed per (lang, shard) stratum, where shard
+    * is a deterministic hash bucket of the doc id: packing is
+    * embarrassingly parallel across shards (a shard is the unit of
+    * training-file layout), and the shard key is what keeps window
+    * parallelism ∝ data size instead of ∝ the 5-language cardinality
+    * — a lang-only partition would cap the whole 100 TB pass at 5
+    * tasks. */
   val packSequences = Op(
     "pack_sequences",
     (s, d) => {
       val cap = 512
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, d, "documents")
+        .withColumn("shard",
+          expr("(doc_id % 100000) * 2654435761 % 16"))
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("prefix",
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("bin_id",
           floor(col("prefix").cast("double") / cap).cast("long"))
-        .groupBy(col("lang"), col("bin_id"))
+        .groupBy(col("lang"), col("shard"), col("bin_id"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("tot_tokens"),
@@ -149,22 +155,23 @@ object CurationOps extends OpModule {
     Some("""
       WITH t AS (
         SELECT lang, doc_id,
+               (doc_id % 100000) * 2654435761 % 16 AS shard,
                len(string_split(text, ' ')) AS n_tokens
         FROM documents),
       p AS (
-        SELECT lang, doc_id, n_tokens,
+        SELECT lang, shard, doc_id, n_tokens,
                COALESCE(SUM(n_tokens) OVER (
-                 PARTITION BY lang ORDER BY doc_id
+                 PARTITION BY lang, shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) AS prefix
         FROM t)
-      SELECT lang,
+      SELECT lang, shard,
              CAST(FLOOR(CAST(prefix AS DOUBLE) / 512) AS BIGINT) AS bin_id,
              COUNT(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
              MIN(doc_id) AS first_doc,
              MAX(doc_id) AS last_doc
-      FROM p GROUP BY 1, 2"""))
+      FROM p GROUP BY 1, 2, 3"""))
 
   /** Near-dup retention policy: within each connected near-dup
     * cluster (same edge set + CC as `neardup_cluster`), keep the

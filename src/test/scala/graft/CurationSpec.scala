@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the CurationOps module that the DuckDB
+  * oracle cannot express: packing-capacity invariants, sampling
+  * determinism/subset-ness, redaction completeness, cluster-retention
+  * consistency, and the broadcast plan shape of the contamination
+  * join (the 100 TB-critical property: the train side must never
+  * shuffle on the benchmark gram set).
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("redact_terms leaves no denylist token in the redacted text") {
+    val bad = q("redact_terms")
+      .filter(col("redacted").rlike("""\b(customer|vector|key)\b"""))
+      .count()
+    assert(bad == 0)
+    // and hit counts reconcile: n_hits = token delta between texts
+    val mismatch = q("redact_terms")
+      .withColumn("n_red",
+        size(split(col("redacted"), " ")) -
+          size(array_remove(split(col("redacted"), " "), "[REDACTED]")))
+      .filter(col("n_red") =!= col("n_hits"))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("rep_ratio ratios are all within [0, 1]") {
+    val out = q("rep_ratio")
+    val offenders = out.filter(
+      col("dup_word_ratio") < 0 || col("dup_word_ratio") > 1 ||
+        col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1 ||
+        col("top1_ratio") <= 0 || col("top1_ratio") > 1).count()
+    assert(offenders == 0)
+  }
+
+  test("sample_stratified is deterministic and a subset of the corpus") {
+    val a = q("sample_stratified").collect().map(_.getLong(0)).sorted
+    val b = q("sample_stratified").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "two runs sampled different docs")
+    val ids = Tables(spark, sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a.forall(ids.contains), "sampled a doc_id not in the corpus")
+  }
+
+  test("pack_sequences: bins are contiguous per stratum and respect " +
+    "capacity up to one straddling document") {
+    val rows = q("pack_sequences").collect()
+    val cap = 512
+    val maxDoc = Tables(spark, sfDir, "documents")
+      .select(max(size(split(col("text"), " ")))).head().getInt(0)
+    rows.foreach { r =>
+      val tot = r.getAs[Long]("tot_tokens")
+      assert(tot <= cap + maxDoc,
+        s"bin ${r.getAs[Long]("bin_id")} holds $tot tokens " +
+          s"(cap $cap + max doc $maxDoc)")
+    }
+    // bin ids per (lang, shard) stratum are exactly 0..max with no gaps
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (stratum, rs) =>
+        val bins = rs.map(_.getAs[Long]("bin_id")).sorted
+        assert(bins.sameElements(bins.indices.map(_.toLong)),
+          s"$stratum bins not contiguous: ${bins.mkString(",")}")
+      }
+    // every doc is packed exactly once
+    val packed = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(packed == nDocs)
+  }
+
+  test("dedup_keep_best: every doc is in exactly one cluster and the " +
+    "kept doc has the cluster's max quality") {
+    val out = q("dedup_keep_best").collect()
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum == nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Double]("best_quality") >= 0.0)
+      assert(r.getAs[Long]("keep_id") >= r.getAs[Long]("cluster_id"),
+        "cluster_id is the min member id; keep_id cannot be below it")
+    }
+  }
+
+  test("contamination joins the eval gram set via broadcast " +
+    "(train side never shuffled on grams)") {
+    val df = q("contamination")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+}
