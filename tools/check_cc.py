@@ -10,11 +10,51 @@ with union-find over the Verify dumps instead: edges from the
 ngram_jaccard result, nodes from documents, expected labels compared
 exactly against the neardup_cluster result.
 
+Also verifies `dedup_keep_best` (whose declared oracle shares the
+same recursive CTE) when its dump is present: expected answer =
+argmax-quality member per union-find cluster (tie → min doc_id),
+with quality computed by DuckDB using the exact oracle expression.
+
 Usage: python3 tools/check_cc.py <sfDir> <verifyOutDir>
 """
+import os
 import sys
 
 import duckdb
+
+
+def check_keep_best(con, sf_dir, out_dir, want):
+    qual = dict(con.execute(f"""
+        SELECT doc_id,
+               ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                / 60.0)
+                 * (1.0 - CAST(length(list_filter(string_split(text, ' '),
+                      w -> w = 'a' OR w = 'the')) AS DOUBLE)
+                    / len(string_split(text, ' '))), 6) AS quality
+        FROM read_parquet('{sf_dir}/documents.parquet')""").fetchall())
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        f"SELECT cluster_id, n_members, keep_id, best_quality FROM "
+        f"read_parquet('{out_dir}/dedup_keep_best/*.parquet')").fetchall()}
+    clusters = {}
+    for n, c in want.items():
+        clusters.setdefault(c, []).append(n)
+    assert set(got) == set(clusters), (
+        f"cluster sets differ: {len(got)} vs {len(clusters)}")
+    bad = []
+    for c, members in clusters.items():
+        keep = min(members, key=lambda n: (-qual[n], n))
+        g = got[c]
+        if (g[0], g[1]) != (len(members), keep) or \
+                abs(g[2] - qual[keep]) > 1e-9:
+            bad.append((c, g, (len(members), keep, qual[keep])))
+    if bad:
+        c, g, w = bad[0]
+        print(f"FAIL dedup_keep_best: {len(bad)} bad clusters; "
+              f"e.g. cluster {c}: spark={g} expected={w}")
+        return 1
+    print(f"PASS dedup_keep_best ({len(clusters)} clusters, "
+          f"argmax-quality member verified in each)")
+    return 0
 
 
 def main(sf_dir, out_dir):
@@ -57,6 +97,8 @@ def main(sf_dir, out_dir):
     n_clusters = len(set(want.values()))
     print(f"PASS neardup_cluster ({len(nodes)} docs, {len(edges)} edges, "
           f"{n_clusters} clusters)")
+    if os.path.isdir(f"{out_dir}/dedup_keep_best"):
+        return check_keep_best(con, sf_dir, out_dir, want)
     return 0
 
 
