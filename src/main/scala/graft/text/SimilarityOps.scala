@@ -256,6 +256,111 @@ object SimilarityOps extends OpModule {
       SELECT a AS doc_id, MIN(b) AS cluster_id
       FROM reach GROUP BY a"""))
 
+  /** Deterministic MinHash-LSH near-dup join — the oracle-checkable
+    * twin of `dedup_minhash` (whose ml-lib hash family is
+    * implementation-defined and therefore unverifiable by SQL).
+    *
+    * Hash family: h_i(g) = md5(i ':' g), compared lexicographically —
+    * md5 hex is byte-identical across engines and the lexicographic
+    * min over hex strings is a valid uniform min-hash. Signature =
+    * 8 min-hashes; banding = 4 bands x 2 rows; two docs are
+    * candidates iff some band key (concat of the band's 2 sigs)
+    * matches. Candidates are then exact-filtered on full trigram-set
+    * Jaccard >= 0.4.
+    *
+    * Scale shape: the canonical 100 TB dedup plan — signatures are
+    * per-row expression work (8 x |grams| md5s, no shuffle), the only
+    * document-count-sized shuffle is on (band, bkey), and the exact
+    * verify join touches candidate pairs only, never all pairs. No
+    * cartesian anywhere; fan-out per bucket is bounded by band
+    * collision width.
+    */
+  val minhashDet = Op(
+    "minhash_det",
+    (s, d) => {
+      val nBands = 4
+      val docs = Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("grams", array_distinct(expr(
+          """transform(sequence(0, size(toks) - 3),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""")))
+      val sigCols = (0 until 2 * nBands).map { i =>
+        expr(s"array_min(transform(grams, g -> md5(concat('$i:', g))))")
+          .as(s"h$i")
+      }
+      val sig = docs.select((col("doc_id") +: col("grams") +: sigCols): _*)
+      val bandArr = (0 until nBands)
+        .map(j => s"struct($j as band, concat(h${2 * j}, h${2 * j + 1}) as bkey)")
+        .mkString("array(", ", ", ")")
+      val bands = sig
+        .select(col("doc_id"), explode(expr(bandArr)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.bkey").as("bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val grams = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some {
+      val sigSql = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(grams, g -> md5('$i:' || g)), 'min') AS h$i")
+        .mkString(",\n               ")
+      val bandSql = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band, h${2 * j} || h${2 * j + 1} AS bkey FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                              FOR i IN range(0, len(toks) - 2)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+               $sigSql
+        FROM docs),
+      bands AS (
+        $bandSql),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      grams AS (SELECT doc_id, unnest(grams) AS g FROM docs),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+        FROM cand
+        JOIN grams ga ON ga.doc_id = cand.doc_a
+        JOIN grams gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+              >= 0.4"""
+    })
+
   /** Heuristic language ID from stopword-marker counts (n-gram
     * heuristic family): argmax over per-language marker hit counts
     * with a deterministic tie-break, scored against the labeled
@@ -305,5 +410,5 @@ object SimilarityOps extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
-      langId)
+      minhashDet, langId)
 }
