@@ -34,6 +34,19 @@ object GraftFunctions {
       require(args.nonEmpty && args.length <= 2, "kmv_distinct(col[, k])")
       if (args.length == 1) KmvDistinct(args(0))
       else KmvDistinct(args(0), intArg(args(1), "k"))
+    },
+    "mg_topk" -> { args =>
+      require(args.nonEmpty && args.length <= 2, "mg_topk(col[, k])")
+      if (args.length == 1) MgTopK(args(0))
+      else MgTopK(args(0), intArg(args(1), "k"))
+    },
+    "bloom_agg" -> { args =>
+      require(args.length == 1, "bloom_agg(col)")
+      BloomAgg(args(0))
+    },
+    "bloom_contains" -> { args =>
+      require(args.length == 2, "bloom_contains(bloomBytes, col)")
+      BloomMightContain(args(0), args(1))
     })
 
   def register(spark: SparkSession): Unit = {

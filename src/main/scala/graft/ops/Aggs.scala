@@ -292,8 +292,63 @@ object Aggs extends OpModule {
              string_agg(n_name, ',' ORDER BY n_name) AS nations
       FROM per GROUP BY c_mktsegment"""))
 
+  /** Misra–Gries heavy hitters under a driver-visible oracle (the
+    * same bounded-error pattern as `kmv_bound`). The stream is the
+    * event log with deterministic type weights (purchase ×10,
+    * click ×3 — the fixture's 5 event types are near-uniform, so the
+    * weights create the skew a heavy-hitter pass exists for), itemized
+    * as event_type:user-bucket → 20 distinct items churning through 8
+    * counters. Output = claimed items whose EXACT count clears n/k —
+    * a deterministic set by the MG superset guarantee (every item
+    * above n/(k+1) survives any merge order) — plus a boolean that
+    * the estimate is within n/k (deterministically true). The exact
+    * counts come from a weighted sum, not a second pass over the
+    * exploded stream. */
+  val heavyHitters = Op(
+    "heavy_hitters",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val weighted = Tables.events(s, d)
+        .withColumn("w",
+          when(col("event_type") === "purchase", 10)
+            .when(col("event_type") === "click", 3)
+            .otherwise(1))
+        .withColumn("item",
+          concat(col("event_type"), lit(":"),
+            (col("user_id") % 4).cast("string")))
+      val stream = weighted
+        .select(col("item"), explode(expr("sequence(1, w)")))
+        .select(col("item"))
+      val sk = stream.agg(
+        expr("mg_topk(item, 8)").as("sk"),
+        count(lit(1)).as("t"))
+      val claimed = sk.select(col("t"),
+        explode(col("sk")).as(Seq("item", "est")))
+      val exact = weighted.groupBy(col("item"))
+        .agg(sum(col("w")).cast("long").as("exact_cnt"))
+      claimed.join(exact, "item")
+        .filter(col("exact_cnt") > col("t").cast("double") / 8.0)
+        .select(
+          col("item"), col("exact_cnt"),
+          (col("est") <= col("exact_cnt") &&
+            (col("exact_cnt") - col("est")) <=
+              col("t").cast("double") / 8.0).as("in_bound"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT event_type || ':' || CAST(user_id % 4 AS VARCHAR) AS item,
+               CASE event_type WHEN 'purchase' THEN 10
+                               WHEN 'click' THEN 3 ELSE 1 END AS w
+        FROM events),
+      tot AS (SELECT SUM(w) AS t FROM w),
+      exact AS (SELECT item, CAST(SUM(w) AS BIGINT) AS exact_cnt
+                FROM w GROUP BY item)
+      SELECT item, exact_cnt, TRUE AS in_bound
+      FROM exact, tot
+      WHERE exact_cnt > CAST(t AS DOUBLE) / 8.0"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
-      quantileBound, aggSalted)
+      quantileBound, aggSalted, heavyHitters)
 }

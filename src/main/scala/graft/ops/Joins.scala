@@ -219,7 +219,42 @@ object Joins extends OpModule {
       WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
       GROUP BY o_orderpriority"""))
 
+  /** Bloom-prefiltered semi-join — the runtime-filter pattern as a
+    * first-class op: build a 128 KiB Bloom filter over the small
+    * side's keys (`bloom_agg`, partials OR-merge), broadcast it, and
+    * drop fact rows with the codegen'd `bloom_contains` probe BEFORE
+    * the exact semi-join. Answers are exact at any false-positive
+    * rate because the exact join stays behind the filter; what the
+    * bloom buys at 100 TB is shuffle volume — only probable matches
+    * ever leave the fact scan. The oracle is the plain EXISTS (the
+    * bloom is semantically invisible). */
+  val bloomSemi = Op(
+    "bloom_semi",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val dims = Tables(s, d, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      val bloom = dims.agg(expr("bloom_agg(o_orderkey)").as("bf"))
+      Tables(s, d, "lineitem")
+        .crossJoin(broadcast(bloom))
+        .filter(expr("bloom_contains(bf, l_orderkey)"))
+        .join(dims, col("l_orderkey") === dims("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             ROUND(SUM(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_orderkey = l_orderkey
+                      AND o_totalprice > 400000)
+      GROUP BY l_returnflag"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
-      joinTheta, joinAsof, joinFull, joinScalarSub)
+      joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi)
 }

@@ -84,4 +84,48 @@ class SketchSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(approx == uniq, s"dup input $approx != distinct input $uniq")
   }
+
+  // ---- Misra–Gries heavy hitters (mg_topk) ----
+
+  test("mg_topk is exact when distinct count <= k") {
+    val ev = Tables.events(spark, sfDir)
+    ev.createOrReplaceTempView("ev_mg")
+    // 5 distinct event types through 8 counters: no decrement ever fires
+    val got = spark.sql(
+      "SELECT explode(mg_topk(event_type, 8)) AS (item, est) FROM ev_mg")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"below k the sketch must be exact: $got vs $exact")
+  }
+
+  test("mg_topk guarantees hold under any repartitioning") {
+    import spark.implicits._
+    // zipf-ish synthetic stream: item i appears 10000/(i+1) times,
+    // 200 distinct items through k=16 counters
+    val rows = (0 until 200).flatMap(i => Seq.fill(10000 / (i + 1))(s"i$i"))
+    val n = rows.size.toLong
+    val k = 16
+    val exact = rows.groupBy(identity).map { case (it, xs) =>
+      it -> xs.size.toLong }
+    for (parts <- Seq(1, 7, 32)) {
+      rows.toDF("item").repartition(parts)
+        .createOrReplaceTempView("mg_stream")
+      val est = spark.sql(
+        s"SELECT explode(mg_topk(item, $k)) AS (item, est) FROM mg_stream")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // underestimate-only + error bound, for every claimed item
+      est.foreach { case (it, e) =>
+        val ex = exact(it)
+        assert(e <= ex, s"[$parts parts] overestimate: $it $e > $ex")
+        assert(ex - e <= n / (k + 1),
+          s"[$parts parts] error too large: $it $ex-$e > ${n / (k + 1)}")
+      }
+      // superset guarantee: every item above n/(k+1) is claimed
+      exact.filter(_._2 > n / (k + 1)).keys.foreach { it =>
+        assert(est.contains(it),
+          s"[$parts parts] heavy item $it missing from sketch")
+      }
+    }
+  }
 }
