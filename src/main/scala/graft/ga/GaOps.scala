@@ -406,7 +406,51 @@ object GaOps extends OpModule {
       ORDER BY n_events DESC, event_type, day
       LIMIT 10 OFFSET 20"""))
 
+  /** CDC log→snapshot compaction: the latest state per key
+    * (last-write-wins on (ts, event_id)) — what a change-log reader
+    * ships to turn an append-only event stream into a current-state
+    * table.
+    *
+    * Scale shape: a single-pass `max(struct(...))` hash aggregate —
+    * struct comparison is lexicographic, so the max over
+    * (us, event_id, payload...) IS the latest row — with map-side
+    * partial aggregation collapsing each scan partition to one row
+    * per live key before the only shuffle. The window-function
+    * formulation (`row_number` + filter, what the oracle runs) cannot
+    * partial-aggregate: it shuffles every log row. At 100 TB of log
+    * versus ~millions of live keys that is the whole game. */
+  val cdcLatest = Op(
+    "cdc_latest",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(
+          max(struct(col("us"), col("event_id"), col("event_type"),
+            col("value"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .select(
+          col("user_id"),
+          col("last.us").as("last_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          round(col("last.value"), 2).as("last_value"),
+          col("n_versions")),
+    Some("""
+      WITH v AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+               event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                          event_id DESC) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events)
+      SELECT user_id, us AS last_us, event_id AS last_event_id,
+             event_type AS last_event_type, ROUND(value, 2) AS last_value,
+             n_versions
+      FROM v WHERE rk = 1"""))
+
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
     cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
-    gaSessions, sessionMetrics, pageTopk)
+    gaSessions, sessionMetrics, pageTopk, cdcLatest)
 }

@@ -232,18 +232,27 @@ object Joins extends OpModule {
     "bloom_semi",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      val dims = Tables(s, d, "orders")
+      // the probe must be a scalar-subquery Filter, not a cross join:
+      // a crossJoin(broadcast(bloom)) + filter becomes a join
+      // condition that Catalyst is free to reorder ABOVE the exact
+      // semi-join (observed), defeating the prefilter; the subquery
+      // form is evaluated once and the probe stays a Filter on the
+      // fact scan, below the join (PlanShapeSpec asserts this)
+      Tables(s, d, "orders")
         .filter(col("o_totalprice") > 400000)
         .select(col("o_orderkey"))
-      val bloom = dims.agg(expr("bloom_agg(o_orderkey)").as("bf"))
-      Tables(s, d, "lineitem")
-        .crossJoin(broadcast(bloom))
-        .filter(expr("bloom_contains(bf, l_orderkey)"))
-        .join(dims, col("l_orderkey") === dims("o_orderkey"), "left_semi")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n_items"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .createOrReplaceTempView("bloom_semi_dims")
+      Tables(s, d, "lineitem").createOrReplaceTempView("bloom_semi_fact")
+      s.sql("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM bloom_semi_fact l
+        WHERE bloom_contains(
+                (SELECT bloom_agg(o_orderkey) FROM bloom_semi_dims),
+                l.l_orderkey)
+          AND EXISTS (SELECT 1 FROM bloom_semi_dims d
+                      WHERE d.o_orderkey = l.l_orderkey)
+        GROUP BY l_returnflag""")
     },
     Some("""
       SELECT l_returnflag, COUNT(*) AS n_items,

@@ -267,6 +267,65 @@ object VectorOps extends OpModule {
       ORDER BY score DESC, a.vec_id
       LIMIT 10"""))
 
+  /** Int8 embedding quantization + quantized top-k — the
+    * memory-bandwidth play of a 100 TB vector store: per-vector
+    * symmetric quantization (scale = 127/max|x|, floor — floor not
+    * round, so Spark and DuckDB agree bit-for-bit), then scoring in
+    * pure 64-bit integer arithmetic against the quantized target.
+    * Stored vectors shrink 4× (int8 vs float32) and the hot loop is
+    * integer multiply-add; the per-vector scale rides along to map
+    * integer scores back to approximate cosine space. All arithmetic
+    * after the one float→double cast is exact, so the full pipeline
+    * (quantize → integer dot → rescale) is oracle-checkable. */
+  val embedQuantize = Op(
+    "embed_quantize",
+    (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+        .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mx", expr(
+          "greatest(array_max(transform(e, x -> abs(x))), CAST(1e-30 AS DOUBLE))"))
+        .withColumn("sc", lit(127.0) / col("mx"))
+        .withColumn("qv", expr(
+          "transform(e, x -> CAST(floor(x * sc) AS BIGINT))"))
+      val target = emb.filter(col("vec_id") === 0)
+        .select(col("qv").as("t_qv"), col("sc").as("t_sc"))
+      emb.crossJoin(broadcast(target))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("qdot", expr(
+          """aggregate(zip_with(qv, t_qv, (a, b) -> a * b),
+               CAST(0 AS BIGINT), (acc, x) -> acc + x)"""))
+        .withColumn("approx", round(col("qdot") / (col("sc") * col("t_sc")), 4))
+        .select(col("vec_id"), col("label"), col("qdot"), col("approx"))
+        .orderBy(col("approx").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+      m AS (
+        SELECT vec_id, label, e,
+               greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                        1e-30) AS mx
+        FROM base),
+      qs AS (
+        SELECT vec_id, label, 127.0 / mx AS sc,
+               list_transform(e, x -> CAST(floor(x * (127.0 / mx)) AS BIGINT))
+                 AS qv
+        FROM m),
+      t AS (SELECT qv AS t_qv, sc AS t_sc FROM qs WHERE vec_id = 0),
+      scored AS (
+        SELECT q.vec_id, q.label, q.sc, t.t_sc,
+               CAST(list_sum([q.qv[i+1] * t.t_qv[i+1]
+                              FOR i IN range(0, len(q.qv))]) AS BIGINT)
+                 AS qdot
+        FROM qs q, t WHERE q.vec_id <> 0)
+      SELECT vec_id, label, qdot, ROUND(qdot / (sc * t_sc), 4) AS approx
+      FROM scored
+      ORDER BY approx DESC, vec_id
+      LIMIT 10"""))
+
   override def ops: Seq[Op] =
-    Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk)
+    Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
+      embedQuantize)
 }

@@ -107,6 +107,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window not partitioned by user_id:\n${windows.mkString("\n")}")
   }
 
+  test("bloom_semi probes the bloom before any join of the fact side") {
+    val plan = executedPlan(q("bloom_semi"))
+    // the codegen'd probe must appear as a Filter condition...
+    assert(plan.contains("bloom_contains"),
+      s"bloom probe missing from executed plan:\n${plan.take(1200)}")
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_contains"))
+    assert(probeIdx >= 0, "bloom_contains not in a Filter")
+    // ...and the exact semi-join must sit ABOVE the probe filter in the
+    // tree (i.e. the probe runs first, on the scan side)
+    val semiIdx = lines.indexWhere(_.contains("LeftSemi"))
+    assert(semiIdx >= 0 && semiIdx < probeIdx,
+      s"semi join not downstream of the bloom probe (semi@$semiIdx, probe@$probeIdx)")
+  }
+
+  test("cdc_latest partially aggregates before the only shuffle") {
+    val plan = executedPlan(q("cdc_latest"))
+    // map-side partial: a HashAggregate in partial mode below the
+    // exchange — the reason the agg formulation beats the window one
+    assert(plan.contains("partial_max") || plan.contains("partial"),
+      s"no partial aggregation found:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      "cdc_latest must not fall back to a window formulation")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
