@@ -210,4 +210,51 @@ object Graft {
       .filter(size(col(toks)) >= n)
       .select(col(idCol), expr(s"ngrams(`$toks`, $n)"))
   }
+
+  /** Approximate heavy hitters over a string column: Misra–Gries with
+    * `k` counters (graft.ext.MgTopK). Returns (item, est) rows for
+    * the claimed items; est underestimates by at most n/(k+1)
+    * regardless of partitioning, and every item with frequency above
+    * n/(k+1) is present. One scan, k-sized state, no shuffle of raw
+    * items. */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int = 64): DataFrame = {
+    register(df.sparkSession)
+    df.select(col(itemCol).cast("string").as("_item"))
+      .agg(expr(s"mg_topk(_item, $k)").as("_sk"))
+      .select(explode(col("_sk")).as(Seq("item", "est")))
+  }
+
+  /** Bloom-prefiltered semi-join: keep fact rows whose `factKey`
+    * (BIGINT) appears in `dims.dimKey`. The 128 KiB filter is built
+    * distributed (`bloom_agg`, OR-merged partials) and reduced to the
+    * driver — a deliberate one-row collect, the same materialization
+    * a scalar subquery performs — then embedded as a literal so the
+    * codegen'd probe is a plain Filter on the fact scan, guaranteed
+    * below the exact semi-join. Answers are exact at any
+    * false-positive rate; the bloom only cuts shuffle volume. */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+      dims: DataFrame, dimKey: String): DataFrame = {
+    register(fact.sparkSession)
+    val bloom = dims.select(col(dimKey).cast("long").as("_k"))
+      .agg(expr("bloom_agg(_k)")).head.getAs[Array[Byte]](0)
+    fact
+      .filter(call_function("bloom_contains",
+        lit(bloom), col(factKey).cast("long")))
+      .join(dims.select(col(dimKey).as("_dk")).distinct(),
+        col(factKey) === col("_dk"), "left_semi")
+  }
+
+  /** Per-row symmetric int8 quantization of a float-vector column:
+    * adds `<vecCol>_q` (array<bigint> with int8-range values) and
+    * `<vecCol>_scale` (127/max|x|). floor-based, so results are
+    * bit-reproducible across engines; dequantize as q[i]/scale. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val mx = fresh("_mx", df.columns.toSet)
+    df.withColumn(mx, expr(
+        s"greatest(array_max(transform(`$vecCol`, x -> abs(CAST(x AS DOUBLE)))), CAST(1e-30 AS DOUBLE))"))
+      .withColumn(s"${vecCol}_scale", lit(127.0) / col(mx))
+      .withColumn(s"${vecCol}_q", expr(
+        s"transform(`$vecCol`, x -> CAST(floor(CAST(x AS DOUBLE) * `${vecCol}_scale`) AS BIGINT))"))
+      .drop(mx)
+  }
 }

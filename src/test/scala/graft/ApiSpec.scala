@@ -241,4 +241,49 @@ class ApiSpec extends AnyFunSuite {
     assert(winners.distinct.length == 1)
     assert(winners.head == "a-state") // tie-break: remaining cols asc
   }
+
+  test("heavyHitters claims every above-threshold item with a bounded est") {
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    val k = 4
+    val got = Graft.heavyHitters(ev, "event_type", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.filter(_._2 > n / (k + 1)).keys.foreach(it =>
+      assert(got.contains(it), s"missing heavy item $it"))
+    got.foreach { case (it, e) =>
+      assert(e <= exact(it) && exact(it) - e <= n / (k + 1))
+    }
+  }
+
+  test("bloomSemiJoin equals the exact semi-join") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val dims = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val viaBloom = Graft.bloomSemiJoin(li, "l_orderkey", dims, "o_orderkey")
+    val exact = li.join(dims, col("l_orderkey") === col("o_orderkey"),
+      "left_semi")
+    assert(viaBloom.count() == exact.count())
+    assert(viaBloom.columns.sameElements(li.columns),
+      "semi-join must not leak dim columns")
+  }
+
+  test("quantizeInt8 round-trips within one quantization step") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(50)
+    val q = Graft.quantizeInt8(emb, "embedding")
+    val rows = q.select("embedding", "embedding_q", "embedding_scale")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val quant = r.getSeq[Long](1)
+      val scale = r.getDouble(2)
+      assert(quant.forall(v => v >= -128 && v <= 127), "int8 range")
+      orig.zip(quant).foreach { case (x, v) =>
+        assert(math.abs(x - v / scale) <= 1.0 / scale + 1e-12,
+          s"dequantized $v/$scale too far from $x")
+      }
+    }
+  }
 }

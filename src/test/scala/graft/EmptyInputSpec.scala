@@ -69,4 +69,16 @@ class EmptyInputSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(n == 0L)
   }
+
+  test("heavyHitters over zero rows claims nothing") {
+    assert(Graft.heavyHitters(emptyEvents, "event_type", 8).count() == 0)
+  }
+
+  test("bloomSemiJoin with an empty dim side keeps no fact rows") {
+    val li = SparkFixture.q("scan_project").limit(100)
+      .select(col("l_orderkey"))
+    val emptyDims = emptyEvents.select(col("event_id").as("o_orderkey"))
+    assert(Graft.bloomSemiJoin(li, "l_orderkey", emptyDims, "o_orderkey")
+      .count() == 0)
+  }
 }

@@ -256,4 +256,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length == batch.length && got.sameElements(batch))
     assert(batch.nonEmpty, "fixture should contain matching pairs")
   }
+
+  test("mg_topk streams: incremental sketch keeps the MG guarantees") {
+    import spark.implicits._
+    // the realtime heavy-hitters shape: the mergeable sketch is also
+    // an incremental one — complete-mode streaming aggregation feeds
+    // batches through the same merge path the batch partials use
+    val in = MemoryStream[Ev](90, spark, None)
+    val sdf = in.toDF()
+      .groupBy()
+      .agg(expr("mg_topk(event_type, 3)").as("sk"),
+        count(lit(1)).as("n"))
+    val query = sdf.writeStream
+      .format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", freshDir())
+      .start()
+    // feed in three uneven chunks so state merges across triggers
+    val chunks = allEvents.grouped((allEvents.size / 3).max(1)).toSeq
+    chunks.foreach { c => in.addData(c); query.processAllAvailable() }
+    query.stop()
+    val row = spark.table("mg_stream").collect().head
+    val est = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    val exact = allEvents.groupBy(_.event_type)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    // 5 distinct types through 3 counters: guarantees, not equality
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t) && exact(t) - e <= n / 4,
+        s"stream sketch out of bound for $t: $e vs ${exact(t)}")
+    }
+    exact.filter(_._2 > n / 4).keys.foreach(t =>
+      assert(est.contains(t), s"heavy type $t missing"))
+  }
 }
