@@ -133,6 +133,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "cdc_latest must not fall back to a window formulation")
   }
 
+  test("minhash_det candidate join is an equi-join, never a cartesian") {
+    val plan = executedPlan(q("minhash_det"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("heavy_hitters sketch partially aggregates map-side") {
+    val plan = executedPlan(q("heavy_hitters"))
+    assert(plan.contains("partial_mg_topk"),
+      s"MG sketch must combine map-side (one scan, k-sized partials):\n${plan.take(1200)}")
+  }
+
+  test("embed_quantize ranks via TakeOrderedAndProject with broadcast target") {
+    val plan = executedPlan(q("embed_quantize"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"quantized target not broadcast:\n${plan.take(1200)}")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
