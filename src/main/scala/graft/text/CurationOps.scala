@@ -286,6 +286,68 @@ object CurationOps extends OpModule {
       FROM train JOIN evalg USING (g)
       GROUP BY doc_id"""))
 
+  /** `contamination` rebuilt for the regime where the eval gram set
+    * is NOT broadcastable (a many-benchmark suite against a full
+    * crawl): Bloom-filter decontamination. The eval side's 8-gram
+    * hashes build a fixed 128 KiB `bloom_agg`; the train side drops
+    * non-colliding grams with the codegen'd `bloom_contains` probe
+    * BEFORE the exact gram join, so only probable hits (true matches
+    * + fpp) are ever shuffled. The exact join behind the filter makes
+    * the answer identical to `contamination` — same oracle — at any
+    * false-positive rate; the hash (xxhash64) never has to match the
+    * oracle engine because it lives entirely inside the prefilter. */
+  val contaminationBloom = Op(
+    "contamination_bloom",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val docs = Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("(doc_id % 100000) * 2654435761 % 1000"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
+        .withColumn("grams", expr(
+          """transform(sequence(0, size(toks) - 8),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                              toks[i+3], toks[i+4], toks[i+5],
+                              toks[i+6], toks[i+7]))"""))
+      docs.filter(col("bucket") >= 900)
+        .select(explode(col("grams")).as("g"))
+        .select(expr("xxhash64(g)").as("h"))
+        .createOrReplaceTempView("contam_eval_hashes")
+      docs.filter(col("bucket") >= 900)
+        .select(explode(col("grams")).as("g")).distinct()
+        .createOrReplaceTempView("contam_eval_grams")
+      docs.filter(col("bucket") < 800)
+        .select(col("doc_id"), explode(col("grams")).as("g")).distinct()
+        .createOrReplaceTempView("contam_train_grams")
+      s.sql("""
+        SELECT t.doc_id, COUNT(*) AS n_shared_grams
+        FROM contam_train_grams t
+        JOIN contam_eval_grams e ON t.g = e.g
+        WHERE bloom_contains(
+                (SELECT bloom_agg(h) FROM contam_eval_hashes),
+                xxhash64(t.g))
+        GROUP BY t.doc_id""")
+    },
+    // identical to `contamination`'s oracle: the bloom is invisible
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               (doc_id % 100000) * 2654435761 % 1000 AS bucket,
+               unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                       || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                       || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]
+                       FOR i IN range(0, len(toks) - 7)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      train AS (SELECT DISTINCT doc_id, g FROM g WHERE bucket < 800),
+      evalg AS (SELECT DISTINCT g FROM g WHERE bucket >= 900)
+      SELECT doc_id, COUNT(*) AS n_shared_grams
+      FROM train JOIN evalg USING (g)
+      GROUP BY doc_id"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
-    sampleStratified, packSequences, dedupKeepBest, contamination)
+    sampleStratified, packSequences, dedupKeepBest, contamination,
+    contaminationBloom)
 }

@@ -154,6 +154,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quantized target not broadcast:\n${plan.take(1200)}")
   }
 
+  test("contamination_bloom probes before the gram join") {
+    val plan = executedPlan(q("contamination_bloom"))
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_contains"))
+    assert(probeIdx >= 0, s"bloom probe missing:\n${plan.take(1200)}")
+    val joinIdx = lines.indexWhere(l =>
+      l.contains("Join") && !l.contains("bloom"))
+    assert(joinIdx >= 0 && joinIdx < probeIdx,
+      s"gram join not downstream of the probe (join@$joinIdx, probe@$probeIdx)")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
