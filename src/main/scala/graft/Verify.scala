@@ -32,6 +32,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // run queries on a small thread pool: Spark schedules concurrent
     // jobs fine, and the dump is dominated by per-query fixed cost
+    // a subset arg that matches nothing must fail loudly: a typo'd
+    // spot-check would otherwise dump zero queries, write an empty
+    // oracle_sql.json, and let the compare "pass" on zero keys
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -237,11 +237,12 @@ object Graft {
     register(fact.sparkSession)
     val bloom = dims.select(col(dimKey).cast("long").as("_k"))
       .agg(expr("bloom_agg(_k)")).head.getAs[Array[Byte]](0)
+    val dk = fresh("_dk", fact.columns.toSet ++ dims.columns)
     fact
       .filter(call_function("bloom_contains",
         lit(bloom), col(factKey).cast("long")))
-      .join(dims.select(col(dimKey).as("_dk")).distinct(),
-        col(factKey) === col("_dk"), "left_semi")
+      .join(dims.select(col(dimKey).as(dk)).distinct(),
+        col(factKey) === col(dk), "left_semi")
   }
 
   /** Per-row symmetric int8 quantization of a float-vector column:

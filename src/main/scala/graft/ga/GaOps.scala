@@ -436,13 +436,18 @@ object GaOps extends OpModule {
           col("last.event_type").as("last_event_type"),
           round(col("last.value"), 2).as("last_value"),
           col("n_versions")),
+    // the oracle's tie-break mirrors the FULL struct ordering (us,
+    // event_id, event_type, value), not just the (us, event_id) key:
+    // event_id is unique in the fixture, but under at-least-once CDC
+    // delivery a duplicated (us, event_id) with a differing payload
+    // would otherwise let each engine pick a different winner
     Some("""
       WITH v AS (
         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
                event_type, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
-                          event_id DESC) AS rk,
+                          event_id DESC, event_type DESC, value DESC) AS rk,
                COUNT(*) OVER (PARTITION BY user_id) AS n_versions
         FROM events)
       SELECT user_id, us AS last_us, event_id AS last_event_id,

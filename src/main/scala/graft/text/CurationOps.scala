@@ -187,16 +187,8 @@ object CurationOps extends OpModule {
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
       val cc = graft.ops.Graphs.connectedComponents(
         Tables(s, d, "documents"), "doc_id", pairs, "doc_a", "doc_b")
-      val q = Tables(s, d, "documents")
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("stop_cnt",
-          expr("size(filter(split(text, ' '), w -> w = 'a' or w = 'the'))"))
-        .select(
-          col("doc_id"),
-          round(
-            least(lit(1.0), col("n_tokens").cast("double") / lit(60.0)) *
-              (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")),
-            6).as("quality"))
+      // quality formula shared with quality_score — single source
+      val q = TextOps.docQuality(s, d)
       val rk = row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("quality").desc, col("doc_id")))
@@ -221,12 +213,7 @@ object CurationOps extends OpModule {
       cc AS (SELECT a AS doc_id, MIN(b) AS cluster_id
              FROM reach GROUP BY a),
       q AS (
-        SELECT doc_id,
-               ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
-                                / 60.0)
-                 * (1.0 - CAST(length(list_filter(string_split(text, ' '),
-                      w -> w = 'a' OR w = 'the')) AS DOUBLE)
-                    / len(string_split(text, ' '))), 6) AS quality
+        SELECT doc_id, ${TextOps.qualityDuckExpr} AS quality
         FROM documents),
       ranked AS (
         SELECT cc.cluster_id, cc.doc_id, q.quality,

@@ -151,6 +151,37 @@ object TextOps extends OpModule {
   /** Heuristic quality score: token count, mean token span, stopword
     * ratio, combined score in [0,1] — the classic pre-training corpus
     * filter signals. */
+  /** THE quality formula — single source for every consumer:
+    * `quality_score` (below), `dedup_keep_best` (CurationOps, Spark
+    * AND oracle side), and mirrored in python by tools/check_cc.py
+    * (doc_quality — keep in sync by hand, it re-verifies keep-best at
+    * synthetic SFs). quality = min(1, n_tokens/60) * (1 - stop_ratio)
+    * over stopwords {a, the}, rounded to 6 places.
+    * Inputs: a `n_tokens` and `stop_cnt` column must be in scope. */
+  private[graft] val qualityCol =
+    round(
+      least(lit(1.0), col("n_tokens").cast("double") / lit(60.0)) *
+        (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")),
+      6)
+
+  /** DuckDB scalar for the same formula (over a `text` column). */
+  private[graft] val qualityDuckExpr = """
+      ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                       / 60.0)
+            * (1.0 - CAST(length(list_filter(string_split(text, ' '),
+                 w -> w = 'a' OR w = 'the')) AS DOUBLE)
+               / len(string_split(text, ' '))), 6)"""
+
+  /** (doc_id, quality) for every document — the shared Spark-side
+    * kernel of `quality_score` and `dedup_keep_best`. */
+  private[graft] def docQuality(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables(s, d, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("stop_cnt",
+        expr("size(filter(split(text, ' '), w -> w = 'a' or w = 'the'))"))
+      .select(col("doc_id"), qualityCol.as("quality"))
+
   val qualityScore = Op(
     "quality_score",
     (s, d) =>
@@ -165,11 +196,8 @@ object TextOps extends OpModule {
             .as("avg_token_span"),
           round(col("stop_cnt").cast("double") / col("n_tokens"), 6)
             .as("stop_ratio"),
-          round(
-            least(lit(1.0), col("n_tokens").cast("double") / lit(60.0)) *
-              (lit(1.0) - col("stop_cnt").cast("double") / col("n_tokens")),
-            6).as("quality")),
-    Some("""
+          qualityCol.as("quality")),
+    Some(s"""
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
              ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
@@ -177,11 +205,7 @@ object TextOps extends OpModule {
              ROUND(CAST(length(list_filter(string_split(text, ' '),
                      w -> w = 'a' OR w = 'the')) AS DOUBLE)
                    / len(string_split(text, ' ')), 6) AS stop_ratio,
-             ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
-                              / 60.0)
-                   * (1.0 - CAST(length(list_filter(string_split(text, ' '),
-                        w -> w = 'a' OR w = 'the')) AS DOUBLE)
-                      / len(string_split(text, ' '))), 6) AS quality
+             $qualityDuckExpr AS quality
       FROM documents"""))
 
   /** Document fingerprint: polynomial rolling hash over the token

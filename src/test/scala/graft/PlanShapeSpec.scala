@@ -125,10 +125,12 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("cdc_latest partially aggregates before the only shuffle") {
     val plan = executedPlan(q("cdc_latest"))
-    // map-side partial: a HashAggregate in partial mode below the
-    // exchange — the reason the agg formulation beats the window one
-    assert(plan.contains("partial_max") || plan.contains("partial"),
-      s"no partial aggregation found:\n${plan.take(1200)}")
+    // map-side partial: the max(struct) itself must partial-aggregate
+    // below the exchange — the reason the agg formulation beats the
+    // window one (any weaker "partial" match would also pass on the
+    // partial_count alone)
+    assert(plan.contains("partial_max"),
+      s"max(struct) does not partially aggregate:\n${plan.take(1200)}")
     assert(!plan.contains("Window"),
       "cdc_latest must not fall back to a window formulation")
   }

@@ -24,6 +24,9 @@ import duckdb
 
 
 def check_keep_best(con, sf_dir, out_dir, want):
+    # quality formula: hand-synced python mirror of
+    # TextOps.qualityDuckExpr (src/main/scala/graft/text/TextOps.scala)
+    # — the Scala side is the single source; change there first
     qual = dict(con.execute(f"""
         SELECT doc_id,
                ROUND(LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
