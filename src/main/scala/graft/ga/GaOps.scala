@@ -455,7 +455,50 @@ object GaOps extends OpModule {
              n_versions
       FROM v WHERE rk = 1"""))
 
+  /** Time-series resample with gap fill: daily event counts per
+    * event_type, zero-filled over the full [min_day, max_day] span —
+    * the "no row ≠ no day" correction every dashboard/cohort pipeline
+    * applies before trend math.
+    *
+    * Scale shape: the dense calendar × type grid is generated from
+    * ONE global min/max aggregate (a scalar-sized subquery) and is
+    * days × types rows — broadcast; the left join against the daily
+    * pre-aggregate shuffles only the (day, type) group keys, never
+    * raw events. */
+  val resampleDaily = Op(
+    "resample_daily",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val calendar = span
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val grid = calendar.crossJoin(
+        ev.select(col("event_type")).distinct())
+      grid.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+        FROM events),
+      daily AS (
+        SELECT day, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+      calendar AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+          AS day
+        FROM span),
+      grid AS (
+        SELECT c.day, t.event_type
+        FROM calendar c, (SELECT DISTINCT event_type FROM ev) t)
+      SELECT g.day, g.event_type, COALESCE(d.n, 0) AS n_events
+      FROM grid g LEFT JOIN daily d
+        ON g.day = d.day AND g.event_type = d.event_type"""))
+
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
     cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
-    gaSessions, sessionMetrics, pageTopk, cdcLatest)
+    gaSessions, sessionMetrics, pageTopk, cdcLatest, resampleDaily)
 }
