@@ -334,7 +334,55 @@ object CurationOps extends OpModule {
       FROM train JOIN evalg USING (g)
       GROUP BY doc_id"""))
 
+  /** Token-budget sampling: keep documents, in deterministic hash
+    * order, until each (lang, shard) stratum hits its token quota —
+    * corpus downsizing to a target token count rather than a rate
+    * (`sample_stratified`) or a bin layout (`pack_sequences`). The
+    * greedy fill is windowed per (lang, shard) like pack_sequences:
+    * per-shard quotas keep window parallelism ∝ data, and a global
+    * per-lang budget is just quota × shards. A doc is kept iff the
+    * tokens BEFORE it in its stratum are under the quota (the
+    * boundary doc is included — quotas are floors, not caps). */
+  val sampleBudget = Op(
+    "sample_budget",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("bucket"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("(doc_id % 100000) * 2654435761 % 1000"))
+        .withColumn("shard",
+          expr("(doc_id % 100000) * 2654435761 % 16"))
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("quota",
+          when(col("lang") === "en", 400).otherwise(800))
+        .withColumn("prefix",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .filter(col("prefix") < col("quota"))
+        .select(col("doc_id"), col("lang"), col("shard"),
+          col("n_tokens"), col("prefix"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               (doc_id % 100000) * 2654435761 % 1000 AS bucket,
+               (doc_id % 100000) * 2654435761 % 16 AS shard,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN lang = 'en' THEN 400 ELSE 800 END AS quota
+        FROM documents),
+      p AS (
+        SELECT doc_id, lang, shard, n_tokens, quota,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang, shard ORDER BY bucket, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS prefix
+        FROM t)
+      SELECT doc_id, lang, shard, CAST(n_tokens AS INT) AS n_tokens,
+             CAST(prefix AS BIGINT) AS prefix
+      FROM p WHERE prefix < quota"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
-    contaminationBloom)
+    contaminationBloom, sampleBudget)
 }

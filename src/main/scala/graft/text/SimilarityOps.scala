@@ -275,11 +275,14 @@ object SimilarityOps extends OpModule {
     * cartesian anywhere; fan-out per bucket is bounded by band
     * collision width.
     */
-  val minhashDet = Op(
-    "minhash_det",
-    (s, d) => {
+  /** The minhash_det kernel over any (doc_id, text) frame — split
+    * out so PropertySpec can drive it with synthetic corpora (exact
+    * duplicates share every signature, hence every band: recall of
+    * identical texts is 1 by construction, and the test asserts it). */
+  private[graft] def minhashDetPairs(input: org.apache.spark.sql.DataFrame,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
       val nBands = 4
-      val docs = Tables(s, d, "documents")
+      val docs = input
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .withColumn("grams", array_distinct(expr(
@@ -316,9 +319,13 @@ object SimilarityOps extends OpModule {
         .withColumn("jaccard",
           round(col("n_inter").cast("double") /
             (col("n_a") + col("n_b") - col("n_inter")), 4))
-        .filter(col("jaccard") >= 0.4)
+        .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    },
+  }
+
+  val minhashDet = Op(
+    "minhash_det",
+    (s, d) => minhashDetPairs(Tables(s, d, "documents"), 0.4),
     Some {
       val sigSql = (0 until 8).map(i =>
         s"list_aggregate(list_transform(grams, g -> md5('$i:' || g)), 'min') AS h$i")

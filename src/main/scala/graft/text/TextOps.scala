@@ -269,6 +269,40 @@ object TextOps extends OpModule {
     },
     None)
 
+  /** Tokenizer vocabulary construction: corpus token counts filtered
+    * to min_count >= 5, assigned dense ids by (count desc, token) —
+    * the id table a BPE-ish tokenizer training step emits first.
+    *
+    * Scale shape: the count is the usual explode + map-side-combined
+    * groupBy (vocabulary-sized shuffle); the ranking window is
+    * deliberately global BUT runs on the post-filter VOCABULARY
+    * (bounded by distinct-token count, not corpus size) — the same
+    * "single partition is fine because the input is dictionary-sized"
+    * argument as a dimension broadcast. */
+  val vocabBuild = Op(
+    "vocab_build",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_occ").desc, col("token"))
+      Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 5)
+        .withColumn("token_id", row_number().over(w) - 1)
+        .select(col("token_id"), col("token"), col("n_occ"))
+    },
+    Some("""
+      SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) - 1
+               AS token_id,
+             token, n_occ
+      FROM (SELECT token, COUNT(*) AS n_occ
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token)
+      WHERE n_occ >= 5"""))
+
   override def ops: Seq[Op] = Seq(dedupExact, splitHash, textStats,
-    tfidfTop, tokenCount, qualityScore, docFingerprint, dedupMinhash)
+    tfidfTop, tokenCount, qualityScore, docFingerprint, dedupMinhash,
+    vocabBuild)
 }

@@ -130,6 +130,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_det finds every exact-duplicate pair (recall 1 by construction)") {
+    // synthetic corpus: 40 base texts over a small vocab, every third
+    // one duplicated verbatim under a new id — identical texts share
+    // all 8 signatures, hence all 4 bands, so each dup pair MUST be a
+    // candidate and must survive the jaccard=1 exact filter
+    val vocab = Vector("scan", "join", "agg", "sort", "key", "row",
+      "col", "hash", "the", "a")
+    val genText: Gen[String] =
+      Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val base = samples(genText, 40).distinct
+    val docs = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val dups = docs.collect { case (i, t) if i % 3 == 0 => (1000L + i, t) }
+    val df = (docs ++ dups).toDF("doc_id", "text")
+    val pairs = graft.text.SimilarityOps.minhashDetPairs(df, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    dups.foreach { case (dupId, t) =>
+      val origId = dupId - 1000L
+      assert(got.contains((origId, dupId)) || got.contains((dupId, origId)),
+        s"exact duplicate pair ($origId, $dupId) missed")
+    }
+    // and every reported exact-dup pair scores jaccard 1.0
+    pairs.filter(p => p._2 - p._1 == 1000L)
+      .foreach(p => assert(p._3 == 1.0, s"dup pair $p not jaccard 1"))
+  }
+
   test("geomean aggregator: merge associativity across partitionings") {
     val vals = Tables(spark, sfDir, "lineitem").select("l_quantity")
     val gm = udaf(graft.functions.GeoMean)
