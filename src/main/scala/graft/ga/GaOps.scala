@@ -474,8 +474,10 @@ object GaOps extends OpModule {
       val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       val calendar = span
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      // type list from the daily pre-aggregate (days × types rows),
+      // not a third scan of the raw events table
       val grid = calendar.crossJoin(
-        ev.select(col("event_type")).distinct())
+        daily.select(col("event_type")).distinct())
       grid.join(daily, Seq("day", "event_type"), "left")
         .select(col("day"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("n_events"))

@@ -293,8 +293,8 @@ object TextOps extends OpModule {
         .select(col("token_id"), col("token"), col("n_occ"))
     },
     Some("""
-      SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) - 1
-               AS token_id,
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) - 1
+               AS INT) AS token_id,
              token, n_occ
       FROM (SELECT token, COUNT(*) AS n_occ
             FROM (SELECT unnest(string_split(text, ' ')) AS token
