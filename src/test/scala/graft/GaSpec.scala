@@ -86,4 +86,20 @@ class GaSpec extends AnyFunSuite {
       .agg(sum("n_events")).collect().head.getLong(0)
     assert(total == events.count())
   }
+
+  test("resample_daily is dense and conserves the event count") {
+    val rs = q("resample_daily").collect()
+    val days = events.select(to_date(col("ts")).as("d"))
+      .agg(min("d").as("d0"), max("d").as("d1")).collect().head
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      days.getDate(0).toLocalDate, days.getDate(1).toLocalDate) + 1
+    val types = events.select("event_type").distinct().count()
+    // dense grid: exactly one row per (day, type) over the full span,
+    // including (day, type) cells with zero events
+    assert(rs.length == span * types,
+      s"grid ${rs.length} != $span days x $types types")
+    assert(rs.map(_.getLong(2)).sum == events.count(),
+      "gap-filled counts must conserve the total")
+    assert(rs.forall(_.getLong(2) >= 0))
+  }
 }
