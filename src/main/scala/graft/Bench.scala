@@ -12,6 +12,20 @@ object Bench {
     "agg_distinct", "join_anti", "date_funcs", "json_funcs", "sessionize",
     "vector_topk")
 
+  /** The linear-plan LLM-pipeline set, timed when
+    * SPARK_GRAFT_BENCH_SET=pipeline (secondary evidence, not the
+    * driver's headline contract — BASELINE.md has no rows for these).
+    * Quadratic/correctness-only ops (knn_label, cosine_neardup,
+    * dedup_minhash, ngram_jaccard, simhash_*, neardup_cluster,
+    * minhash_det, dedup_keep_best) stay excluded by design. */
+  val pipeline: Seq[String] = Seq(
+    "dedup_exact", "token_count", "quality_score", "rep_ratio",
+    "redact_terms", "sample_stratified", "sample_budget", "split_hash",
+    "pack_sequences", "doc_fingerprint", "lang_id", "vocab_build",
+    "tfidf_top", "contamination", "contamination_bloom", "heavy_hitters",
+    "bloom_semi", "cdc_latest", "resample_daily", "embed_quantize",
+    "ann_bucket_topk", "ivf_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,12 +49,15 @@ object Bench {
     // warming at a smaller SF doesn't help because AQE picks different
     // physical plans there). Steady-state throughput is the number
     // that extrapolates to the 100 TB target.
+    val set =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SET").contains("pipeline")) pipeline
+      else headline
     val queries = SparkEntry.queries
-    headline.filter(queries.contains).foreach { name =>
+    set.filter(queries.contains).foreach { name =>
       try queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    val results = headline.filter(queries.contains).map { name =>
+    val results = set.filter(queries.contains).map { name =>
       val fn = queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }

@@ -245,6 +245,41 @@ object Graft {
         col(factKey) === col(dk), "left_semi")
   }
 
+  /** pandas `.resample('D')`-parity: dense daily counts per group —
+    * one row per (day, group) over the full [min_day, max_day] span,
+    * zero-filled where no events fall. The calendar comes from one
+    * scalar min/max aggregate; the grid is days × groups (broadcast-
+    * sized); only (day, group) keys shuffle. */
+  def resampleDaily(events: DataFrame, tsCol: String,
+      groupCol: String): DataFrame = {
+    val ev = events.withColumn("day", to_date(col(tsCol)))
+    val daily = ev.groupBy(col("day"), col(groupCol))
+      .agg(count(lit(1)).as("n"))
+    val calendar = ev
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    calendar.crossJoin(daily.select(col(groupCol)).distinct())
+      .join(daily, Seq("day", groupCol), "left")
+      .select(col("day"), col(groupCol),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** CDC log→snapshot compaction: the latest row per key, last-write-
+    * wins on (orderCol, tieCol). Single-pass max(struct) hash
+    * aggregate — partials collapse map-side, so the shuffle carries
+    * one row per live key, not the log. Returns keyCol plus
+    * `<payload>` columns prefixed `last_`. */
+  def cdcLatest(log: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, payload: Seq[String]): DataFrame = {
+    val structCols = (Seq(orderCol, tieCol) ++ payload).map(col)
+    val last = fresh("_last", log.columns.toSet)
+    log.groupBy(col(keyCol))
+      .agg(max(struct(structCols: _*)).as(last))
+      .select(col(keyCol) +:
+        (Seq(orderCol, tieCol) ++ payload)
+          .map(c => col(s"$last.$c").as(s"last_$c")): _*)
+  }
+
   /** Per-row symmetric int8 quantization of a float-vector column:
     * adds `<vecCol>_q` (array<bigint> with int8-range values) and
     * `<vecCol>_scale` (127/max|x|). floor-based, so results are

@@ -236,22 +236,25 @@ object CurationOps extends OpModule {
   val contamination = Op(
     "contamination",
     (s, d) => {
-      val docs = Tables(s, d, "documents")
-        .withColumn("bucket",
-          expr("(doc_id % 100000) * 2654435761 % 1000"))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 8)
-        .withColumn("grams", expr(
-          """transform(sequence(0, size(toks) - 8),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-                              toks[i+3], toks[i+4], toks[i+5],
-                              toks[i+6], toks[i+7]))"""))
-      val trainG = docs.filter(col("bucket") < 800)
-        .select(col("doc_id"), explode(col("grams")).as("g"))
-        .distinct()
-      val evalG = docs.filter(col("bucket") >= 900)
-        .select(explode(col("grams")).as("g"))
-        .distinct()
+      graft.ext.GraftFunctions.register(s)
+      // grams via the native ngrams Generator: the token array is
+      // evaluated ONCE per row. The transform(sequence(...),
+      // concat_ws(toks[i]...)) formulation was observed to re-split
+      // the text per gram element AND per inferred generator filter
+      // after CollapseProject inlining — a >10x per-row blowup on the
+      // hot path of this op (docs with < 8 tokens emit no grams from
+      // the generator, matching the old size filter).
+      def grams(bucketPred: org.apache.spark.sql.Column) =
+        Tables(s, d, "documents")
+          .withColumn("bucket",
+            expr("(doc_id % 100000) * 2654435761 % 1000"))
+          .filter(bucketPred)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), expr("ngrams(toks, 8)"))
+      val trainG = grams(col("bucket") < 800)
+        .select(col("doc_id"), col("ngram").as("g")).distinct()
+      val evalG = grams(col("bucket") >= 900)
+        .select(col("ngram").as("g")).distinct()
       trainG.join(broadcast(evalG), "g")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_grams"))
@@ -287,25 +290,23 @@ object CurationOps extends OpModule {
     "contamination_bloom",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      val docs = Tables(s, d, "documents")
-        .withColumn("bucket",
-          expr("(doc_id % 100000) * 2654435761 % 1000"))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 8)
-        .withColumn("grams", expr(
-          """transform(sequence(0, size(toks) - 8),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2],
-                              toks[i+3], toks[i+4], toks[i+5],
-                              toks[i+6], toks[i+7]))"""))
-      docs.filter(col("bucket") >= 900)
-        .select(explode(col("grams")).as("g"))
-        .select(expr("xxhash64(g)").as("h"))
+      // same ngrams-Generator gram production as `contamination`
+      // (see the CollapseProject note there)
+      def grams(bucketPred: org.apache.spark.sql.Column) =
+        Tables(s, d, "documents")
+          .withColumn("bucket",
+            expr("(doc_id % 100000) * 2654435761 % 1000"))
+          .filter(bucketPred)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), expr("ngrams(toks, 8)"))
+      grams(col("bucket") >= 900)
+        .select(expr("xxhash64(ngram)").as("h"))
         .createOrReplaceTempView("contam_eval_hashes")
-      docs.filter(col("bucket") >= 900)
-        .select(explode(col("grams")).as("g")).distinct()
+      grams(col("bucket") >= 900)
+        .select(col("ngram").as("g")).distinct()
         .createOrReplaceTempView("contam_eval_grams")
-      docs.filter(col("bucket") < 800)
-        .select(col("doc_id"), explode(col("grams")).as("g")).distinct()
+      grams(col("bucket") < 800)
+        .select(col("doc_id"), col("ngram").as("g")).distinct()
         .createOrReplaceTempView("contam_train_grams")
       s.sql("""
         SELECT t.doc_id, COUNT(*) AS n_shared_grams

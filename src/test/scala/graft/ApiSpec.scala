@@ -269,6 +269,29 @@ class ApiSpec extends AnyFunSuite {
       "semi-join must not leak dim columns")
   }
 
+  test("resampleDaily facade equals the declared resample_daily query") {
+    val ev = Tables.events(spark, sfDir)
+    val facade = Graft.resampleDaily(ev, "ts", "event_type")
+      .collect().map(_.toString).sorted
+    val declared = q("resample_daily").collect().map(_.toString).sorted
+    assert(facade.sameElements(declared))
+  }
+
+  test("cdcLatest facade picks the same winners as the declared query") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val facade = Graft.cdcLatest(ev, "user_id", "us", "event_id",
+      Seq("event_type", "value"))
+      .select(col("user_id"), col("last_us"), col("last_event_id"),
+        col("last_event_type"), round(col("last_value"), 2))
+      .collect().map(_.toString).sorted
+    val declared = q("cdc_latest")
+      .select(col("user_id"), col("last_us"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))
+      .collect().map(_.toString).sorted
+    assert(facade.sameElements(declared))
+  }
+
   test("quantizeInt8 round-trips within one quantization step") {
     val emb = Tables(spark, sfDir, "embeddings").limit(50)
     val q = Graft.quantizeInt8(emb, "embedding")
