@@ -155,14 +155,16 @@ object SimilarityOps extends OpModule {
     * declared `ngram_jaccard` query and as the edge set of
     * `neardup_cluster`. */
   private[text] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    graft.ext.GraftFunctions.register(s)
+    // trigrams via the native ngrams Generator: the token array is
+    // evaluated once per row — the explode(transform(sequence...))
+    // formulation re-split the text per gram element after
+    // CollapseProject inlining (see CurationOps.contamination; same
+    // fix measured 6-12x there)
     val allGrams = Tables(s, d, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, size(toks) - 3),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"""))
-          .as("g"))
+      .select(col("doc_id"), expr("ngrams(toks, 3)"))
+      .select(col("doc_id"), col("ngram").as("g"))
       .distinct()
     val rare = allGrams.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
@@ -281,18 +283,24 @@ object SimilarityOps extends OpModule {
     * identical texts is 1 by construction, and the test asserts it). */
   private[graft] def minhashDetPairs(input: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
+      graft.ext.GraftFunctions.register(input.sparkSession)
       val nBands = 4
-      val docs = input
+      // grams exploded ONCE via the native ngrams Generator, then the
+      // 8 signatures as min-aggregates over the exploded rows — no
+      // per-doc gram array is ever materialized, and the old
+      // array_min(transform(grams, md5...)) x8 form (which after
+      // CollapseProject re-derived the trigram array, and its
+      // embedded split, inside every signature expression) is gone
+      val grams = input
         .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("grams", array_distinct(expr(
-          """transform(sequence(0, size(toks) - 3),
-               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""")))
-      val sigCols = (0 until 2 * nBands).map { i =>
-        expr(s"array_min(transform(grams, g -> md5(concat('$i:', g))))")
-          .as(s"h$i")
-      }
-      val sig = docs.select((col("doc_id") +: col("grams") +: sigCols): _*)
+        .select(col("doc_id"), expr("ngrams(toks, 3)"))
+        .select(col("doc_id"), col("ngram").as("g"))
+        .distinct()
+      val sigAggs = (0 until 2 * nBands).map { i =>
+        min(md5(concat(lit(s"$i:"), col("g")))).as(s"h$i")
+      } :+ count(lit(1)).as("n")
+      val sig = grams.groupBy(col("doc_id"))
+        .agg(sigAggs.head, sigAggs.tail: _*)
       val bandArr = (0 until nBands)
         .map(j => s"struct($j as band, concat(h${2 * j}, h${2 * j + 1}) as bkey)")
         .mkString("array(", ", ", ")")
@@ -306,8 +314,7 @@ object SimilarityOps extends OpModule {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
-      val grams = docs.select(col("doc_id"), explode(col("grams")).as("g"))
-      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val sizes = sig.select(col("doc_id"), col("n"))
       val inter = cand
         .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
         .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
