@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through unprefixed: the driver parses
+// Bench's one-line JSON from stdout, and sbt's default LoggedOutput
+// wraps it as "[info] {...}" which defeats a line-oriented JSON parse
+// (every BENCH_r*.json so far has "parsed": null for exactly this).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
