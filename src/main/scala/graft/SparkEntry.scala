@@ -21,6 +21,7 @@ object SparkEntry {
     ops.Generators,
     sources.SourceOps,
     ga.GaOps,
+    ga.FlowOps,
     text.TextOps,
     text.SimilarityOps,
     text.CurationOps,

@@ -1,0 +1,289 @@
+package graft.ga
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Navigation-flow and entity-lifecycle operators over the `events`
+  * hit stream (SURVEY.md §2.10/§2.11): the page-transition graph a
+  * GA property exposes as "navigation summary", PageRank over it,
+  * SCD2 state-history compaction, and interval-overlap concurrency —
+  * the remaining event-shaped analyses a warehouse team runs beside
+  * sessions/funnels/cohorts.
+  *
+  * Scale shapes:
+  *  - `page_transitions`: one window shuffle on user_id (bounded
+  *    per-user partitions, same exchange as sessionize) + a pair
+  *    count whose output is |pages|² at most — catalog-sized.
+  *  - `pagerank`: the rank vector is node-catalog-sized (pages, not
+  *    hits), so each of the fixed iterations is edges ⋈ broadcast
+  *    ranks + one groupBy on dst. For a web-scale node set the same
+  *    loop holds with ranks hash-partitioned on src instead of
+  *    broadcast — identical to `Graphs.connectedComponents`'s
+  *    join+combine rounds.
+  *  - `scd2_track`: gaps-and-islands entirely inside ONE user_id
+  *    exchange: both windows and the final groupBy reuse the same
+  *    partitioning, so Catalyst plans a single shuffle.
+  *  - `session_concurrency`: sweep line instead of the O(n²)
+  *    interval self-join — ±1 deltas, pre-aggregated per distinct
+  *    microsecond, running-summed per day with a day-total carry-in.
+  *    The only ordered scan is within a day partition; the carry is
+  *    a calendar-sized prefix sum. 100 TB of sessions reduce to
+  *    |distinct boundary instants| rows before any ordered work.
+  */
+object FlowOps extends OpModule {
+
+  /** pages are the `props.k` custom dimension (0..99 catalog). */
+  private def hits(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("page", get_json_object(col("props"), "$.k").cast("int"))
+
+  private val perUser = Window
+    .partitionBy(col("user_id"))
+    .orderBy(col("us"), col("event_id"))
+
+  /** Navigation summary: previous-page → page transition counts
+    * across all users (lag over the per-user hit order). The edge
+    * list of the site's navigation graph, and `pagerank`'s input. */
+  val pageTransitions = Op(
+    "page_transitions",
+    (s, d) =>
+      hits(s, d)
+        .withColumn("prev_page", lag(col("page"), 1).over(perUser))
+        .filter(col("prev_page").isNotNull)
+        .groupBy(col("prev_page"), col("page"))
+        .agg(count(lit(1)).as("n_trans")),
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS page,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      lagged AS (
+        SELECT page, LAG(page) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev_page
+        FROM seq)
+      SELECT prev_page, page, COUNT(*) AS n_trans
+      FROM lagged WHERE prev_page IS NOT NULL
+      GROUP BY 1, 2"""))
+
+  /** PageRank over the navigation graph: fixed 3 iterations,
+    * damping 0.85, uniform init over the pages observed in the
+    * stream. Dangling mass is not redistributed (every fixture page
+    * has out-edges; the loop's algebra is unchanged if a dangling
+    * term is added). Ranks are rounded only at the output — the
+    * per-iteration float drift is ~1e-15 relative, far inside the
+    * 8-decimal cut. */
+  val pagerank = Op(
+    "pagerank",
+    (s, d) => {
+      val D = 0.85
+      val edges = pageTransitions.run(s, d)
+        .select(col("prev_page").as("src"), col("page").as("dst"),
+          col("n_trans").cast("double").as("w"))
+      val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      // normalized transition weight: evaluated once, reused by every
+      // iteration's contribution join
+      val norm = edges.join(outW, "src")
+        .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+        .localCheckpoint()
+      val nodes = hits(s, d).select(col("page")).distinct()
+        .localCheckpoint()
+      val n = nodes.count()
+      var ranks = nodes.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 3) {
+        val contrib = norm
+          .join(broadcast(ranks.select(col("page").as("src"), col("r"))),
+            "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("p") * col("r")).as("c"))
+          .withColumnRenamed("dst", "page")
+        ranks = nodes.join(contrib, Seq("page"), "left")
+          .select(col("page"),
+            (lit((1.0 - D) / n) + lit(D) * coalesce(col("c"), lit(0.0)))
+              .as("r"))
+      }
+      ranks.select(col("page"), round(col("r"), 8).as("rank"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS page,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      lagged AS (
+        SELECT page, LAG(page) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS prev_page
+        FROM seq),
+      trans AS (
+        SELECT prev_page AS src, page AS dst, COUNT(*) AS w
+        FROM lagged WHERE prev_page IS NOT NULL GROUP BY 1, 2),
+      norm AS (
+        SELECT src, dst,
+               CAST(w AS DOUBLE) / SUM(w) OVER (PARTITION BY src) AS p
+        FROM trans),
+      nodes AS (SELECT DISTINCT page FROM seq),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT page, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+      c1 AS (SELECT e.dst AS page, SUM(e.p * r.r) AS c
+             FROM norm e JOIN r0 r ON r.page = e.src GROUP BY 1),
+      r1 AS (SELECT nodes.page,
+                    0.15 / (SELECT n FROM nn)
+                      + 0.85 * COALESCE(c1.c, 0) AS r
+             FROM nodes LEFT JOIN c1 USING (page)),
+      c2 AS (SELECT e.dst AS page, SUM(e.p * r.r) AS c
+             FROM norm e JOIN r1 r ON r.page = e.src GROUP BY 1),
+      r2 AS (SELECT nodes.page,
+                    0.15 / (SELECT n FROM nn)
+                      + 0.85 * COALESCE(c2.c, 0) AS r
+             FROM nodes LEFT JOIN c2 USING (page)),
+      c3 AS (SELECT e.dst AS page, SUM(e.p * r.r) AS c
+             FROM norm e JOIN r2 r ON r.page = e.src GROUP BY 1),
+      r3 AS (SELECT nodes.page,
+                    0.15 / (SELECT n FROM nn)
+                      + 0.85 * COALESCE(c3.c, 0) AS r
+             FROM nodes LEFT JOIN c3 USING (page))
+      SELECT page, ROUND(r, 8) AS rank FROM r3"""))
+
+  /** SCD2 state history: compress each user's event_type stream into
+    * change runs (gaps-and-islands), emit validity intervals
+    * [valid_from_us, valid_to_us) with valid_to NULL on the open
+    * current run — the slowly-changing-dimension type-2 build a
+    * warehouse runs over any CDC attribute log. */
+  val scd2Track = Op(
+    "scd2_track",
+    (s, d) =>
+      hits(s, d)
+        .withColumn("prev_state", lag(col("event_type"), 1).over(perUser))
+        .withColumn("chg",
+          when(col("prev_state").isNull ||
+            col("prev_state") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id",
+          sum(col("chg")).over(
+            perUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(
+          min(col("event_type")).as("state"),
+          min(col("us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us",
+          lead(col("valid_from_us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("run_id"), col("state"),
+          col("valid_from_us"), col("valid_to_us"), col("n_events"),
+          col("is_current")),
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                         OR LAG(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged),
+      compact AS (
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               MIN(event_type) AS state,
+               MIN(us) AS valid_from_us, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, run_id)
+      SELECT user_id, run_id, state, valid_from_us,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY run_id) AS valid_to_us,
+             n_events,
+             LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY run_id) IS NULL
+               AS is_current
+      FROM compact"""))
+
+  /** Peak concurrent sessions per day, by sweep line: sessions
+    * (the `sessionize` definition) become ±1 deltas at [start,
+    * end+1µs), deltas pre-aggregate per distinct boundary
+    * microsecond, and the running concurrency is a per-day ordered
+    * sum plus a carry-in prefix over calendar-sized day totals. The
+    * naive formulation is an interval self-join — quadratic in
+    * overlap; this is the O(n log n) plan that survives 100 TB. */
+  val sessionConcurrency = Op(
+    "session_concurrency",
+    (s, d) => {
+      val sess = hits(s, d)
+        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(
+            perUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      val deltas = sess.select(col("start_us").as("bus"), lit(1L).as("dl"))
+        .unionAll(sess.select((col("end_us") + 1L).as("bus"),
+          lit(-1L).as("dl")))
+        .groupBy(col("bus")).agg(sum(col("dl")).as("d"))
+        .withColumn("day", to_date(timestamp_micros(col("bus"))))
+      val perDay = Window.partitionBy(col("day")).orderBy(col("bus"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // carry-in: cumulative sum of prior days' totals — calendar-
+      // sized, so the unpartitioned window is a few hundred rows
+      val dayTot = deltas.groupBy(col("day")).agg(sum(col("d")).as("dt"))
+        .withColumn("carry",
+          coalesce(sum(col("dt")).over(
+            Window.orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("day"), col("carry"))
+      deltas
+        .withColumn("run", sum(col("d")).over(perDay))
+        .join(broadcast(dayTot), "day")
+        .withColumn("conc", col("run") + col("carry"))
+        .groupBy(col("day"))
+        .agg(max(col("conc")).as("peak_concurrency"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid,
+               us
+        FROM flagged),
+      bounds AS (
+        SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+        FROM sess GROUP BY 1, 2),
+      deltas AS (
+        SELECT start_us AS bus, 1 AS dl FROM bounds
+        UNION ALL
+        SELECT end_us + 1 AS bus, -1 AS dl FROM bounds),
+      byus AS (
+        SELECT bus, SUM(dl) AS d FROM deltas GROUP BY 1),
+      run AS (
+        SELECT bus, CAST(SUM(d) OVER (ORDER BY bus) AS BIGINT) AS conc
+        FROM byus)
+      SELECT CAST(make_timestamp(bus) AS DATE) AS day,
+             MAX(conc) AS peak_concurrency
+      FROM run GROUP BY 1"""))
+
+  override def ops: Seq[Op] =
+    Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency)
+}
