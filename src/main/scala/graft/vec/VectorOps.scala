@@ -325,7 +325,93 @@ object VectorOps extends OpModule {
       ORDER BY approx DESC, vec_id
       LIMIT 10"""))
 
+  /** One full Lloyd round of k-means (k=8, max-inner-product
+    * assignment): seed centroids = the 8 smallest vec_ids, assign →
+    * recompute centroids as per-cluster elementwise means → re-assign
+    * → per-cluster sizes and mean similarity. This is the distributed
+    * k-means shape (MLlib's): centroids stay catalog-sized and
+    * broadcast; the only shuffles are the (cluster, dim) mean
+    * aggregation — rows ∝ n·d pairs with map-side partial avg — and
+    * the final cluster rollup. Iterating to convergence repeats the
+    * same two jobs.
+    *
+    * Determinism across engines: every score is rounded to 4 dp
+    * before any argmax (c_id tie-break), and recomputed centroid
+    * components are rounded to 4 dp before the second assignment, so
+    * float-associativity drift in avg() can't flip an assignment. */
+  val kmeansAssign = Op(
+    "kmeans_assign",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("score").desc, col("c_id"))
+      val assign1 = emb.crossJoin(broadcast(seeds))
+        .withColumn("score", round(dot("embedding", "c_emb"), 4))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      // per-cluster elementwise mean, rounded: (cluster, dim) rows
+      val newc = assign1
+        .select(col("c_id"), posexplode(col("embedding")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(round(avg(col("col")), 4).as("v"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+          " x -> x.v)").as("cent"))
+      val assign2 = emb.crossJoin(broadcast(newc))
+        // double-array dot: widen the float embedding, fold
+        // left-to-right — same accumulation order as dot_f and
+        // DuckDB's list_dot_product
+        .withColumn("score", round(expr(
+          "aggregate(zip_with(cast(embedding as array<double>), cent," +
+            " (x, y) -> x * y), 0D, (a, x) -> a + x)"), 4))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+      assign2.groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("score")), 4).as("avg_sim"))
+    },
+    Some("""
+      WITH seeds AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, s.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(s.c_emb AS DOUBLE[])), 4) DESC, s.c_id) AS rn
+          FROM embeddings e, seeds s)
+        WHERE rn = 1),
+      dims AS (
+        SELECT c_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM a1),
+      newc AS (
+        SELECT c_id, list(v ORDER BY pos) AS cent
+        FROM (SELECT c_id, pos, ROUND(AVG(x), 4) AS v
+              FROM dims GROUP BY c_id, pos)
+        GROUP BY c_id),
+      a2 AS (
+        SELECT vec_id, c_id, score FROM (
+          SELECT e.vec_id, c.c_id,
+                 ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        c.cent), 4) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]), c.cent), 4) DESC,
+                   c.c_id) AS rn
+          FROM embeddings e, newc c)
+        WHERE rn = 1)
+      SELECT c_id, COUNT(*) AS n_vecs, ROUND(AVG(score), 4) AS avg_sim
+      FROM a2 GROUP BY c_id"""))
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
-      embedQuantize)
+      embedQuantize, kmeansAssign)
 }

@@ -170,4 +170,12 @@ class TextVecSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
     assert(ivf.size == 10)
   }
+
+  test("kmeans_assign: partition of the corpus into k nonempty-sum clusters") {
+    val rows = q("kmeans_assign").collect()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n) // every vector exactly once
+    assert(rows.length <= 8 && rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
 }
