@@ -422,7 +422,64 @@ object SimilarityOps extends OpModule {
              COUNT(*) AS n_docs
       FROM scored GROUP BY 1, 2"""))
 
+  /** Duplicated-span profiling — the "deduplicating training data"
+    * diagnostic: for every document, the fraction of its distinct
+    * word 8-grams that also occur in at least one OTHER document.
+    * Docs shorter than 8 tokens have no spans and report 0.
+    *
+    * Scale shape: two hash shuffles, both on skinny keys — distinct
+    * (doc, gram) pairs on the gram (with map-side distinct), then the
+    * flag rollup on doc_id. Nothing quadratic: cross-doc duplication
+    * is decided by the gram's distinct-doc count, never by pairing
+    * docs. At 100 TB the gram key would shuffle as xxhash64(gram)
+    * (8 bytes vs the ~50-byte string — equality is all the join
+    * needs); the string key here keeps the DuckDB oracle exact. */
+  val dupSpanFrac = Op(
+    "dup_span_frac",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val docs = Tables(s, d, "documents")
+      val gset = docs
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), expr("ngrams(toks, 8)"))
+        .distinct()
+      val nd = gset.groupBy(col("ngram"))
+        .agg(count(lit(1)).as("nd"))
+      val per = gset.join(nd, "ngram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(round(col("n_dup_spans").cast("double") /
+            col("n_spans"), 6), lit(0.0)).as("dup_frac"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT DISTINCT doc_id,
+               unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                       || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                       || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]
+                       FOR i IN range(0, len(toks) - 7)]) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      nd AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_spans
+        FROM g JOIN nd USING (gram) GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(n_spans, 0) AS n_spans,
+             COALESCE(n_dup_spans, 0) AS n_dup_spans,
+             COALESCE(ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6),
+                      0.0) AS dup_frac
+      FROM documents d LEFT JOIN per USING (doc_id)"""))
+
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
-      minhashDet, langId)
+      minhashDet, langId, dupSpanFrac)
 }

@@ -302,7 +302,66 @@ object TextOps extends OpModule {
             GROUP BY token)
       WHERE n_occ >= 5"""))
 
+  /** BM25 relevance scoring (k1=1.2, b=0.75) — the retrieval-grade
+    * upgrade of `tfidf_top`: same (doc, token) partial-count shuffle
+    * and broadcast df/N sides, plus per-doc length normalization
+    * against the corpus mean. avgdl is rounded to 6 dp before use so
+    * float-associativity drift in the mean can't leak into the
+    * scores; the top-20 cut sorts by the rounded score with a
+    * (doc_id, w) tie-break. */
+  val bm25Top = Op(
+    "bm25_top",
+    (s, d) => {
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables(s, d, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+      val stats = dl.agg(round(avg(col("dl")), 6).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))))
+        .withColumn("score", round(
+          col("idf") * col("tf") * lit(k1 + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl") / col("avgdl"))), 4))
+        .select(col("doc_id"), col("w"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("w"))
+        .limit(20)
+    },
+    Some("""
+      WITH dl AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        FROM documents),
+      stats AS (
+        SELECT ROUND(AVG(dl), 6) AS avgdl, COUNT(*) AS n_docs FROM dl),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+      df AS (
+        SELECT w, COUNT(*) AS df FROM tf GROUP BY w)
+      SELECT tf.doc_id, tf.w,
+             ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 4)
+               AS score
+      FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id, stats
+      ORDER BY score DESC, tf.doc_id, tf.w
+      LIMIT 20"""))
+
   override def ops: Seq[Op] = Seq(dedupExact, splitHash, textStats,
     tfidfTop, tokenCount, qualityScore, docFingerprint, dedupMinhash,
-    vocabBuild)
+    vocabBuild, bm25Top)
 }

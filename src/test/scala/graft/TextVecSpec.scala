@@ -171,6 +171,37 @@ class TextVecSpec extends AnyFunSuite {
     assert(ivf.size == 10)
   }
 
+  test("bm25_top: 20 rows, scores non-increasing and positive") {
+    val rows = q("bm25_top").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0))
+  }
+
+  test("dup_span_frac: fractions in [0,1]; exact clones fully duplicated") {
+    val rows = q("dup_span_frac").collect()
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == n)
+    assert(rows.forall { r =>
+      val f = r.getDouble(3); f >= 0.0 && f <= 1.0 })
+    // every doc in an exact-dup group of >=2 with >=8 tokens must have
+    // dup_frac == 1 (all of its spans exist verbatim elsewhere)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 8)
+      .withColumn("h", md5(col("text")))
+    val cloned = docs.groupBy("h").count().filter(col("count") >= 2)
+      .join(docs, "h").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // sf0.001 may have no exact clones; the clause is exercised at
+    // sf0.01+ where dedup_exact shows dup groups
+    val fr = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cloned.forall(id => fr(id) == 1.0))
+    // consistency: dup_frac > 0 iff some span is duplicated
+    assert(rows.forall(r => (r.getLong(2) > 0) == (r.getDouble(3) > 0)))
+  }
+
   test("kmeans_assign: partition of the corpus into k nonempty-sum clusters") {
     val rows = q("kmeans_assign").collect()
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
