@@ -24,7 +24,8 @@ object Bench {
     "pack_sequences", "doc_fingerprint", "lang_id", "vocab_build",
     "tfidf_top", "contamination", "contamination_bloom", "heavy_hitters",
     "bloom_semi", "cdc_latest", "resample_daily", "embed_quantize",
-    "ann_bucket_topk", "ivf_topk")
+    "ann_bucket_topk", "ivf_topk", "kmeans_assign", "bm25_top",
+    "dup_span_frac")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

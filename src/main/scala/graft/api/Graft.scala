@@ -293,4 +293,88 @@ object Graft {
         s"transform(`$vecCol`, x -> CAST(floor(CAST(x AS DOUBLE) * `${vecCol}_scale`) AS BIGINT))"))
       .drop(mx)
   }
+
+  /** PageRank over a weighted edge list: (node, rank) after `iters`
+    * rounds at damping `d`, uniform init over the nodes appearing in
+    * `edges`. Ranks broadcast per round (node-catalog-sized); for
+    * web-scale node sets swap the broadcast for a src-co-partitioned
+    * join — the loop shape is unchanged. Dangling mass is dropped,
+    * matching the declared `pagerank` query. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val norm = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = norm
+        .join(broadcast(ranks.select(col("node").as("src"), col("rank"))),
+          "src")
+        .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
+        .withColumnRenamed("dst", "node")
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / n) + lit(d) * coalesce(col("c"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  /** SCD2 history build: compress consecutive equal `stateCol` values
+    * per key into validity runs [valid_from, valid_to) ordered by
+    * `orderCol` (+`tieCol` tie-break), NULL valid_to = current run.
+    * One exchange on the key carries both windows and the run agg. */
+  def scd2(df: DataFrame, keyCol: String, stateCol: String,
+      orderCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val taken = df.columns.toSet
+    val (prev, chg, run) = (fresh("_prev", taken), fresh("_chg", taken),
+      fresh("run_id", taken))
+    df.withColumn(prev, lag(col(stateCol), 1).over(w))
+      .withColumn(chg, when(col(prev).isNull ||
+        col(prev) =!= col(stateCol), 1L).otherwise(0L))
+      .withColumn(run, sum(col(chg)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col(run))
+      .agg(min(col(stateCol)).as("state"),
+        min(col(orderCol)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col(run))))
+      .withColumnRenamed(run, "run_id")
+  }
+
+  /** Peak interval concurrency per day, by sweep line (±1 deltas per
+    * distinct boundary instant, per-day running sum + calendar-sized
+    * carry-in) — O(n log n) where the interval self-join is
+    * quadratic. `startCol`/`endCol` are inclusive epoch-µs bounds. */
+  def peakConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = intervals
+      .select(col(startCol).cast("long").as("bus"), lit(1L).as("dl"))
+      .unionAll(intervals.select((col(endCol).cast("long") + 1L).as("bus"),
+        lit(-1L).as("dl")))
+      .groupBy(col("bus")).agg(sum(col("dl")).as("d"))
+      .withColumn("day", to_date(timestamp_micros(col("bus"))))
+    val perDay = Window.partitionBy(col("day")).orderBy(col("bus"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = deltas.groupBy(col("day")).agg(sum(col("d")).as("dt"))
+      .withColumn("carry",
+        coalesce(sum(col("dt")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    deltas.withColumn("run", sum(col("d")).over(perDay))
+      .join(broadcast(carry), "day")
+      .groupBy(col("day"))
+      .agg(max(col("run") + col("carry")).as("peak_concurrency"))
+  }
 }

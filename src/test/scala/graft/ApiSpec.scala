@@ -309,4 +309,46 @@ class ApiSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Graft.pageRank equals the declared pagerank query") {
+    val edges = q("page_transitions")
+    val facade = Graft.pageRank(edges, "prev_page", "page", "n_trans")
+      .select(col("node"), round(col("rank"), 8).as("rank"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val declared = q("pagerank")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // node sets agree on the fixture (every page occurs as src or dst)
+    assert(facade.keySet == declared.keySet)
+    declared.foreach { case (p, r) =>
+      assert(math.abs(facade(p) - r) < 1e-7, s"page $p: ${facade(p)} vs $r")
+    }
+  }
+
+  test("Graft.scd2 equals the declared scd2_track runs") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val facade = Graft.scd2(ev, "user_id", "event_type", "us", "event_id")
+      .select(col("user_id"), col("run_id"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val declared = q("scd2_track").collect()
+    assert(declared.length == facade.size)
+    declared.foreach { r =>
+      val f = facade((r.getLong(0), r.getLong(1)))
+      assert(f.getString(2) == r.getString(2))
+      assert(f.getLong(3) == r.getLong(3))
+      assert(f.isNullAt(4) == r.isNullAt(4) &&
+        (r.isNullAt(4) || f.getLong(4) == r.getLong(4)))
+      assert(f.getLong(5) == r.getLong(5))
+    }
+  }
+
+  test("Graft.peakConcurrency equals the declared session_concurrency") {
+    val sess = q("sessionize")
+    val facade = Graft.peakConcurrency(sess, "start_us", "end_us")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val declared = q("session_concurrency")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(facade == declared)
+  }
 }
