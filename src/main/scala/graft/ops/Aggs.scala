@@ -347,8 +347,43 @@ object Aggs extends OpModule {
       FROM exact, tot
       WHERE exact_cnt > CAST(t AS DOUBLE) / 8.0"""))
 
+  /** GROUPING SETS beyond what rollup/cube can express — the two
+    * independent slices ((r_name), (n_name)) without the pair — via
+    * the native `Dataset.groupingSets` (Spark 4). Same single-Expand
+    * + hash-agg plan as rollup: each input row replicates once per
+    * set, partials combine map-side. */
+  val aggGroupingSets = Op(
+    "agg_grouping_sets",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      val na = Tables(s, d, "nation")
+      val re = Tables(s, d, "region")
+      od.join(cu, od("o_custkey") === cu("c_custkey"))
+        .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
+          col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n_orders"),
+          grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"))
+    },
+    Some("""
+      SELECT r_name, n_name,
+             ROUND(SUM(o_totalprice), 2) AS total,
+             COUNT(*) AS n_orders,
+             CAST(GROUPING(r_name) AS INT) AS g_r,
+             CAST(GROUPING(n_name) AS INT) AS g_n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (n_name))"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
-      quantileBound, aggSalted, heavyHitters)
+      quantileBound, aggSalted, heavyHitters, aggGroupingSets)
 }

@@ -263,7 +263,55 @@ object Joins extends OpModule {
                       AND o_totalprice > 400000)
       GROUP BY l_returnflag"""))
 
+  /** Range join with NO equi key — cross-user event pairs within a
+    * 30 s time window — via bucketed expansion: the earlier side
+    * explodes into its window-sized bucket and the next one, the join
+    * runs as an EQUI join on the bucket key, and the exact |Δt| ≤ W
+    * predicate filters residuals. That turns the O(n²) theta join
+    * Spark would otherwise plan (BroadcastNestedLoop/cartesian) into
+    * a hash shuffle on time buckets — the IEJoin-free plan that holds
+    * at 100 TB (bucket key co-partitions; hot seconds split by AQE).
+    * Orientation (earlier event, (us, event_id) lexicographic) makes
+    * each unordered pair appear exactly once. Output is the
+    * type-pair profile, not raw pairs, so the result stays
+    * catalog-sized at any SF. */
+  val rangeJoinTime = Op(
+    "range_join_time",
+    (s, d) => {
+      val W = 30L * 1000000L // 30 s window = bucket width
+      val e = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("us"), (col("us") / W).cast("long").as("b"))
+      val probes = e.select(col("event_id").as("id_a"),
+          col("user_id").as("u_a"), col("event_type").as("type_a"),
+          col("us").as("us_a"),
+          explode(array(col("b"), col("b") + 1L)).as("pb"))
+      probes.join(e.withColumnRenamed("b", "pb"), "pb")
+        .filter(col("us") - col("us_a") <= W &&
+          (col("us_a") < col("us") ||
+            (col("us_a") === col("us") && col("id_a") < col("event_id"))) &&
+          col("u_a") =!= col("user_id"))
+        .groupBy(col("type_a"), col("event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("us") - col("us_a")), 2).as("avg_dt_us"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_pairs,
+             ROUND(AVG(b.us - a.us), 2) AS avg_dt_us
+      FROM e a JOIN e b
+        ON b.us - a.us BETWEEN 0 AND 30000000
+       AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+       AND a.user_id <> b.user_id
+      GROUP BY 1, 2"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
-      joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi)
+      joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi,
+      rangeJoinTime)
 }

@@ -168,6 +168,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram join not downstream of the probe (join@$joinIdx, probe@$probeIdx)")
   }
 
+  test("range_join_time plans as an equi hash join, never a nested loop") {
+    val plan = executedPlan(q("range_join_time"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n${plan.take(1200)}")
+    assert(plan.contains("Join"), plan.take(800))
+    assert(plan.contains("Generate"), "bucket explode missing")
+  }
+
+  test("agg_grouping_sets plans one Expand feeding a partial hash agg") {
+    val plan = executedPlan(q("agg_grouping_sets"))
+    assert(plan.contains("Expand"), plan.take(800))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
