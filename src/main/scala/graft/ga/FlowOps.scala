@@ -284,6 +284,104 @@ object FlowOps extends OpModule {
              MAX(conc) AS peak_concurrency
       FROM run GROUP BY 1"""))
 
+  /** Period-over-period comparison (GA's date-range compare): split
+    * the observed span at its midpoint, per-event_type metrics for
+    * both halves side by side with a pct delta. One scan + one
+    * catalog-sized agg; the span boundaries come from a scalar
+    * min/max agg broadcast into the row predicate. */
+  val periodCompare = Op(
+    "period_compare",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .withColumn("mid", expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))"))
+        .select(col("mid"))
+      ev.crossJoin(broadcast(span))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("n_p1"),
+          sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("n_p2"),
+          round(sum(when(col("day") < col("mid"), col("value"))
+            .otherwise(lit(0.0))), 2).as("value_p1"),
+          round(sum(when(col("day") >= col("mid"), col("value"))
+            .otherwise(lit(0.0))), 2).as("value_p2"))
+        .withColumn("pct_change",
+          round((col("n_p2") - col("n_p1")).cast("double") /
+            col("n_p1") * 100.0, 2))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, value,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events),
+      span AS (
+        SELECT MIN(day) + CAST(FLOOR(date_diff('day', MIN(day), MAX(day))
+                 / 2) AS INT) AS mid
+        FROM ev)
+      SELECT event_type,
+             CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_p1,
+             CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_p2,
+             ROUND(SUM(CASE WHEN day < mid THEN value ELSE 0 END), 2)
+               AS value_p1,
+             ROUND(SUM(CASE WHEN day >= mid THEN value ELSE 0 END), 2)
+               AS value_p2,
+             ROUND(CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END)
+                        - SUM(CASE WHEN day < mid THEN 1 ELSE 0 END)
+                   AS DOUBLE)
+                   / SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) * 100.0, 2)
+               AS pct_change
+      FROM ev, span
+      GROUP BY event_type"""))
+
+  /** Trailing-window anomaly detection: per (event_type, day) count
+    * vs the mean/stddev of the preceding 7 days (rows frame — both
+    * engines see identical short frames at the series head), flag
+    * |z| > 2. The window partitions on event_type over the
+    * calendar-sized daily pre-aggregate — the ordered work is
+    * days × types, never raw events, at any SF. */
+  val anomalyZscore = Op(
+    "anomaly_zscore",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .withColumn("z",
+          when(col("sd").isNotNull && col("sd") =!= 0.0,
+            round((col("n") - col("mu")) / col("sd"), 4)))
+        .withColumn("is_anomaly",
+          coalesce(abs(col("z")) > 2.0, lit(false)))
+        .select(col("event_type"), col("day"), col("n"), col("z"),
+          col("is_anomaly"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, day, n,
+               AVG(n) OVER w AS mu,
+               STDDEV_SAMP(n) OVER w AS sd
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, n,
+             CASE WHEN sd IS NOT NULL AND sd <> 0
+                  THEN ROUND((n - mu) / sd, 4) END AS z,
+             COALESCE(ABS(CASE WHEN sd IS NOT NULL AND sd <> 0
+                               THEN ROUND((n - mu) / sd, 4) END) > 2.0,
+                      FALSE) AS is_anomaly
+      FROM stats"""))
+
   override def ops: Seq[Op] =
-    Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency)
+    Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
+      periodCompare, anomalyZscore)
 }

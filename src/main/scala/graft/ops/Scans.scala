@@ -97,6 +97,67 @@ object Scans extends OpModule {
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100"""))
 
+  /** Z-order layout audit — the Delta/Iceberg OPTIMIZE ZORDER move,
+    * as pure integer arithmetic: interleave the low 8 bits of
+    * (l_partkey, l_suppkey) into a 16-bit Morton key, assign each row
+    * to one of 16 equal-width zkey buckets (arithmetic on the scalar
+    * max — NO global sort/ntile), and report each bucket's span in
+    * both source dimensions. The per-bucket min/max ranges are the
+    * file-skipping stats a 100 TB table would get from writing files
+    * in zkey bucket order: both dimensions stay range-clustered, so
+    * point filters on either column prune ~15/16 of the layout. */
+  val zorderBucket = Op(
+    "zorder_bucket",
+    (s, d) => {
+      // Morton spread: bit i of c lands at even position 2i (the
+      // textbook interleave, written as shifts so both engines fold
+      // it to the same integer arithmetic)
+      val spread8 = (c: String) =>
+        (0 until 8).map(i =>
+          s"(((($c) >> $i) & 1) << ${2 * i})").mkString(" + ")
+      val z = Tables(s, d, "lineitem")
+        .withColumn("px", col("l_partkey") % 256)
+        .withColumn("sx", col("l_suppkey") % 256)
+        .withColumn("zkey",
+          expr(spread8("px")) + expr(spread8("sx")) * 2)
+      val zmax = z.agg(max(col("zkey")).as("zmax"))
+      z.crossJoin(broadcast(zmax))
+        .withColumn("bucket",
+          least(floor(col("zkey") * 16 / (col("zmax") + 1)), lit(15L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("px")).as("p_min"), max(col("px")).as("p_max"),
+          min(col("sx")).as("s_min"), max(col("sx")).as("s_max"))
+    },
+    Some("""
+      WITH z AS (
+        SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+               ( ((l_partkey % 256 >> 0) & 1) * 1
+               + ((l_partkey % 256 >> 1) & 1) * 4
+               + ((l_partkey % 256 >> 2) & 1) * 16
+               + ((l_partkey % 256 >> 3) & 1) * 64
+               + ((l_partkey % 256 >> 4) & 1) * 256
+               + ((l_partkey % 256 >> 5) & 1) * 1024
+               + ((l_partkey % 256 >> 6) & 1) * 4096
+               + ((l_partkey % 256 >> 7) & 1) * 16384
+               + (((l_suppkey % 256 >> 0) & 1) * 1
+               +  ((l_suppkey % 256 >> 1) & 1) * 4
+               +  ((l_suppkey % 256 >> 2) & 1) * 16
+               +  ((l_suppkey % 256 >> 3) & 1) * 64
+               +  ((l_suppkey % 256 >> 4) & 1) * 256
+               +  ((l_suppkey % 256 >> 5) & 1) * 1024
+               +  ((l_suppkey % 256 >> 6) & 1) * 4096
+               +  ((l_suppkey % 256 >> 7) & 1) * 16384) * 2) AS zkey
+        FROM lineitem),
+      zm AS (SELECT MAX(zkey) AS zmax FROM z)
+      SELECT LEAST(CAST(FLOOR(zkey * 16 / (zmax + 1)) AS BIGINT), 15)
+               AS bucket,
+             COUNT(*) AS n_rows,
+             MIN(px) AS p_min, MAX(px) AS p_max,
+             MIN(sx) AS s_min, MAX(sx) AS s_max
+      FROM z, zm
+      GROUP BY 1"""))
+
   override def ops: Seq[Op] =
-    Seq(scanProject, filterPred, scanPruned, caseExpr, topk)
+    Seq(scanProject, filterPred, scanPruned, caseExpr, topk, zorderBucket)
 }

@@ -89,6 +89,39 @@ class FlowSpec extends AnyFunSuite {
     assert(peaks.values.max <= sess.length)
   }
 
+  test("period_compare: halves partition the event stream exactly") {
+    val rows = q("period_compare").collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == spark.read.parquet(s"$sfDir/events.parquet").count())
+  }
+
+  test("anomaly_zscore: head-of-series rows have null z, flags need |z|>2") {
+    val rows = q("anomaly_zscore").collect()
+    // first day per type has an empty trailing frame -> null z
+    val types = rows.map(_.getString(0)).distinct
+    val firstDays = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.minBy(_.getDate(1).toString) }
+    assert(firstDays.forall(_.isNullAt(3)))
+    assert(types.nonEmpty)
+    rows.foreach { r =>
+      val flagged = r.getBoolean(4)
+      if (flagged) assert(!r.isNullAt(3) && math.abs(r.getDouble(3)) > 2.0)
+      if (!r.isNullAt(3) && math.abs(r.getDouble(3)) > 2.0) assert(flagged)
+    }
+  }
+
+  test("zorder_bucket: every bucket spans at most half of each dimension") {
+    val rows = q("zorder_bucket", sfDir01).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(s"$sfDir01/lineitem.parquet").count())
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 127,
+        s"partkey span too wide in bucket ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) <= 127,
+        s"suppkey span too wide in bucket ${r.getLong(0)}")
+    }
+  }
+
   test("scd2_track plans a single user_id exchange") {
     val df = q("scd2_track")
     df.collect()
