@@ -381,7 +381,65 @@ object FlowOps extends OpModule {
                       FALSE) AS is_anomaly
       FROM stats"""))
 
+  /** Triangle count over the undirected navigation graph, by degree
+    * orientation: every edge points from its (degree, id)-smaller
+    * endpoint, wedges enumerate ordered out-neighbor pairs, and one
+    * more equi-join closes them. Orientation bounds each node's
+    * out-degree by O(√|E|), so the wedge join never explodes on hubs
+    * — the standard skew-proof distributed triangle plan (vs the
+    * naive a<b<c 3-way join the oracle runs, which is fine for DuckDB
+    * at gate scale but hub-quadratic distributed). */
+  val graphTriangles = Op(
+    "graph_triangles",
+    (s, d) => {
+      val trans = pageTransitions.run(s, d)
+      // canonical undirected edge set, self-loops dropped
+      val und = trans.filter(col("prev_page") =!= col("page"))
+        .select(
+          least(col("prev_page"), col("page")).as("a"),
+          greatest(col("prev_page"), col("page")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("n")).unionAll(
+        und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // orientation key: (degree, id) packed into one long
+      val keyed = und
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(
+          (col("da") * 1000L + col("a")).as("ka"),
+          (col("db") * 1000L + col("b")).as("kb"))
+      val oriented = keyed.select(
+        least(col("ka"), col("kb")).as("src"),
+        greatest(col("ka"), col("kb")).as("dst"))
+      val e1 = oriented.select(col("src"), col("dst").as("v"))
+      val e2 = oriented.select(col("src"), col("dst").as("w"))
+      val wedges = e1.join(e2, "src").filter(col("v") < col("w"))
+      wedges.join(
+          oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+    },
+    Some("""
+      WITH und AS (
+        SELECT DISTINCT LEAST(prev_page, page) AS a,
+               GREATEST(prev_page, page) AS b
+        FROM (
+          SELECT page,
+                 LAG(page) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS prev_page
+          FROM (SELECT user_id, event_id,
+                       CAST(json_extract_string(props, '$.k') AS INT)
+                         AS page,
+                       epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                FROM events))
+        WHERE prev_page IS NOT NULL AND prev_page <> page)
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
-      periodCompare, anomalyZscore)
+      periodCompare, anomalyZscore, graphTriangles)
 }

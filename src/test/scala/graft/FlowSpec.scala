@@ -122,6 +122,22 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_triangles equals driver-side brute force") {
+    val edges = q("page_transitions")
+      .filter(col("prev_page") =!= col("page"))
+      .select(least(col("prev_page"), col("page")),
+        greatest(col("prev_page"), col("page")))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val brute = edges.toSeq.map { case (a, b) =>
+      nbrs(a).intersect(nbrs(b)).size
+    }.sum / 3L
+    val got = q("graph_triangles").head().getLong(0)
+    assert(got == brute, s"got $got, brute $brute")
+  }
+
   test("scd2_track plans a single user_id exchange") {
     val df = q("scd2_track")
     df.collect()
