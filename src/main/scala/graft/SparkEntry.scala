@@ -25,6 +25,7 @@ object SparkEntry {
     text.TextOps,
     text.SimilarityOps,
     text.CurationOps,
+    text.LmOps,
     multimodal.MultimodalOps,
     vec.VectorOps)
 

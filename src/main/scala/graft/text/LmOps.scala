@@ -1,0 +1,146 @@
+package graft.text
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Language-model data-prep operators over the `documents` corpus
+  * (SURVEY.md §2.11): chunking long documents into overlapping
+  * windows, PMI collocation mining, and unigram-LM quality scoring.
+  * These are the "turn a raw corpus into training data" primitives
+  * the north star calls out alongside dedup/similarity.
+  *
+  * Scale shape shared by all three: per-row generation (chunking) is
+  * embarrassingly parallel and never shuffles document text; the
+  * statistics ops shuffle vocabulary-sized keys only (tokens/bigrams,
+  * bounded by vocabulary² at worst) and broadcast the count tables,
+  * so at 100 TB the corpus is read once and the only wide exchange
+  * carries (token, count) pairs.
+  */
+object LmOps extends OpModule {
+
+  private val ChunkLen = 120
+  private val ChunkStride = 90
+
+  /** Overlapping fixed-width character chunks (the context-window
+    * packing precursor: chunk = substring(off, 120), stride 90 → 30
+    * chars of overlap). One output row per (doc, chunk) keyed by
+    * chunk index; the chunk itself travels as an md5 digest so the
+    * declared output stays narrow. Narrow plan: sequence + explode
+    * per row, no shuffle at all. */
+  val chunkDocs = Op(
+    "chunk_docs",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), col("n_chars").cast("int") - 1,
+            lit(ChunkStride))).as("off"))
+        .select(
+          col("doc_id"),
+          (col("off") / ChunkStride).cast("long").as("chunk_idx"),
+          length(expr(s"substring(text, off + 1, $ChunkLen)")).as("chunk_len"),
+          md5(expr(s"substring(text, off + 1, $ChunkLen)")).as("chunk_md5")),
+    Some(s"""
+      SELECT doc_id, off // $ChunkStride AS chunk_idx,
+             CAST(length(substr(text, off + 1, $ChunkLen)) AS INT)
+               AS chunk_len,
+             md5(substr(text, off + 1, $ChunkLen)) AS chunk_md5
+      FROM documents,
+           UNNEST(generate_series(0, CAST(n_chars AS INT) - 1,
+                                  $ChunkStride)) AS u(off)"""))
+
+  /** PMI-scored bigram collocations: pmi(x,y) = ln(p(x,y)/(p(x)p(y)))
+    * over corpus token bigrams, min pair count 5, top 25. Bigrams are
+    * formed positionally (element_at over the split array — no
+    * self-join on token position), counted with map-side partial
+    * aggregation, and the unigram table is broadcast (vocabulary-
+    * sized). The double arithmetic is written in the identical
+    * association order on both engines. */
+  val pmiBigrams = Op(
+    "pmi_bigrams",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(split(col("text"), " ").as("toks"))
+      val bg = toks
+        .select(col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(element_at(col("toks"), col("i")).as("w1"),
+          element_at(col("toks"), col("i") + 1).as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_count"))
+      val cu = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = cu.agg(sum(col("c")).as("nu"))
+      val nb = cb.agg(sum(col("pair_count")).as("nb"))
+      cb
+        .join(broadcast(cu.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+        .join(broadcast(cu.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+        .crossJoin(broadcast(nu))
+        .crossJoin(broadcast(nb))
+        .filter(col("pair_count") >= 5)
+        .withColumn("pmi",
+          round(log(col("pair_count") * lit(1.0) * col("nu") / col("nb") *
+            (col("nu") * lit(1.0) / col("c1")) / col("c2")), 4))
+        .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(25)
+    },
+    Some("""
+      WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents),
+      bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+      cb AS (
+        SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY w1, w2),
+      cu AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),
+      nu AS (SELECT SUM(c) AS nu FROM cu),
+      nb AS (SELECT SUM(pair_count) AS nb FROM cb)
+      SELECT w1, w2, pair_count,
+             ROUND(LN(pair_count * 1.0 * nu / nb *
+               (nu * 1.0 / u1.c) / u2.c), 4) AS pmi
+      FROM cb
+      JOIN cu u1 ON cb.w1 = u1.w
+      JOIN cu u2 ON cb.w2 = u2.w, nu, nb
+      WHERE pair_count >= 5
+      ORDER BY pmi DESC, w1, w2
+      LIMIT 25"""))
+
+  /** Unigram-LM document scoring (the cheap perplexity proxy used to
+    * quality-filter corpora): avg over a doc's tokens of
+    * ln(count(w) / N) under the corpus's own unigram distribution.
+    * Token explode → broadcast-join the unigram table → per-doc agg;
+    * the corpus text is read once and only (doc_id, logprob) pairs
+    * shuffle. */
+  val unigramLogprob = Op(
+    "unigram_logprob",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = cu.agg(sum(col("c")).as("nu"))
+      toks
+        .join(broadcast(cu), "w")
+        .crossJoin(broadcast(nu))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_toks"),
+          round(avg(log(col("c") * lit(1.0) / col("nu"))), 4).as("avg_logprob"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      cu AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      nu AS (SELECT SUM(c) AS nu FROM cu)
+      SELECT doc_id, COUNT(*) AS n_toks,
+             ROUND(AVG(LN(c * 1.0 / nu)), 4) AS avg_logprob
+      FROM toks JOIN cu USING (w), nu
+      GROUP BY doc_id"""))
+
+  override def ops: Seq[Op] = Seq(chunkDocs, pmiBigrams, unigramLogprob)
+}

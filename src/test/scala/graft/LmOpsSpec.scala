@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the LmOps module beyond the DuckDB oracle:
+  * chunk tiling arithmetic, chunk reconstruction, PMI definition
+  * checks against exact recomputation, and unigram-LM bounds.
+  */
+class LmOpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("chunk_docs tiles every document: count and length arithmetic") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val counts = q("chunk_docs")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("chunk_idx")).as("last_idx"),
+        sum(col("chunk_len")).as("sum_len"))
+      .join(docs, "doc_id")
+    // chunk count = ceil(n_chars / stride); idx is dense 0..n-1
+    val bad = counts.filter(
+      col("n_chunks") =!= ceil(col("n_chars") / 90.0).cast("long") ||
+        col("last_idx") =!= col("n_chunks") - 1).count()
+    assert(bad == 0)
+    // each chunk is full width unless clipped by the document tail:
+    // len = min(120, n_chars - 90*idx)
+    val short = q("chunk_docs")
+      .join(docs, "doc_id")
+      .filter(col("chunk_len") =!=
+        least(lit(120), col("n_chars") - col("chunk_idx") * 90))
+      .count()
+    assert(short == 0)
+  }
+
+  test("chunk_docs chunks reconstruct the source text (overlap check)") {
+    // stride 90 / len 120: stripping the 30-char overlap from every
+    // chunk after the first and concatenating must equal the text
+    val docs = Tables(spark, sfDir, "documents")
+    val ordered = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_chars").cast("int") - 1,
+          lit(90))).as("off"))
+      .withColumn("piece",
+        when(col("off") === 0, expr("substring(text, 1, 120)"))
+          .otherwise(expr("substring(text, off + 31, 90)")))
+      .groupBy(col("doc_id"), col("text"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("off"), col("piece")))), x => x("piece")), "")
+        .as("rebuilt"))
+      .filter(col("rebuilt") =!= col("text"))
+    assert(ordered.count() == 0)
+  }
+
+  test("pmi_bigrams matches an exact local recomputation") {
+    val texts = Tables(spark, sfDir01, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ")
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).foreach {
+        case Array(a, b) => bi((a, b)) = bi.getOrElse((a, b), 0L) + 1
+        case _           =>
+      }
+    }
+    val nu = uni.values.sum.toDouble
+    val nb = bi.values.sum.toDouble
+    val expect = bi.filter(_._2 >= 5).map { case ((a, b), c) =>
+      (a, b, c,
+        math.log(c * 1.0 * nu / nb * (nu * 1.0 / uni(a)) / uni(b)))
+    }.toSeq.sortBy { case (a, b, _, p) => (-p, a, b) }.take(25)
+    val got = q("pmi_bigrams", sfDir01)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gw1, gw2, gc, gp), (ew1, ew2, ec, ep)) =>
+      assert(gw1 == ew1 && gw2 == ew2 && gc == ec)
+      assert(math.abs(gp - (math.rint(ep * 1e4) / 1e4)) < 1e-9)
+    }
+  }
+
+  test("unigram_logprob: all scores negative, token counts reconcile") {
+    val out = q("unigram_logprob")
+    assert(out.filter(col("avg_logprob") >= 0).count() == 0)
+    val totalToks = out.agg(sum(col("n_toks"))).first().getLong(0)
+    val direct = Tables(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    assert(totalToks == direct)
+    // the most predictable doc scores >= the least predictable one by
+    // definition of avg; sanity: min < max
+    val mm = out.agg(min(col("avg_logprob")), max(col("avg_logprob"))).first()
+    assert(mm.getDouble(0) < mm.getDouble(1))
+  }
+}
