@@ -439,7 +439,49 @@ object FlowOps extends OpModule {
       JOIN und e2 ON e2.a = e1.b
       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""))
 
+  /** Longest consecutive-active-day streak per user (the GA-style
+    * "engagement streak" metric): classic gaps-and-islands — distinct
+    * active days, island id = day_no − row_number (constant within a
+    * consecutive run), then a two-level rollup. One shuffle on
+    * user_id; per-user state is bounded by the calendar. */
+  val userStreaks = Op(
+    "user_streaks",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("dno"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dno"))
+      days
+        .withColumn("isl", col("dno") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("len")).as("max_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).cast("long").as("n_active_days"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS INT) AS dno
+        FROM events),
+      isl AS (
+        SELECT user_id, dno,
+               dno - ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY dno) AS isl
+        FROM days),
+      streaks AS (
+        SELECT user_id, isl, COUNT(*) AS len
+        FROM isl GROUP BY user_id, isl)
+      SELECT user_id, MAX(len) AS max_streak,
+             COUNT(*) AS n_streaks,
+             CAST(SUM(len) AS BIGINT) AS n_active_days
+      FROM streaks GROUP BY user_id"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
-      periodCompare, anomalyZscore, graphTriangles)
+      periodCompare, anomalyZscore, graphTriangles, userStreaks)
 }

@@ -132,5 +132,39 @@ object MultimodalOps extends OpModule {
              MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
       FROM documents GROUP BY 1"""))
 
-  override def ops: Seq[Op] = Seq(mediaMeta, mediaStats)
+  /** Declared query: frame-level exact dedup over binary payloads —
+    * chunk every item into aligned 64-byte frames, digest each, and
+    * report frames shared across ≥2 items with the keeper (min doc).
+    * The storage-dedup shape for media at 100 TB: only (digest,
+    * doc_id) pairs shuffle, never the frame bytes, and the groupBy
+    * key space is bounded by distinct content, not items × size. */
+  val mediaDedup = Op(
+    "media_dedup",
+    (s, d) =>
+      mediaTable(s, d)
+        .select(col("doc_id"), col("content"),
+          explode(sequence(lit(0), col("n_bytes").cast("int") - 1,
+            lit(64))).as("off"))
+        .select(col("doc_id"),
+          md5(expr("substring(content, off + 1, 64)")).as("frame_md5"))
+        .groupBy(col("frame_md5"))
+        .agg(
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper_doc"))
+        .filter(col("n_docs") > 1),
+    Some("""
+      WITH frames AS (
+        SELECT doc_id, md5(substr(text, off + 1, 64)) AS frame_md5
+        FROM documents,
+             UNNEST(generate_series(0, CAST(n_chars AS INT) - 1, 64))
+               AS u(off))
+      SELECT frame_md5, COUNT(*) AS n_copies,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(doc_id) AS keeper_doc
+      FROM frames
+      GROUP BY frame_md5
+      HAVING COUNT(DISTINCT doc_id) > 1"""))
+
+  override def ops: Seq[Op] = Seq(mediaMeta, mediaStats, mediaDedup)
 }

@@ -382,8 +382,41 @@ object Aggs extends OpModule {
       JOIN region   ON n_regionkey = r_regionkey
       GROUP BY GROUPING SETS ((r_name), (n_name))"""))
 
+  /** Exact grouped quartiles (linear interpolation): the precise
+    * counterpart of `agg_quantile_sketch`/`quantile_bound` — use when
+    * group cardinality is modest enough for an exact per-group sort
+    * (here: 3 groups); at 100 TB-per-group the sketch path is the
+    * right tool, and this op is the ground truth it's judged against.
+    *
+    * Quartiles are computed over integer CENTS: quartile fractions
+    * (0/.25/.5/.75) and integer order statistics are both exact in
+    * binary floating point, so Spark's `lo + (hi-lo)*f` and DuckDB's
+    * convex-combination interpolation give the identical double —
+    * over raw doubles the two forms differ in the last ulp and can
+    * flip a rounding boundary (observed at sf0.001). */
+  val quantileExact = Op(
+    "quantile_exact",
+    (s, d) => {
+      val cents = floor(col("l_extendedprice") * 100).cast("long")
+      def q(p: Double) = round(percentile(cents, lit(p)) / 100.0, 2)
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          q(0.25).as("q1"), q(0.5).as("q2"), q(0.75).as("q3"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100)
+               AS BIGINT), 0.25) / 100.0, 2) AS q1,
+             ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100)
+               AS BIGINT), 0.5)  / 100.0, 2) AS q2,
+             ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100)
+               AS BIGINT), 0.75) / 100.0, 2) AS q3
+      FROM lineitem GROUP BY l_returnflag"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
-      quantileBound, aggSalted, heavyHitters, aggGroupingSets)
+      quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact)
 }

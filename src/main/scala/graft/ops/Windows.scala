@@ -158,6 +158,111 @@ object Windows extends OpModule {
                     ROWS BETWEEN UNBOUNDED PRECEDING
                              AND UNBOUNDED FOLLOWING)"""))
 
+  /** Rolling 30-day RANGE frame per customer: unlike the ROWS frames
+    * above, the frame is defined in VALUE space (all orders within the
+    * preceding 30 days, however many rows that is). Day numbers are
+    * integers so both engines resolve identical frame bounds; peers
+    * (same customer+day) are frame-inclusive by RANGE semantics. */
+  val windowRangeDays = Op(
+    "window_range_days",
+    (s, d) => {
+      val base = Tables(s, d, "orders")
+        .withColumn("day_no",
+          datediff(col("o_orderdate"), lit("1995-01-01")))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_no"))
+        .rangeBetween(-30, Window.currentRow)
+      base
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("spend_30d", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+          col("n_30d"), col("spend_30d"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1995-01-01',
+               CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+             COUNT(*) OVER w AS n_30d,
+             ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY CAST(date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS INT)
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)"""))
+
+  /** Exact rolling median (7-row trailing frame) per customer — an
+    * order-statistic aggregate over a moving window, the robust
+    * alternative to windowFrame's moving average. Exact percentile
+    * over a bounded frame is cheap (frame ≤ 7 rows); the shuffle is
+    * still one exchange on the partition key. Only full 7-row frames
+    * are emitted: an odd frame's median is an exact order statistic
+    * (no interpolation arithmetic), so both engines return the
+    * identical double — partition-start frames with an even row count
+    * interpolate, and the two engines' (a+b)/2 forms differ in the
+    * last ulp, which can flip a 2dp rounding boundary. */
+  val rollingMedian = Op(
+    "rolling_median",
+    (s, d) => {
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val w = ord.rowsBetween(-6, Window.currentRow)
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("med7",
+          round(percentile(col("o_totalprice"), lit(0.5)).over(w), 2))
+        .filter(col("rn") >= 7)
+        .select(col("o_custkey"), col("o_orderkey"), col("med7"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, med7 FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS rn,
+               ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS med7
+        FROM orders)
+      WHERE rn >= 7"""))
+
+  /** Pareto frontier per order priority over (price, recency): keep an
+    * order iff every order with strictly higher price (in whole cents)
+    * is strictly older. One sort per group + a running max — the
+    * O(n log n) sweep, not the O(n²) dominance self-join; the strictly-
+    * greater-price frame is a RANGE bound of -1 on the descending
+    * integer cents key (peers = same cent value are excluded). */
+  val paretoFront = Op(
+    "pareto_front",
+    (s, d) => {
+      val base = Tables(s, d, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .withColumn("day_no",
+          datediff(col("o_orderdate"), lit("1995-01-01")))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      base
+        .withColumn("best_prior_day", max(col("day_no")).over(w))
+        .filter(col("best_prior_day").isNull ||
+          col("day_no") > col("best_prior_day"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), col("day_no"))
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice, day_no FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+               MAX(CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS INT)) OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_prior_day
+        FROM orders)
+      WHERE best_prior_day IS NULL OR day_no > best_prior_day"""))
+
   override def ops: Seq[Op] =
-    Seq(windowRank, windowAnalytic, windowFrame, topkPerKey, windowDist)
+    Seq(windowRank, windowAnalytic, windowFrame, topkPerKey, windowDist,
+      windowRangeDays, rollingMedian, paretoFront)
 }

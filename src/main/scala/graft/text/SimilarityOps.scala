@@ -479,7 +479,37 @@ object SimilarityOps extends OpModule {
                       0.0) AS dup_frac
       FROM documents d LEFT JOIN per USING (doc_id)"""))
 
+  /** Blocked fuzzy matching by edit distance: near-identical part
+    * names (levenshtein ≤ 3) found inside (brand, size) blocks — the
+    * record-linkage idiom where an equi-join key bounds the quadratic
+    * distance work. Block sizes are data-bounded (parts per
+    * brand×size), so the candidate count grows linearly with the
+    * table, never all-pairs; levenshtein itself is codegen'd. */
+  val editDistPairs = Op(
+    "edit_dist_pairs",
+    (s, d) => {
+      val p = Tables(s, d, "part")
+        .select(col("p_brand"), col("p_size"), col("p_partkey"),
+          col("p_name"))
+      val a = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("k1"), col("p_name").as("n1"))
+      val b = p.select(col("p_brand"), col("p_size"),
+        col("p_partkey").as("k2"), col("p_name").as("n2"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("k1") < col("k2"))
+        .withColumn("dist", levenshtein(col("n1"), col("n2")))
+        .filter(col("dist") <= 3)
+        .select(col("p_brand"), col("k1"), col("k2"), col("dist"))
+    },
+    Some("""
+      SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM part a
+      JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                 AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
+
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
-      minhashDet, langId, dupSpanFrac)
+      minhashDet, langId, dupSpanFrac, editDistPairs)
 }

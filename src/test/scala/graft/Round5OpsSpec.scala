@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent-recomputation checks for the round-5 window/agg/
+  * similarity/multimodal additions, beyond the DuckDB oracles:
+  * brute-force equivalents at sf0.001/sf0.01 where the declared op
+  * uses a smarter (windowed / blocked) plan.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+  import SparkFixture._
+
+  test("window_range_days equals the theta-self-join recomputation") {
+    val base = Tables(spark, sfDir, "orders")
+      .withColumn("day_no", datediff(col("o_orderdate"), lit("1995-01-01")))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+        col("o_totalprice"))
+    val a = base.select(col("o_custkey"), col("o_orderkey"), col("day_no"))
+    val b = base.select(col("o_custkey").as("ck"),
+      col("day_no").as("d2"), col("o_totalprice").as("p2"))
+    val brute = a.join(b, col("o_custkey") === col("ck") &&
+        col("d2").between(col("day_no") - 30, col("day_no")))
+      .groupBy(col("o_custkey"), col("o_orderkey"))
+      .agg(count(lit(1)).as("bn"), round(sum(col("p2")), 2).as("bs"))
+    val out = q("window_range_days")
+    val diff = out.join(brute, Seq("o_custkey", "o_orderkey"))
+      .filter(col("n_30d") =!= col("bn") ||
+        abs(col("spend_30d") - col("bs")) > 0.011)
+      .count()
+    assert(diff == 0)
+    assert(out.count() == Tables(spark, sfDir, "orders").count())
+  }
+
+  test("rolling_median equals the sorted-frame middle element") {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w = ord.rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    val brute = Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("frame", collect_list(col("o_totalprice")).over(w))
+      .filter(col("rn") >= 7)
+      .withColumn("med_brute",
+        round(element_at(array_sort(col("frame")), 4), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("med_brute"))
+    val diff = q("rolling_median").join(brute, Seq("o_custkey", "o_orderkey"))
+      .filter(col("med7") =!= col("med_brute")).count()
+    assert(diff == 0)
+  }
+
+  test("pareto_front rows are exactly the non-dominated set") {
+    val base = Tables(spark, sfDir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .withColumn("day_no", datediff(col("o_orderdate"), lit("1995-01-01")))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
+        col("day_no"))
+    val other = base.select(col("o_orderpriority").as("p2"),
+      col("cents").as("c2"), col("day_no").as("d2"))
+    // dominated = some same-priority order has strictly higher cents
+    // and a day >= ours (the declared op's keep-rule negation)
+    val dominated = base.join(other,
+        col("o_orderpriority") === col("p2") &&
+          col("c2") > col("cents") && col("d2") >= col("day_no"),
+        "left_semi")
+      .select(col("o_orderkey"))
+    val frontier = base.join(dominated, Seq("o_orderkey"), "left_anti")
+    val got = q("pareto_front").select(col("o_orderkey"))
+    assert(got.except(frontier.select(col("o_orderkey"))).count() == 0)
+    assert(frontier.select(col("o_orderkey")).except(got).count() == 0)
+  }
+
+  test("quantile_exact quartiles are ordered and bracket the data") {
+    val out = q("quantile_exact")
+    assert(out.filter(col("q1") > col("q2") || col("q2") > col("q3"))
+      .count() == 0)
+    val bounds = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+    val bad = out.join(bounds, "l_returnflag")
+      .filter(col("q1") < col("lo") - 0.01 || col("q3") > col("hi") + 0.01)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("user_streaks reconciles with distinct active days per user") {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+    val out = q("user_streaks")
+    val bad = out.join(days, "user_id")
+      .filter(col("n_active_days") =!= col("n_days") ||
+        col("max_streak") > col("n_active_days") ||
+        col("max_streak") < 1).count()
+    assert(bad == 0)
+    assert(out.count() == days.count())
+  }
+
+  test("edit_dist_pairs matches brute force inside one block (sf0.01)") {
+    val parts = Tables(spark, sfDir01, "part")
+      .select(col("p_brand"), col("p_size"), col("p_partkey"), col("p_name"))
+      .collect()
+    val brute = (for {
+      a <- parts; b <- parts
+      if a.getString(0) == b.getString(0) && a.getInt(1) == b.getInt(1)
+      if a.getLong(2) < b.getLong(2)
+      d = levDist(a.getString(3), b.getString(3)) if d <= 3
+    } yield (a.getLong(2), b.getLong(2), d)).toSet
+    val got = q("edit_dist_pairs", sfDir01)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == brute)
+  }
+
+  test("media_dedup matches a driver-side frame recount") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    val byHash = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    docs.foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      (0 until t.length by 64).foreach { off =>
+        val chunk = t.substring(off, math.min(off + 64, t.length))
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        byHash.getOrElseUpdate(h,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id
+      }
+    }
+    val expect = byHash.collect {
+      case (h, ids) if ids.distinct.size > 1 =>
+        (h, ids.size.toLong, ids.distinct.size.toLong, ids.min)
+    }.toSet
+    val got = q("media_dedup")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+}
