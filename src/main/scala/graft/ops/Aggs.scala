@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregations (SURVEY.md §2.4): the GA report model is
@@ -415,8 +416,113 @@ object Aggs extends OpModule {
                AS BIGINT), 0.75) / 100.0, 2) AS q3
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Winsorized (robust) mean per group: clamp prices to the exact
+    * [p05, p95] order statistics, then average. Percentile bounds are
+    * DISCRETE order statistics picked by row_number (rank k =
+    * floor(p·(n−1))+1 over integer cents) — interpolated percentiles
+    * at p=.05 carry a non-dyadic fraction whose two engine-side
+    * interpolation forms differ in the last ulp; rank selection is
+    * pure integer work, so the clamped sum is exact on both sides.
+    * One shuffle on the group key; both windows and the final agg
+    * reuse it. */
+  val winsorize = Op(
+    "winsorize",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables(s, d, "lineitem")
+        .withColumn("cents", floor(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("k05", (floor(lit(0.05) * (col("n") - 1)) + 1).cast("int"))
+        .withColumn("k95", (floor(lit(0.95) * (col("n") - 1)) + 1).cast("int"))
+      val bounds = ranked.groupBy(col("l_returnflag")).agg(
+        max(when(col("rn") === col("k05"), col("cents"))).as("lo"),
+        max(when(col("rn") === col("k95"), col("cents"))).as("hi"))
+      ranked
+        .join(broadcast(bounds), "l_returnflag")
+        .withColumn("clamped", least(greatest(col("cents"), col("lo")),
+          col("hi")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(max(col("lo")) / 100.0, 2).as("p05"),
+          round(max(col("hi")) / 100.0, 2).as("p95"),
+          round(avg(col("cents")) / 100.0, 2).as("mean_raw"),
+          round(avg(col("clamped")) / 100.0, 2).as("mean_winsor"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      keyed AS (
+        SELECT *,
+               CAST(FLOOR(0.05 * (n - 1)) + 1 AS INT) AS k05,
+               CAST(FLOOR(0.95 * (n - 1)) + 1 AS INT) AS k95
+        FROM ranked),
+      bounds AS (
+        SELECT l_returnflag,
+               MAX(CASE WHEN rn = k05 THEN cents END) AS lo,
+               MAX(CASE WHEN rn = k95 THEN cents END) AS hi
+        FROM keyed GROUP BY l_returnflag)
+      SELECT k.l_returnflag, COUNT(*) AS n_rows,
+             ROUND(MAX(lo) / 100.0, 2) AS p05,
+             ROUND(MAX(hi) / 100.0, 2) AS p95,
+             ROUND(AVG(cents) / 100.0, 2) AS mean_raw,
+             ROUND(AVG(LEAST(GREATEST(cents, lo), hi)) / 100.0, 2)
+               AS mean_winsor
+      FROM keyed k JOIN bounds b ON k.l_returnflag = b.l_returnflag
+      GROUP BY k.l_returnflag"""))
+
+  /** Gini concentration of order revenue per market segment — the
+    * inequality summary a revenue dashboard ships. Rank-sum identity
+    * G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over cents ranked ascending with
+    * a unique tie-break: every intermediate is an exact int64 (i·xᵢ ≤
+    * 1e11/row), so both engines divide the same exact operands. One
+    * shuffle on the segment key shared by window + agg. */
+  val giniConcentration = Op(
+    "gini_concentration",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      od.join(cu, od("o_custkey") === cu("c_custkey"))
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          // rank-weighted sum as decimal(38,0): exact at any SF (the
+          // int64 sum overflows near sf10; DuckDB's HUGEINT sum never
+          // does, and both exact sums convert to the same double)
+          round((lit(2.0) *
+            sum((col("i") * col("cents")).cast("decimal(38,0)")) /
+            (count(lit(1)) * lit(1.0) * sum(col("cents"))) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1))), 6).as("gini"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+                          o_orderkey) AS BIGINT) AS i
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+             ROUND(2.0 * SUM(i * cents) /
+               (COUNT(*) * 1.0 * SUM(cents)) -
+               (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      FROM ranked GROUP BY c_mktsegment"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
-      quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact)
+      quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact,
+      winsorize, giniConcentration)
 }

@@ -383,7 +383,52 @@ object CurationOps extends OpModule {
              CAST(prefix AS BIGINT) AS prefix
       FROM p WHERE prefix < quota"""))
 
+  /** Uniform corpus re-mixing: downsample every source to (about)
+    * the smallest source's size — rates are COMPUTED from the data
+    * (min_count/count per source), unlike `sample_stratified`'s
+    * fixed rates. Membership is still a pure function of doc_id, so
+    * re-runs and appends never flip a kept doc; the per-source counts
+    * are a broadcast-sized side input. Output is the per-source
+    * audit (total, target rate in ppm, kept). */
+  val mixUniform = Op(
+    "mix_uniform",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("(doc_id % 100000) * 2654435761 % 1000000"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val minCnt = counts.agg(min(col("n_src")).as("min_cnt"))
+      docs
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(minCnt))
+        .withColumn("rate_ppm",
+          floor(col("min_cnt") * lit(1000000.0) / col("n_src"))
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("bucket") < col("rate_ppm"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source,
+               (doc_id % 100000) * 2654435761 % 1000000 AS bucket
+        FROM documents),
+      counts AS (SELECT source, COUNT(*) AS n_src FROM b GROUP BY source),
+      m AS (SELECT MIN(n_src) AS min_cnt FROM counts)
+      SELECT b.source, COUNT(*) AS n_docs,
+             MAX(CAST(FLOOR(min_cnt * 1000000.0 / n_src) AS BIGINT))
+               AS rate_ppm,
+             CAST(SUM(CASE WHEN bucket <
+               CAST(FLOOR(min_cnt * 1000000.0 / n_src) AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM b JOIN counts USING (source), m
+      GROUP BY b.source"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
-    contaminationBloom, sampleBudget)
+    contaminationBloom, sampleBudget, mixUniform)
 }

@@ -138,6 +138,59 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("winsorize: bounds ordered, winsorized mean inside [p05, p95]") {
+    val out = q("winsorize")
+    val bad = out.filter(col("p05") > col("p95") ||
+      col("mean_winsor") < col("p05") - 0.01 ||
+      col("mean_winsor") > col("p95") + 0.01).count()
+    assert(bad == 0)
+    assert(out.count() == 3)
+  }
+
+  test("gini_concentration matches a driver-side exact recomputation") {
+    val rows = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getString(0),
+        math.floor(r.getDouble(1) * 100).toLong, r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (seg, xs) =>
+      val sorted = xs.sortBy(t => (t._2, t._3)).map(_._2)
+      val n = sorted.length.toLong
+      val s0 = sorted.sum
+      val s1 = sorted.zipWithIndex.map { case (x, i) =>
+        BigInt(i + 1) * BigInt(x) }.sum
+      val g = 2.0 * s1.toDouble / (n * 1.0 * s0) - (n + 1.0) / n
+      seg -> (n, math.rint(g * 1e6) / 1e6)
+    }
+    val got = q("gini_concentration").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (seg, (n, g)) =>
+      assert(got(seg)._1 == n)
+      assert(math.abs(got(seg)._2 - g) < 1e-9, s"$seg: ${got(seg)._2} vs $g")
+    }
+    // Gini of a non-degenerate positive distribution is in (0, 1)
+    assert(got.values.forall(v => v._2 > 0 && v._2 < 1))
+  }
+
+  test("mix_uniform: kept counts are near-uniform across sources") {
+    val out = q("mix_uniform", sfDir01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every source keeps at most its total, rates in (0, 1e6]
+    assert(out.forall { case (_, n, ppm, k) =>
+      k <= n && ppm > 0 && ppm <= 1000000 })
+    // the smallest source keeps everything (rate 1e6)
+    val minSrc = out.minBy(_._2)
+    assert(minSrc._3 == 1000000 && minSrc._4 == minSrc._2)
+    // kept counts concentrate near the smallest source's size: the
+    // hash is uniform, so allow a generous band around min count
+    val minN = out.map(_._2).min
+    assert(out.forall { case (_, _, _, k) =>
+      k >= minN / 2 && k <= minN * 2 })
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
