@@ -481,7 +481,88 @@ object FlowOps extends OpModule {
              CAST(SUM(len) AS BIGINT) AS n_active_days
       FROM streaks GROUP BY user_id"""))
 
+  /** Event-type Markov chain: P(next=B | current=A) over the per-user
+    * hit order — `page_transitions`' page-graph analog at the
+    * event-type level, with the conditional probability attached.
+    * Counts are integers, so the probability divides identical exact
+    * operands; the normalizing sum is a window over the |types|²
+    * rollup (catalog-sized at any data scale). */
+  val markovTransitions = Op(
+    "markov_transitions",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      pairs
+        .withColumn("p",
+          round(col("n") * lit(1.0) / sum(col("n")).over(wp), 6))
+        .select(col("prev_type"), col("event_type"), col("n"), col("p"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        FROM events),
+      pairs AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type)
+      SELECT prev_type, event_type, n,
+             ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+      FROM pairs"""))
+
+  /** First-touch attribution: per user, the first event type in the
+    * total hit order, and whether the user later converted
+    * (purchased) — rolled up to conversion rate per acquisition type.
+    * One user_id shuffle (window rank = 1 + conditional flags), then
+    * a 5-row rollup; the GA acquisition-report shape. */
+  val firstTouch = Op(
+    "first_touch",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val perUserFirst = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("converted",
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_type"),
+          col("converted"))
+      perUserFirst
+        .groupBy(col("first_type"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("converted")).cast("long").as("n_converted"),
+          round(sum(col("converted")) * lit(1.0) / count(lit(1)), 6)
+            .as("conv_rate"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS converted
+        FROM events)
+      SELECT event_type AS first_type, COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted,
+             ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conv_rate
+      FROM ranked WHERE rn = 1
+      GROUP BY event_type"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
-      periodCompare, anomalyZscore, graphTriangles, userStreaks)
+      periodCompare, anomalyZscore, graphTriangles, userStreaks,
+      markovTransitions, firstTouch)
 }

@@ -262,7 +262,49 @@ object Windows extends OpModule {
         FROM orders)
       WHERE best_prior_day IS NULL OR day_no > best_prior_day"""))
 
+  /** Ratio-to-report: each nation's share of its region's revenue —
+    * the percent-of-total window idiom. The distributed work is the
+    * join+groupBy beneath; the share window runs on the nation-sized
+    * rollup (25 rows at any data scale). Revenue is summed as integer
+    * cents so the share divides identical exact operands on both
+    * engines. */
+  val shareOfTotal = Op(
+    "share_of_total",
+    (s, d) => {
+      val od = Tables(s, d, "orders")
+      val cu = Tables(s, d, "customer")
+      val na = Tables(s, d, "nation")
+      val re = Tables(s, d, "region")
+      val natRev = od
+        .join(cu, od("o_custkey") === cu("c_custkey"))
+        .join(broadcast(na), cu("c_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("r_name"))
+      natRev
+        .withColumn("share",
+          round(col("rev_cents") * lit(1.0) / sum(col("rev_cents")).over(w), 6))
+        .select(col("r_name"), col("n_name"),
+          round(col("rev_cents") / 100.0, 2).as("revenue"), col("share"))
+    },
+    Some("""
+      WITH nat AS (
+        SELECT r_name, n_name,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name,
+             ROUND(rev_cents / 100.0, 2) AS revenue,
+             ROUND(rev_cents * 1.0 /
+               SUM(rev_cents) OVER (PARTITION BY r_name), 6) AS share
+      FROM nat"""))
+
   override def ops: Seq[Op] =
     Seq(windowRank, windowAnalytic, windowFrame, topkPerKey, windowDist,
-      windowRangeDays, rollingMedian, paretoFront)
+      windowRangeDays, rollingMedian, paretoFront, shareOfTotal)
 }

@@ -191,6 +191,39 @@ class Round5OpsSpec extends AnyFunSuite {
       k >= minN / 2 && k <= minN * 2 })
   }
 
+  test("share_of_total: shares sum to 1 per region, revenue reconciles") {
+    val out = q("share_of_total")
+    val sums = out.groupBy(col("r_name"))
+      .agg(sum(col("share")).as("s"), sum(col("revenue")).as("rev"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-4).count() == 0)
+    val total = sums.agg(sum(col("rev"))).first().getDouble(0)
+    val direct = Tables(spark, sfDir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .agg(sum(col("cents"))).first().getLong(0) / 100.0
+    assert(math.abs(total - direct) < 1.0)
+  }
+
+  test("markov_transitions: probabilities normalize per source state") {
+    val out = q("markov_transitions")
+    val sums = out.groupBy(col("prev_type")).agg(sum(col("p")).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-4).count() == 0)
+    // total transition count = events - users (each user loses one lag)
+    val nTrans = out.agg(sum(col("n"))).first().getLong(0)
+    val ev = Tables.events(spark, sfDir)
+    val expect = ev.count() -
+      ev.select(col("user_id")).distinct().count()
+    assert(nTrans == expect)
+  }
+
+  test("first_touch: user totals reconcile, rates in [0,1]") {
+    val out = q("first_touch")
+    val nUsers = out.agg(sum(col("n_users"))).first().getLong(0)
+    assert(nUsers == Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count())
+    assert(out.filter(col("conv_rate") < 0 || col("conv_rate") > 1 ||
+      col("n_converted") > col("n_users")).count() == 0)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
