@@ -520,9 +520,43 @@ object Aggs extends OpModule {
                (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
       FROM ranked GROUP BY c_mktsegment"""))
 
+  /** Equi-width value histogram per event type (the distribution-
+    * profiling primitive): 10 buckets over the GLOBAL [min, max] cent
+    * range, bounds from one broadcast scalar aggregate — bucket id is
+    * pure integer floor-division, so both engines bin identically.
+    * Two map-side-combined passes, no sort, no per-group scan. */
+  val valueHistogram = Op(
+    "value_histogram",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vc", floor(col("value") * 100).cast("long"))
+      val span = ev.agg(min(col("vc")).as("mn"), max(col("vc")).as("mx"))
+      ev.crossJoin(broadcast(span))
+        .withColumn("bucket",
+          expr("((vc - mn) * 10) div (mx - mn + 1)").cast("int"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(min(col("vc")) / 100.0, 2).as("lo_v"),
+          round(max(col("vc")) / 100.0, 2).as("hi_v"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS vc
+        FROM events),
+      span AS (SELECT MIN(vc) AS mn, MAX(vc) AS mx FROM ev)
+      SELECT event_type,
+             CAST((vc - mn) * 10 // (mx - mn + 1) AS INT) AS bucket,
+             COUNT(*) AS n_events,
+             ROUND(MIN(vc) / 100.0, 2) AS lo_v,
+             ROUND(MAX(vc) / 100.0, 2) AS hi_v
+      FROM ev, span
+      GROUP BY 1, 2"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
       quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact,
-      winsorize, giniConcentration)
+      winsorize, giniConcentration, valueHistogram)
 }

@@ -310,8 +310,65 @@ object Joins extends OpModule {
        AND a.user_id <> b.user_id
       GROUP BY 1, 2"""))
 
+  /** Nearest-as-of: each purchase matched to its CLOSEST signup in
+    * either time direction (tie → the earlier one) — the bidirectional
+    * upgrade of `join_asof`, still the one-shuffle union kernel: a
+    * backward running max and a forward running min over the same
+    * user_id exchange, then pure integer arithmetic picks the nearer
+    * side. No per-row window partitions, no fanout join — O(n) state
+    * at any scale. */
+  val joinAsofNearest = Op(
+    "join_asof_nearest",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("us", unix_micros(col("ts")))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ev
+        .withColumn("prev_signup_us",
+          max(when(col("event_type") === "signup", col("us"))).over(wB))
+        .withColumn("next_signup_us",
+          min(when(col("event_type") === "signup", col("us"))).over(wF))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_signup_us",
+          when(col("next_signup_us").isNull, col("prev_signup_us"))
+            .when(col("prev_signup_us").isNull, col("next_signup_us"))
+            .when(col("us") - col("prev_signup_us") <=
+              col("next_signup_us") - col("us"), col("prev_signup_us"))
+            .otherwise(col("next_signup_us")))
+        .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+          col("prev_signup_us"), col("next_signup_us"),
+          col("nearest_signup_us"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE event_type IN ('signup', 'purchase')),
+      sp AS (
+        SELECT event_id, user_id, event_type, us,
+               MAX(CASE WHEN event_type = 'signup' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS prev_signup_us,
+               MIN(CASE WHEN event_type = 'signup' THEN us END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS next_signup_us
+        FROM ev)
+      SELECT event_id, user_id, us AS purchase_us,
+             prev_signup_us, next_signup_us,
+             CASE WHEN next_signup_us IS NULL THEN prev_signup_us
+                  WHEN prev_signup_us IS NULL THEN next_signup_us
+                  WHEN us - prev_signup_us <= next_signup_us - us
+                    THEN prev_signup_us
+                  ELSE next_signup_us END AS nearest_signup_us
+      FROM sp WHERE event_type = 'purchase'"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
       joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi,
-      rangeJoinTime)
+      rangeJoinTime, joinAsofNearest)
 }

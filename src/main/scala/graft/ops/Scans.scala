@@ -158,6 +158,36 @@ object Scans extends OpModule {
       FROM z, zm
       GROUP BY 1"""))
 
+  /** Diversified top-k: global top 20 orders by price with at most 2
+    * per customer — the "top results without one key dominating"
+    * variant every report surface needs. Per-key rank (one window
+    * shuffle, TopKPerKey-rewritable) → global TakeOrderedAndProject;
+    * no global sort at any scale. */
+  val topkDiverse = Op(
+    "topk_diverse",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("rn"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice, rn FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders)
+      WHERE rn <= 2
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""))
+
   override def ops: Seq[Op] =
-    Seq(scanProject, filterPred, scanPruned, caseExpr, topk, zorderBucket)
+    Seq(scanProject, filterPred, scanPruned, caseExpr, topk, zorderBucket,
+      topkDiverse)
 }

@@ -224,6 +224,55 @@ class Round5OpsSpec extends AnyFunSuite {
       col("n_converted") > col("n_users")).count() == 0)
   }
 
+  test("join_asof_nearest: nearest is the min |delta| signup, tie → prev") {
+    val out = q("join_asof_nearest")
+    // nearest must equal prev or next, and be the closer of the two
+    val bad = out.filter(
+      (col("nearest_signup_us").isNotNull &&
+        col("nearest_signup_us") =!= col("prev_signup_us") &&
+        col("nearest_signup_us") =!= col("next_signup_us")) ||
+      (col("prev_signup_us").isNotNull && col("next_signup_us").isNotNull &&
+        ((col("purchase_us") - col("prev_signup_us") <=
+          col("next_signup_us") - col("purchase_us")) &&
+          col("nearest_signup_us") =!= col("prev_signup_us") ||
+        (col("purchase_us") - col("prev_signup_us") >
+          col("next_signup_us") - col("purchase_us")) &&
+          col("nearest_signup_us") =!= col("next_signup_us")))).count()
+    assert(bad == 0)
+    // row count equals the purchase count (every purchase emitted)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == purchases)
+    // backward side agrees with the declared join_asof
+    val asof = q("join_asof").select(col("event_id"),
+      col("last_signup_us").as("expect_prev"))
+    assert(out.join(asof, "event_id")
+      .filter(not(col("prev_signup_us") <=> col("expect_prev")))
+      .count() == 0)
+  }
+
+  test("topk_diverse: no customer exceeds 2 rows; dominated by plain topk") {
+    val out = q("topk_diverse")
+    assert(out.count() == 20)
+    assert(out.groupBy(col("o_custkey")).count()
+      .filter(col("count") > 2).count() == 0)
+    // diversified minimum price <= plain top-20 minimum (cap only demotes)
+    val plainMin = Tables(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      .agg(min(col("o_totalprice"))).first().getDouble(0)
+    val divMin = out.agg(min(col("o_totalprice"))).first().getDouble(0)
+    assert(divMin <= plainMin + 1e-9)
+  }
+
+  test("value_histogram: buckets in [0,9], counts cover all events") {
+    val out = q("value_histogram")
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 9).count() == 0)
+    val total = out.agg(sum(col("n_events"))).first().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    // per-bucket observed bounds are ordered
+    assert(out.filter(col("lo_v") > col("hi_v")).count() == 0)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
