@@ -561,8 +561,57 @@ object FlowOps extends OpModule {
       FROM ranked WHERE rn = 1
       GROUP BY event_type"""))
 
+  /** Conversion time-lag (the GA "time lag" report): per user, first
+    * signup → first subsequent purchase delay; output count + exact
+    * lag quartiles + mean. Quartiles interpolate over integer
+    * microseconds with dyadic fractions (0/.25/.5/.75), so every
+    * intermediate is FP-exact on both engines — the same reason
+    * `quantile_exact` uses integer cents. One user_id window+agg
+    * exchange, then a scalar rollup. */
+  val conversionLag = Op(
+    "conversion_lag",
+    (s, d) => {
+      val wU = Window.partitionBy(col("user_id"))
+      val lags = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("signup_us",
+          min(when(col("event_type") === "signup", col("us"))).over(wU))
+        .filter(col("event_type") === "purchase" &&
+          col("signup_us").isNotNull && col("us") >= col("signup_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("p_us"), min(col("signup_us")).as("s_us"))
+        .withColumn("lag_us", col("p_us") - col("s_us"))
+      def q(p: Double) = round(percentile(col("lag_us"), lit(p)) / 1e6, 2)
+      lags.agg(
+        count(lit(1)).as("n_users"),
+        q(0.25).as("q1_s"), q(0.5).as("med_s"), q(0.75).as("q3_s"),
+        round(sum(col("lag_us")) / (count(lit(1)) * lit(1e6)), 2)
+          .as("avg_s"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               MIN(CASE WHEN event_type = 'signup' THEN
+                 epoch_us(CAST(ts AS TIMESTAMP)) END)
+                 OVER (PARTITION BY user_id) AS signup_us
+        FROM events),
+      lags AS (
+        SELECT user_id,
+               MIN(us) - MIN(signup_us) AS lag_us
+        FROM ev
+        WHERE event_type = 'purchase' AND signup_us IS NOT NULL
+          AND us >= signup_us
+        GROUP BY user_id)
+      SELECT COUNT(*) AS n_users,
+             ROUND(quantile_cont(lag_us, 0.25) / 1e6, 2) AS q1_s,
+             ROUND(quantile_cont(lag_us, 0.5)  / 1e6, 2) AS med_s,
+             ROUND(quantile_cont(lag_us, 0.75) / 1e6, 2) AS q3_s,
+             ROUND(SUM(lag_us) / (COUNT(*) * 1e6), 2) AS avg_s
+      FROM lags"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
-      markovTransitions, firstTouch)
+      markovTransitions, firstTouch, conversionLag)
 }

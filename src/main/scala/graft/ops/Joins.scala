@@ -367,8 +367,42 @@ object Joins extends OpModule {
                   ELSE next_signup_us END AS nearest_signup_us
       FROM sp WHERE event_type = 'purchase'"""))
 
+  /** Market-basket affinity: top brand pairs co-occurring in the same
+    * order. The self-join is keyed on o_orderkey, so candidate pairs
+    * are bounded by basket size (≤ 12 lines/order here, ~k² per
+    * basket), never all-pairs across baskets — the support-counting
+    * shape of association mining. The brand lookup is a broadcast
+    * (25-row dim); the pair rollup is |brands|²-bounded. */
+  val basketPairs = Op(
+    "basket_pairs",
+    (s, d) => {
+      val brands = Tables(s, d, "lineitem")
+        .join(broadcast(Tables(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand"))
+        .distinct()
+      val a = brands.select(col("ok"), col("p_brand").as("b1"))
+      val b = brands.select(col("ok"), col("p_brand").as("b2"))
+      a.join(b, Seq("ok"))
+        .filter(col("b1") < col("b2"))
+        .groupBy(col("b1"), col("b2"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("b1"), col("b2"))
+        .limit(20)
+    },
+    Some("""
+      WITH ob AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS support
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+      ORDER BY support DESC, b1, b2
+      LIMIT 20"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
       joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi,
-      rangeJoinTime, joinAsofNearest)
+      rangeJoinTime, joinAsofNearest, basketPairs)
 }

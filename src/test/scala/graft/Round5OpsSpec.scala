@@ -273,6 +273,51 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(out.filter(col("lo_v") > col("hi_v")).count() == 0)
   }
 
+  test("conversion_lag: quartiles ordered, non-negative, count sane") {
+    val r = q("conversion_lag").collect()(0)
+    val (n, q1, med, q3, avg) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(n > 0)
+    assert(q1 >= 0 && q1 <= med && med <= q3)
+    assert(avg >= 0)
+    // converting users are a subset of users with any purchase
+    val buyers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(n <= buyers)
+  }
+
+  test("decile_lift: 10 deciles, shares sum to 1, cum_share monotone") {
+    val out = q("decile_lift").orderBy(col("decile")).collect()
+    assert(out.length == 10)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    val cum = out.map(_.getDouble(4))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(cum.last - 1.0) < 1e-6)
+    // customer counts differ by at most 1 (NTILE contract)
+    val ns = out.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1)
+    // decile 1 (top spenders) has the largest share
+    assert(out.head.getDouble(3) == out.map(_.getDouble(3)).max)
+  }
+
+  test("basket_pairs: support bounded by min brand order-frequency") {
+    val out = q("basket_pairs").collect()
+    assert(out.length == 20)
+    val freq = Tables(spark, sfDir, "lineitem")
+      .join(broadcast(Tables(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .groupBy(col("p_brand")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (b1, b2, s) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(b1 < b2)
+      assert(s <= math.min(freq(b1), freq(b2)))
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
