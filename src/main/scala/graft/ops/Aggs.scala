@@ -386,8 +386,10 @@ object Aggs extends OpModule {
   /** Exact grouped quartiles (linear interpolation): the precise
     * counterpart of `agg_quantile_sketch`/`quantile_bound` — use when
     * group cardinality is modest enough for an exact per-group sort
-    * (here: 3 groups); at 100 TB-per-group the sketch path is the
-    * right tool, and this op is the ground truth it's judged against.
+    * (3 groups here, so the exact sort is cheap); at 100 TB-per-group
+    * the sketch path or `winsorize`'s distinct-value-CDF selection is
+    * the right tool, and this op is the ground truth both are judged
+    * against.
     *
     * Quartiles are computed over integer CENTS: quartile fractions
     * (0/.25/.5/.75) and integer order statistics are both exact in
@@ -418,28 +420,42 @@ object Aggs extends OpModule {
 
   /** Winsorized (robust) mean per group: clamp prices to the exact
     * [p05, p95] order statistics, then average. Percentile bounds are
-    * DISCRETE order statistics picked by row_number (rank k =
-    * floor(p·(n−1))+1 over integer cents) — interpolated percentiles
-    * at p=.05 carry a non-dyadic fraction whose two engine-side
-    * interpolation forms differ in the last ulp; rank selection is
-    * pure integer work, so the clamped sum is exact on both sides.
-    * One shuffle on the group key; both windows and the final agg
-    * reuse it. */
+    * DISCRETE order statistics (rank k = floor(p·(n−1))+1 over
+    * integer cents) — interpolated percentiles at p=.05 carry a
+    * non-dyadic fraction whose two engine-side interpolation forms
+    * differ in the last ulp; rank selection is pure integer work, so
+    * the clamped sum is exact on both sides.
+    *
+    * Scale shape: the rank-k statistic is selected on the DISTINCT-
+    * VALUE CDF (count per (group, cents) → running count → first
+    * value whose cumulative count ≥ k), NOT by ranking rows — a
+    * row_number over 3 return-flag partitions would sort the whole
+    * fact table in 3 tasks at 100 TB, while the rollup's ordered pass
+    * is bounded by the price domain regardless of row count. The
+    * oracle keeps the per-row row_number formulation (same order
+    * statistic by definition); DuckDB sorts locally just fine. */
   val winsorize = Op(
     "winsorize",
     (s, d) => {
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
-      val wn = Window.partitionBy(col("l_returnflag"))
-      val ranked = Tables(s, d, "lineitem")
+      val rows = Tables(s, d, "lineitem")
         .withColumn("cents", floor(col("l_extendedprice") * 100).cast("long"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .withColumn("k05", (floor(lit(0.05) * (col("n") - 1)) + 1).cast("int"))
-        .withColumn("k95", (floor(lit(0.95) * (col("n") - 1)) + 1).cast("int"))
-      val bounds = ranked.groupBy(col("l_returnflag")).agg(
-        max(when(col("rn") === col("k05"), col("cents"))).as("lo"),
-        max(when(col("rn") === col("k95"), col("cents"))).as("hi"))
-      ranked
+      // distinct-value CDF per group (the ordered pass runs on this
+      // value rollup, not on the fact rows)
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = rows.groupBy(col("l_returnflag"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum(col("m")).over(wc))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      val keyed = cdf
+        .withColumn("n", max(col("cum")).over(wn))
+        .withColumn("k05", floor(lit(0.05) * (col("n") - 1)) + 1)
+        .withColumn("k95", floor(lit(0.95) * (col("n") - 1)) + 1)
+      // order statistic k = min cents with cumulative count >= k
+      val bounds = keyed.groupBy(col("l_returnflag")).agg(
+        min(when(col("cum") >= col("k05"), col("cents"))).as("lo"),
+        min(when(col("cum") >= col("k95"), col("cents"))).as("hi"))
+      rows
         .join(broadcast(bounds), "l_returnflag")
         .withColumn("clamped", least(greatest(col("cents"), col("lo")),
           col("hi")))
@@ -481,30 +497,43 @@ object Aggs extends OpModule {
 
   /** Gini concentration of order revenue per market segment — the
     * inequality summary a revenue dashboard ships. Rank-sum identity
-    * G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over cents ranked ascending with
-    * a unique tie-break: every intermediate is an exact int64 (i·xᵢ ≤
-    * 1e11/row), so both engines divide the same exact operands. One
-    * shuffle on the segment key shared by window + agg. */
+    * G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n; every intermediate is exact
+    * (decimal(38,0) rank-weighted sum vs DuckDB's HUGEINT — the int64
+    * sum overflows near sf10 — and both exact sums convert to the
+    * same double), so both engines divide identical operands.
+    *
+    * Scale shape: Σ(i·xᵢ) is computed on the DISTINCT-VALUE rollup —
+    * a run of m tied rows starting at rank r contributes
+    * x·(m·r + m(m−1)/2), so only (segment, cents) groups need the
+    * ordered cumulative pass, never the fact rows (a row_number over
+    * 5 segment partitions would sort everything in 5 tasks at
+    * 100 TB). Result is identical to per-row ranking with any
+    * tie-break, which is what the oracle's row_number form computes. */
   val giniConcentration = Op(
     "gini_concentration",
     (s, d) => {
       val od = Tables(s, d, "orders")
       val cu = Tables(s, d, "customer")
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("cents"), col("o_orderkey"))
-      od.join(cu, od("o_custkey") === cu("c_custkey"))
+      val vc = od.join(cu, od("o_custkey") === cu("c_custkey"))
         .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
-        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("c_mktsegment"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc
+        .withColumn("rstart", sum(col("m")).over(w) - col("m") + 1)
+        // Σ of ranks rstart..rstart+m-1 (≤ n², fits int64 far past
+        // sf10), then × value in decimal so the product can't wrap
+        .withColumn("rank_sum",
+          col("m") * col("rstart") + expr("(m * (m - 1)) div 2"))
+        .withColumn("contrib",
+          col("cents").cast("decimal(18,0)") * col("rank_sum"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          count(lit(1)).as("n_orders"),
-          // rank-weighted sum as decimal(38,0): exact at any SF (the
-          // int64 sum overflows near sf10; DuckDB's HUGEINT sum never
-          // does, and both exact sums convert to the same double)
-          round((lit(2.0) *
-            sum((col("i") * col("cents")).cast("decimal(38,0)")) /
-            (count(lit(1)) * lit(1.0) * sum(col("cents"))) -
-            (count(lit(1)) + lit(1.0)) / count(lit(1))), 6).as("gini"))
+          sum(col("m")).cast("long").as("n_orders"),
+          round((lit(2.0) * sum(col("contrib")) /
+            (sum(col("m")) * lit(1.0) * sum(col("m") * col("cents"))) -
+            (sum(col("m")) + lit(1.0)) / sum(col("m"))), 6).as("gini"))
     },
     Some("""
       WITH ranked AS (

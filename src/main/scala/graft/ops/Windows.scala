@@ -227,10 +227,17 @@ object Windows extends OpModule {
 
   /** Pareto frontier per order priority over (price, recency): keep an
     * order iff every order with strictly higher price (in whole cents)
-    * is strictly older. One sort per group + a running max — the
-    * O(n log n) sweep, not the O(n²) dominance self-join; the strictly-
-    * greater-price frame is a RANGE bound of -1 on the descending
-    * integer cents key (peers = same cent value are excluded). */
+    * is strictly older — the O(n log n) sweep, not the O(n²)
+    * dominance self-join.
+    *
+    * Scale shape: the running max over strictly-greater prices
+    * depends only on the cents VALUE, so the sweep runs on the
+    * (priority, distinct-cents) rollup (max day per value → running
+    * max over the DESC RANGE −1 frame, peers excluded) and joins back
+    * to the rows by value — the ordered pass is bounded by the price
+    * domain, where a per-row window over 5 priority partitions would
+    * sort every fact row in 5 tasks at 100 TB. The oracle keeps the
+    * direct per-row window (identical by definition). */
   val paretoFront = Op(
     "pareto_front",
     (s, d) => {
@@ -241,8 +248,14 @@ object Windows extends OpModule {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("cents").desc)
         .rangeBetween(Window.unboundedPreceding, -1)
+      val prior = base
+        .groupBy(col("o_orderpriority"), col("cents"))
+        .agg(max(col("day_no")).as("vmax"))
+        .withColumn("best_prior_day", max(col("vmax")).over(w))
+        .select(col("o_orderpriority"), col("cents"),
+          col("best_prior_day"))
       base
-        .withColumn("best_prior_day", max(col("day_no")).over(w))
+        .join(prior, Seq("o_orderpriority", "cents"))
         .filter(col("best_prior_day").isNull ||
           col("day_no") > col("best_prior_day"))
         .select(col("o_orderpriority"), col("o_orderkey"),
