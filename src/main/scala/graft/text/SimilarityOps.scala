@@ -484,22 +484,44 @@ object SimilarityOps extends OpModule {
     * record-linkage idiom where an equi-join key bounds the quadratic
     * distance work. Block sizes are data-bounded (parts per
     * brand×size), so the candidate count grows linearly with the
-    * table, never all-pairs; levenshtein itself is codegen'd. */
+    * table, never all-pairs; levenshtein itself is codegen'd.
+    *
+    * The distance runs on DISTINCT names per block, then matched name
+    * pairs expand back to key pairs — duplicate rows (exact-dup
+    * records are common in linkage inputs; the sf1 clone fixture has
+    * 10 copies of every name) multiply the expansion join, not the
+    * O(|n1|·|n2|) levenshtein work. Pair orientation: a name pair is
+    * generated once (n1 ≤ n2, keys within a tied name ordered
+    * k1 < k2), and least/greatest canonicalizes the emitted key pair. */
   val editDistPairs = Op(
     "edit_dist_pairs",
     (s, d) => {
       val p = Tables(s, d, "part")
         .select(col("p_brand"), col("p_size"), col("p_partkey"),
           col("p_name"))
-      val a = p.select(col("p_brand"), col("p_size"),
-        col("p_partkey").as("k1"), col("p_name").as("n1"))
-      val b = p.select(col("p_brand"), col("p_size"),
-        col("p_partkey").as("k2"), col("p_name").as("n2"))
-      a.join(b, Seq("p_brand", "p_size"))
-        .filter(col("k1") < col("k2"))
+      val names = p.select(col("p_brand"), col("p_size"), col("p_name"))
+        .distinct()
+      val a = names.select(col("p_brand"), col("p_size"),
+        col("p_name").as("n1"))
+      val b = names.select(col("p_brand"), col("p_size"),
+        col("p_name").as("n2"))
+      val cand = a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("n1") <= col("n2"))
         .withColumn("dist", levenshtein(col("n1"), col("n2")))
         .filter(col("dist") <= 3)
-        .select(col("p_brand"), col("k1"), col("k2"), col("dist"))
+      val k1s = p.select(col("p_brand"), col("p_size"),
+        col("p_name").as("n1"), col("p_partkey").as("ka"))
+      val k2s = p.select(col("p_brand"), col("p_size"),
+        col("p_name").as("n2"), col("p_partkey").as("kb"))
+      cand
+        .join(k1s, Seq("p_brand", "p_size", "n1"))
+        .join(k2s, Seq("p_brand", "p_size", "n2"))
+        .filter(col("n1") < col("n2") ||
+          (col("n1") === col("n2") && col("ka") < col("kb")))
+        .select(col("p_brand"),
+          least(col("ka"), col("kb")).as("k1"),
+          greatest(col("ka"), col("kb")).as("k2"),
+          col("dist"))
     },
     Some("""
       SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
