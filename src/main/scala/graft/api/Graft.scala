@@ -352,6 +352,173 @@ object Graft {
       .withColumnRenamed(run, "run_id")
   }
 
+  /** Overlapping fixed-width character chunking (the context-window
+    * splitting step): one row per (id, chunk_idx) with the chunk
+    * text. Pure per-row generation — no shuffle at any scale. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+      chunkLen: Int = 512, stride: Int = 384): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      "need 0 < stride <= chunkLen")
+    val off = fresh("_off", df.columns.toSet)
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), length(col(textCol)) - 1,
+          lit(stride))).as(off))
+      .select(col(idCol),
+        (col(off) / stride).cast("long").as("chunk_idx"),
+        expr(s"substring(`$textCol`, `$off` + 1, $chunkLen)").as("chunk"))
+  }
+
+  /** PMI-scored token-bigram collocations over a corpus: positional
+    * bigrams (no position self-join), broadcast unigram counts,
+    * ln(p(x,y)/(p(x)p(y))) with a min pair count. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Int = 5,
+      topK: Int = 25): DataFrame = {
+    val taken = df.columns.toSet
+    val (toks, i) = (fresh("_toks", taken), fresh("_i", taken))
+    val t = df.select(split(col(textCol), " ").as(toks))
+    val bg = t
+      .select(col(toks), explode(sequence(lit(1), size(col(toks)) - 1)).as(i))
+      .select(element_at(col(toks), col(i)).as("w1"),
+        element_at(col(toks), col(i) + 1).as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val cu = df.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nu = cu.agg(sum(col("c")).as("_nu"))
+    val nb = cb.agg(sum(col("pair_count")).as("_nb"))
+    cb.join(broadcast(cu.select(col("w").as("w1"), col("c").as("_c1"))), "w1")
+      .join(broadcast(cu.select(col("w").as("w2"), col("c").as("_c2"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .filter(col("pair_count") >= minCount)
+      .withColumn("pmi",
+        log(col("pair_count") * lit(1.0) * col("_nu") / col("_nb") *
+          (col("_nu") * lit(1.0) / col("_c1")) / col("_c2")))
+      .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Unigram-LM scoring (perplexity proxy for quality filtering):
+    * per-id token count and mean ln(count(w)/N) under the corpus's
+    * own unigram distribution. */
+  def unigramLogprob(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
+    val cu = toks.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+    val nu = cu.agg(sum(col("_c")).as("_nu"))
+    toks.join(broadcast(cu), "_w").crossJoin(broadcast(nu))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("_c") * lit(1.0) / col("_nu"))).as("avg_logprob"))
+  }
+
+  /** Blocked fuzzy matching: id pairs whose `nameCol` values are
+    * within `maxDist` levenshtein, compared only inside equal
+    * `blockCols` blocks, with the distance computed once per DISTINCT
+    * name pair and expanded back to id pairs (duplicate records
+    * multiply the cheap expansion join, not the distance kernel). */
+  def editDistPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int = 3): DataFrame = {
+    require(blockCols.nonEmpty, "editDistPairs needs at least one block col")
+    val bc = blockCols.map(col)
+    val names = df.select(bc :+ col(nameCol).as("_n1"): _*).distinct()
+    val cand = names
+      .join(names.toDF(names.columns.map {
+          case "_n1" => "_n2"; case c => c }: _*), blockCols)
+      .filter(col("_n1") <= col("_n2"))
+      .withColumn("dist", levenshtein(col("_n1"), col("_n2")))
+      .filter(col("dist") <= maxDist)
+    val k1 = df.select(bc ++ Seq(col(nameCol).as("_n1"),
+      col(idCol).as("_ka")): _*)
+    val k2 = df.select(bc ++ Seq(col(nameCol).as("_n2"),
+      col(idCol).as("_kb")): _*)
+    cand
+      .join(k1, blockCols :+ "_n1")
+      .join(k2, blockCols :+ "_n2")
+      .filter(col("_n1") < col("_n2") ||
+        (col("_n1") === col("_n2") && col("_ka") < col("_kb")))
+      .select(least(col("_ka"), col("_kb")).as("id1"),
+        greatest(col("_ka"), col("_kb")).as("id2"), col("dist"))
+  }
+
+  /** Market-basket affinity: co-occurrence counts of item pairs within
+    * the same basket, top `topK` by support. Candidates are bounded
+    * by basket size via the basket-keyed self-join. */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      topK: Int = 20): DataFrame = {
+    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    b.join(b.toDF("_bk", "_it2"), "_bk")
+      .filter(col("_it") < col("_it2"))
+      .groupBy(col("_it").as("item1"), col("_it2").as("item2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("item1"), col("item2"))
+      .limit(topK)
+  }
+
+  /** Equi-width histogram of a numeric column per group: `nBuckets`
+    * buckets over the global [min, max] span (one broadcast scalar
+    * agg); returns (group, bucket, n, lo, hi observed). */
+  def histogram(df: DataFrame, valueCol: String, groupCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, "histogram needs nBuckets > 0")
+    val taken = df.columns.toSet
+    val (mn, mx) = (fresh("_mn", taken), fresh("_mx", taken))
+    val span = df.agg(min(col(valueCol)).as(mn), max(col(valueCol)).as(mx))
+    df.crossJoin(broadcast(span))
+      .withColumn("bucket",
+        least(floor((col(valueCol) - col(mn)) * nBuckets /
+          (col(mx) - col(mn) + lit(1e-12))).cast("int"),
+          lit(nBuckets - 1)))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Gains/lift table: entities bucketed into `nTiles` by descending
+    * total `valueCol`, each tile's share + cumulative share. The
+    * ntile runs on the per-entity rollup — see `decile_lift`'s scale
+    * note (percentile boundaries for web-scale entity counts). */
+  def decileLift(df: DataFrame, keyCol: String, valueCol: String,
+      nTiles: Int = 10): DataFrame = {
+    val per = df.groupBy(col(keyCol))
+      .agg(sum(col(valueCol)).as("_v"))
+    val w = Window.orderBy(col("_v").desc, col(keyCol))
+    val byTile = per.withColumn("tile", ntile(nTiles).over(w))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_v")).as("_tv"))
+    val tot = byTile.agg(sum(col("_tv")).as("_tot"))
+    val wc = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byTile.crossJoin(broadcast(tot))
+      .withColumn("share", col("_tv") / col("_tot"))
+      .withColumn("cum_share", sum(col("_tv")).over(wc) / col("_tot"))
+      .select(col("tile"), col("n_keys"), col("_tv").as("total"),
+        col("share"), col("cum_share"))
+  }
+
+  /** Longest consecutive-active-day streak per user (gaps-and-islands
+    * over distinct active days): (user, max_streak, n_streaks,
+    * n_active_days). */
+  def userStreaks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val taken = events.columns.toSet
+    val (dno, isl) = (fresh("_dno", taken), fresh("_isl", taken))
+    val days = events
+      .select(col(userCol), datediff(to_date(col(tsCol)),
+        to_date(lit("1970-01-01"))).as(dno))
+      .distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col(dno))
+    days.withColumn(isl, col(dno) - row_number().over(w))
+      .groupBy(col(userCol), col(isl))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(userCol))
+      .agg(max(col("_len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("_len")).cast("long").as("n_active_days"))
+  }
+
   /** Peak interval concurrency per day, by sweep line (±1 deltas per
     * distinct boundary instant, per-day running sum + calendar-sized
     * carry-in) — O(n log n) where the interval self-join is

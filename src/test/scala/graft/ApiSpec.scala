@@ -351,4 +351,86 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(facade == declared)
   }
+
+  test("Graft.chunkDocs at (120, 90) equals the declared chunk_docs") {
+    val docs = Tables(spark, sfDir, "documents")
+    val facade = Graft.chunkDocs(docs, "text", "doc_id", 120, 90)
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .collect().map(_.toSeq).toSet
+    val declared = q("chunk_docs").collect().map(_.toSeq).toSet
+    assert(facade == declared)
+  }
+
+  test("Graft.pmiBigrams equals the declared pmi_bigrams") {
+    val docs = Tables(spark, sfDir01, "documents")
+    val facade = Graft.pmiBigrams(docs, "text", 5, 25)
+      .withColumn("pmi", round(col("pmi"), 4))
+      .collect().map(_.toSeq).toSet
+    val declared = q("pmi_bigrams", sfDir01).collect().map(_.toSeq).toSet
+    assert(facade == declared)
+  }
+
+  test("Graft.unigramLogprob equals the declared unigram_logprob") {
+    val docs = Tables(spark, sfDir, "documents")
+    val facade = Graft.unigramLogprob(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logprob"), 4).as("lp"))
+      .collect().map(_.toSeq).toSet
+    val declared = q("unigram_logprob").collect().map(_.toSeq).toSet
+    assert(facade == declared)
+  }
+
+  test("Graft.editDistPairs equals the declared edit_dist_pairs") {
+    val part = Tables(spark, sfDir01, "part")
+    val facade = Graft.editDistPairs(part, "p_partkey", "p_name",
+      Seq("p_brand", "p_size"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val declared = q("edit_dist_pairs", sfDir01)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(facade == declared)
+  }
+
+  test("Graft.basketPairs equals the declared basket_pairs") {
+    val li = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+    val facade = Graft.basketPairs(li, "l_orderkey", "p_brand")
+      .collect().map(_.toSeq).toSet
+    val declared = q("basket_pairs")
+      .collect().map(_.toSeq).toSet
+    assert(facade == declared)
+  }
+
+  test("Graft.userStreaks equals the declared user_streaks") {
+    val ev = Tables.events(spark, sfDir)
+    val facade = Graft.userStreaks(ev, "user_id", "ts")
+      .collect().map(_.toSeq).toSet
+    val declared = q("user_streaks").collect().map(_.toSeq).toSet
+    assert(facade == declared)
+  }
+
+  test("Graft.decileLift matches the declared decile_lift structure") {
+    val od = Tables(spark, sfDir, "orders")
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+    val facade = Graft.decileLift(od, "o_custkey", "cents")
+      .orderBy(col("tile")).collect()
+    val declared = q("decile_lift").orderBy(col("decile")).collect()
+    assert(facade.length == declared.length)
+    facade.zip(declared).foreach { case (f, d) =>
+      assert(f.getInt(0) == d.getInt(0))         // tile id
+      assert(f.getLong(1) == d.getLong(1))       // n_keys
+      assert(math.abs(f.getDouble(3) - d.getDouble(3)) < 1e-4) // share
+      assert(math.abs(f.getDouble(4) - d.getDouble(4)) < 1e-4) // cum
+    }
+  }
+
+  test("Graft.histogram buckets cover all rows with ordered bounds") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.histogram(ev, "value", "event_type", 10)
+    assert(out.agg(sum(col("n"))).first().getLong(0) == ev.count())
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 9 ||
+      col("lo") > col("hi")).count() == 0)
+  }
 }

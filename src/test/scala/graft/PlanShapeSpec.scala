@@ -183,6 +183,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(800))
   }
 
+  test("no declared query plans a plain CartesianProduct; nested-loop " +
+      "joins only where a bounded side is broadcast by design") {
+    // ops whose plan legitimately contains a BroadcastNestedLoopJoin:
+    // every one crossJoins a broadcast SCALAR aggregate (global
+    // min/max/count/avg), a ≤k-row centroid/target set, or the
+    // calendar grid — bounded at any data scale by construction.
+    val boundedBnlj = Set(
+      "above_avg", "bm25_top", "decile_lift", "embed_quantize",
+      "ivf_topk", "kmeans_assign", "knn_label", "mix_uniform",
+      "period_compare", "pmi_bigrams", "resample_daily", "tfidf_top",
+      "unigram_logprob", "value_histogram", "vector_topk",
+      "zorder_bucket")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // planning only (no collect): CartesianProduct / BNLJ are
+        // chosen by the planner, not by AQE re-optimization
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !boundedBnlj.contains(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
