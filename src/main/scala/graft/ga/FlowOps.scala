@@ -610,8 +610,90 @@ object FlowOps extends OpModule {
              ROUND(SUM(lag_us) / (COUNT(*) * 1e6), 2) AS avg_s
       FROM lags"""))
 
+  /** Least-squares revenue trend per order priority: slope of daily
+    * cents against day number, by the closed form
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Every sum is exact (Σxy as
+    * decimal(38,0) vs DuckDB's HUGEINT — int64 wraps near sf10) and
+    * the final arithmetic runs on identical exact operands in the
+    * identical association order, so the slope matches bit-for-bit.
+    * One map-side-combined aggregation — no window, no sort. */
+  val trendSlope = Op(
+    "trend_slope",
+    (s, d) => {
+      val base = Tables(s, d, "orders")
+        .withColumn("x",
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"))
+        .withColumn("y", floor(col("o_totalprice") * 100).cast("long"))
+      base.groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round((count(lit(1)) * lit(1.0) *
+            sum((col("x") * col("y")).cast("decimal(38,0)")) -
+            sum(col("x")) * lit(1.0) * sum(col("y"))) /
+            (count(lit(1)) * lit(1.0) * sum(col("x") * col("x")) -
+              sum(col("x")) * lit(1.0) * sum(col("x"))), 6)
+            .as("slope_cents_per_day"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders)
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND((COUNT(*) * 1.0 * SUM(x * y) -
+                    SUM(x) * 1.0 * SUM(y)) /
+                   (COUNT(*) * 1.0 * SUM(x * x) -
+                    SUM(x) * 1.0 * SUM(x)), 6) AS slope_cents_per_day
+      FROM base GROUP BY o_orderpriority"""))
+
+  /** Day-of-week seasonality profile per event type: event count,
+    * exact mean value (integer-cent sums), and the share of the
+    * type's traffic falling on each weekday. The weekday index is
+    * pure integer arithmetic (days-since-epoch mod 7) — calendar
+    * functions differ across engines (Spark dayofweek is 1=Sunday,
+    * DuckDB 0=Sunday), integers don't. */
+  val seasonalityDow = Op(
+    "seasonality_dow",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("dow",
+          pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7))
+            .cast("int"))
+        .withColumn("vc", floor(col("value") * 100).cast("long"))
+      val w = Window.partitionBy(col("event_type"))
+      ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vc")).as("_sum_vc"))
+        .withColumn("share",
+          round(col("n_events") * lit(1.0) /
+            sum(col("n_events")).over(w), 6))
+        .select(col("event_type"), col("dow"), col("n_events"),
+          round(col("_sum_vc") / (col("n_events") * lit(100.0)), 4)
+            .as("avg_value"),
+          col("share"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS INT) AS dow,
+               CAST(FLOOR(value * 100) AS BIGINT) AS vc
+        FROM events),
+      g AS (
+        SELECT event_type, dow, COUNT(*) AS n_events,
+               CAST(SUM(vc) AS BIGINT) AS sum_vc
+        FROM ev GROUP BY event_type, dow)
+      SELECT event_type, dow, n_events,
+             ROUND(sum_vc / (n_events * 100.0), 4) AS avg_value,
+             ROUND(n_events * 1.0 / SUM(n_events)
+               OVER (PARTITION BY event_type), 6) AS share
+      FROM g"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
-      markovTransitions, firstTouch, conversionLag)
+      markovTransitions, firstTouch, conversionLag, trendSlope,
+      seasonalityDow)
 }

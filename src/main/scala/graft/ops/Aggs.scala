@@ -583,9 +583,60 @@ object Aggs extends OpModule {
       FROM ev, span
       GROUP BY 1, 2"""))
 
+  /** Robust outlier counting by median absolute deviation: per group,
+    * med = exact median, mad = median(|x − med|), outliers = rows
+    * beyond 5·mad. All statistics are dyadic-exact over integer cents
+    * (medians interpolate with fraction 0 or .5), so the outlier
+    * threshold compares identical doubles on both engines — the
+    * robust alternative to `anomaly_zscore`'s mean/stddev. Group
+    * medians here are cheap (3 groups); at 100 TB-per-group swap in
+    * the sketch or `winsorize`'s CDF selection. */
+  val madOutliers = Op(
+    "mad_outliers",
+    (s, d) => {
+      val rows = Tables(s, d, "lineitem")
+        .withColumn("cents", floor(col("l_extendedprice") * 100).cast("long"))
+      val med = rows.groupBy(col("l_returnflag"))
+        .agg(percentile(col("cents"), lit(0.5)).as("med"))
+      val dev = rows.join(broadcast(med), "l_returnflag")
+        .withColumn("adev", abs(col("cents") - col("med")))
+      val mad = dev.groupBy(col("l_returnflag"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(max(col("med")) / 100.0, 2).as("median"),
+          round(max(col("mad")) / 100.0, 2).as("mad"),
+          sum(when(col("adev") > lit(5.0) * col("mad"), 1L).otherwise(0L))
+            .cast("long").as("n_outliers"))
+    },
+    Some("""
+      WITH rows_c AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      med AS (
+        SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+        FROM rows_c GROUP BY l_returnflag),
+      dev AS (
+        SELECT r.l_returnflag, cents, ABS(cents - med) AS adev
+        FROM rows_c r JOIN med USING (l_returnflag)),
+      mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag)
+      SELECT d.l_returnflag, COUNT(*) AS n_rows,
+             ROUND(MAX(med) / 100.0, 2) AS median,
+             ROUND(MAX(mad) / 100.0, 2) AS mad,
+             CAST(SUM(CASE WHEN adev > 5.0 * mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad USING (l_returnflag)
+                 JOIN med USING (l_returnflag)
+      GROUP BY d.l_returnflag"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
       quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact,
-      winsorize, giniConcentration, valueHistogram)
+      winsorize, giniConcentration, valueHistogram, madOutliers)
 }

@@ -318,6 +318,50 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trend_slope matches a driver-side least-squares recomputation") {
+    val rows = Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long"),
+        floor(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (p, xs) =>
+      val n = xs.length.toDouble
+      val sx = xs.map(_._2).sum.toDouble
+      val sy = xs.map(_._3).sum.toDouble
+      val sxy = xs.map(t => BigInt(t._2) * BigInt(t._3)).sum
+      val sxx = xs.map(t => t._2 * t._2).sum.toDouble
+      p -> (n * sxy.toDouble - sx * sy) / (n * sxx - sx * sx)
+    }
+    val got = q("trend_slope").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    expect.foreach { case (p, s) =>
+      assert(math.abs(got(p) - s) < 1e-4, s"$p: ${got(p)} vs $s")
+    }
+  }
+
+  test("seasonality_dow: 7 dows per type, shares normalize, counts cover") {
+    val out = q("seasonality_dow")
+    val sums = out.groupBy(col("event_type"))
+      .agg(sum(col("share")).as("s"), sum(col("n_events")).as("n"),
+        count(lit(1)).as("k"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-4).count() == 0)
+    // January 2024 spans every weekday; 5 types × 7 dows
+    assert(sums.filter(col("k") =!= 7).count() == 0)
+    val total = sums.agg(sum(col("n"))).first().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("mad_outliers: robust stats sane, outliers fewer than z-score 5x") {
+    val out = q("mad_outliers").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (n, med, mad, k) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))
+      assert(mad >= 0 && med > 0)
+      assert(k >= 0 && k < n / 10, s"implausible outlier count $k of $n")
+    }
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
