@@ -81,4 +81,27 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graft.bloomSemiJoin(li, "l_orderkey", emptyDims, "o_orderkey")
       .count() == 0)
   }
+
+  test("round-5 facades on zero rows") {
+    assert(Graft.chunkDocs(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Graft.pmiBigrams(emptyDocs, "text").count() == 0)
+    assert(Graft.unigramLogprob(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Graft.editDistPairs(emptyDocs, "doc_id", "text",
+      Seq("text")).count() == 0)
+    assert(Graft.basketPairs(emptyEvents, "event_id", "event_type")
+      .count() == 0)
+    assert(Graft.histogram(emptyEvents, "value", "event_type").count() == 0)
+    assert(Graft.decileLift(emptyEvents, "user_id", "value").count() == 0)
+    assert(Graft.userStreaks(emptyEvents, "user_id", "ts").count() == 0)
+  }
+
+  test("chunkDocs skips empty-string documents instead of throwing") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "abcd")).toDF("doc_id", "text")
+    val out = Graft.chunkDocs(docs, "text", "doc_id", 3, 2).collect()
+    // doc 1 yields no chunks (sequence(0,-1) guarded); doc 2 chunks
+    assert(out.forall(_.getLong(0) == 2L))
+    assert(out.map(r => (r.getLong(1), r.getString(2))).toSet ==
+      Set((0L, "abc"), (1L, "cd")))
+  }
 }
