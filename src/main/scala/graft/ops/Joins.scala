@@ -401,8 +401,34 @@ object Joins extends OpModule {
       ORDER BY support DESC, b1, b2
       LIMIT 20"""))
 
+  /** Skew-salted equi-join (the hot-key melt-down fix, as a declared
+    * query): probe rows scatter over `salts` sub-keys of their join
+    * key, the build side replicates `salts`× — a hot orderkey's rows
+    * land on 8 reducers instead of one. Join output is identical to
+    * the plain join (the oracle), so the salting is invisible to
+    * answers; only the exchange shape changes. Complements
+    * `agg_salted` (same idea for aggregation). */
+  val joinSalted = Op(
+    "join_salted",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val od = Tables(s, d, "orders")
+      graft.ops.Skew
+        .saltedJoin(li, od, "l_orderkey", "o_orderkey",
+          col("l_orderkey"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+             ROUND(SUM(l_extendedprice), 2) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
       joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi,
-      rangeJoinTime, joinAsofNearest, basketPairs)
+      rangeJoinTime, joinAsofNearest, basketPairs, joinSalted)
 }
