@@ -691,9 +691,68 @@ object FlowOps extends OpModule {
                OVER (PARTITION BY event_type), 6) AS share
       FROM g"""))
 
+  /** Three-step ordered funnel (view → signup → purchase, each step
+    * strictly after the previous): per-step user counts and
+    * conversion rates. Step times chain as conditional mins over the
+    * SAME per-user rollup re-joined twice — each join is user-keyed
+    * (co-partitioned with the rollup), and integer counts divide
+    * exactly for the rates. The GA goal-funnel report shape. */
+  val funnelSteps = Op(
+    "funnel_steps",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_type"), col("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.join(t1, "user_id")
+        .filter(col("event_type") === "signup" && col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.join(t2, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val n1 = t1.agg(count(lit(1)).as("step1_users"))
+      val n2 = t2.agg(count(lit(1)).as("step2_users"))
+      val n3 = t3.agg(count(lit(1)).as("step3_users"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .withColumn("rate_12",
+          round(col("step2_users") * lit(1.0) / col("step1_users"), 6))
+        .withColumn("rate_23",
+          round(col("step3_users") * lit(1.0) / col("step2_users"), 6))
+        .withColumn("rate_13",
+          round(col("step3_users") * lit(1.0) / col("step1_users"), 6))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      t1 AS (
+        SELECT user_id, MIN(us) AS t1 FROM ev
+        WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (
+        SELECT ev.user_id, MIN(us) AS t2
+        FROM ev JOIN t1 ON ev.user_id = t1.user_id
+        WHERE event_type = 'signup' AND us > t1
+        GROUP BY ev.user_id),
+      t3 AS (
+        SELECT ev.user_id, MIN(us) AS t3
+        FROM ev JOIN t2 ON ev.user_id = t2.user_id
+        WHERE event_type = 'purchase' AND us > t2
+        GROUP BY ev.user_id)
+      SELECT (SELECT COUNT(*) FROM t1) AS step1_users,
+             (SELECT COUNT(*) FROM t2) AS step2_users,
+             (SELECT COUNT(*) FROM t3) AS step3_users,
+             ROUND((SELECT COUNT(*) FROM t2) * 1.0 /
+                   (SELECT COUNT(*) FROM t1), 6) AS rate_12,
+             ROUND((SELECT COUNT(*) FROM t3) * 1.0 /
+                   (SELECT COUNT(*) FROM t2), 6) AS rate_23,
+             ROUND((SELECT COUNT(*) FROM t3) * 1.0 /
+                   (SELECT COUNT(*) FROM t1), 6) AS rate_13"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
       markovTransitions, firstTouch, conversionLag, trendSlope,
-      seasonalityDow)
+      seasonalityDow, funnelSteps)
 }

@@ -634,9 +634,28 @@ object Aggs extends OpModule {
                  JOIN med USING (l_returnflag)
       GROUP BY d.l_returnflag"""))
 
+  /** Fan-out profile: the distribution of lines-per-order (how many
+    * rows each parent key fans out to) — the first diagnostic run
+    * before sizing a join or explode at scale. Two map-side-combined
+    * aggregations, output bounded by the max fan-out. */
+  val orderLinesHist = Op(
+    "order_lines_hist",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+        .groupBy(col("n_lines"))
+        .agg(count(lit(1)).as("n_orders")),
+    Some("""
+      SELECT n_lines, COUNT(*) AS n_orders
+      FROM (SELECT l_orderkey, COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey)
+      GROUP BY n_lines"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
       quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact,
-      winsorize, giniConcentration, valueHistogram, madOutliers)
+      winsorize, giniConcentration, valueHistogram, madOutliers,
+      orderLinesHist)
 }

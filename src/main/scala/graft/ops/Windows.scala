@@ -381,7 +381,67 @@ object Windows extends OpModule {
                AS cum_share
       FROM by_decile, tot"""))
 
+  /** RFM customer segmentation: quintile scores for Recency (days
+    * since last order, lower = better), Frequency (order count) and
+    * Monetary (total cents), rolled up to per-(r,f,m)-cell customer
+    * counts and exact mean spend. Three ntile windows run on the
+    * per-customer ROLLUP (same scale posture as `decile_lift` —
+    * percentile boundaries + comparison assignment for web-scale
+    * customer counts); the global max date is one broadcast scalar. */
+  val rfmSegments = Op(
+    "rfm_segments",
+    (s, d) => {
+      val per = Tables(s, d, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        .withColumn("day_no",
+          datediff(col("o_orderdate"), lit("1995-01-01")))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("day_no")).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("cents")).as("monetary"))
+      val mx = per.agg(max(col("last_day")).as("max_day"))
+      val scored = per.crossJoin(broadcast(mx))
+        .withColumn("recency", col("max_day") - col("last_day"))
+        .withColumn("r_score", ntile(5).over(
+          Window.orderBy(col("recency"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"),
+          // total (not mean) spend: cents/100 always has exactly two
+          // decimals, so no round-half boundary exists — a mean can
+          // land on .xx5 where Spark (decimal-string HALF_UP) and
+          // DuckDB (binary) round apart
+          (sum(col("monetary")) / 100.0).as("total_spend"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               MAX(CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS INT)) AS last_day,
+               COUNT(*) AS freq,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS monetary
+        FROM orders GROUP BY o_custkey),
+      mx AS (SELECT MAX(last_day) AS max_day FROM per),
+      scored AS (
+        SELECT o_custkey, freq, monetary,
+               max_day - last_day AS recency,
+               CAST(NTILE(5) OVER (ORDER BY max_day - last_day, o_custkey)
+                 AS INT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey)
+                 AS INT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)
+                 AS INT) AS m_score
+        FROM per, mx)
+      SELECT r_score, f_score, m_score,
+             COUNT(*) AS n_customers,
+             SUM(monetary) / 100.0 AS total_spend
+      FROM scored GROUP BY 1, 2, 3"""))
+
   override def ops: Seq[Op] =
     Seq(windowRank, windowAnalytic, windowFrame, topkPerKey, windowDist,
-      windowRangeDays, rollingMedian, paretoFront, shareOfTotal, decileLift)
+      windowRangeDays, rollingMedian, paretoFront, shareOfTotal, decileLift,
+      rfmSegments)
 }

@@ -362,6 +362,39 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel_steps: monotone step counts, consistent rates") {
+    val r = q("funnel_steps").collect()(0)
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 >= s2 && s2 >= s3 && s3 >= 0)
+    assert(math.abs(r.getDouble(5) -
+      math.rint(s3 * 1e6 / s1) / 1e6) < 1e-6)
+    // step-1 count equals users with a view event
+    val viewers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(s1 == viewers)
+  }
+
+  test("rfm_segments: cells cover all customers, scores in 1..5") {
+    val out = q("rfm_segments")
+    assert(out.filter(col("r_score") < 1 || col("r_score") > 5 ||
+      col("f_score") < 1 || col("f_score") > 5 ||
+      col("m_score") < 1 || col("m_score") > 5).count() == 0)
+    val n = out.agg(sum(col("n_customers"))).first().getLong(0)
+    assert(n == Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count())
+  }
+
+  test("order_lines_hist: orders and lines reconcile") {
+    val out = q("order_lines_hist")
+    val orders = out.agg(sum(col("n_orders"))).first().getLong(0)
+    val lines = out.agg(sum(col("n_lines") * col("n_orders")))
+      .first().getLong(0)
+    assert(orders == Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey")).distinct().count())
+    assert(lines == Tables(spark, sfDir, "lineitem").count())
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
