@@ -194,7 +194,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "ivf_topk", "kmeans_assign", "knn_label", "mix_uniform",
       "period_compare", "pmi_bigrams", "resample_daily", "tfidf_top",
       "unigram_logprob", "value_histogram", "vector_topk",
-      "zorder_bucket")
+      "zorder_bucket",
+      "funnel_steps",  // crossJoin of three 1-row step-count aggregates
+      "rfm_segments")  // crossJoin of the 1-row global max-day scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
