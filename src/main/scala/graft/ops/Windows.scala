@@ -440,8 +440,57 @@ object Windows extends OpModule {
              SUM(monetary) / 100.0 AS total_spend
       FROM scored GROUP BY 1, 2, 3"""))
 
+  /** Dormancy/churn labeling: per customer the inter-order gaps via
+    * lead, the longest gap, and a dormant flag (no order within the
+    * last 90 days of the dataset span). One customer-key window
+    * exchange reused by the rollup; the dataset end is a broadcast
+    * scalar. The churn-analysis complement of `windowAnalytic`'s
+    * backward lag. */
+  val churnFlags = Op(
+    "churn_flags",
+    (s, d) => {
+      val base = Tables(s, d, "orders")
+        .withColumn("day_no",
+          datediff(col("o_orderdate"), lit("1995-01-01")))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_no"), col("o_orderkey"))
+      val gaps = base
+        .withColumn("gap",
+          lead(col("day_no"), 1).over(w) - col("day_no"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("day_no")).as("last_day"),
+          max(col("gap")).as("longest_gap"))
+      val mx = base.agg(max(col("day_no")).as("max_day"))
+      gaps.crossJoin(broadcast(mx))
+        .withColumn("dormant_days", col("max_day") - col("last_day"))
+        .withColumn("is_dormant", (col("dormant_days") > 90).cast("int"))
+        .select(col("o_custkey"), col("n_orders"), col("last_day"),
+          col("longest_gap"), col("dormant_days"), col("is_dormant"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS INT) AS day_no
+        FROM orders),
+      gaps AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               MAX(day_no) AS last_day,
+               MAX(nxt - day_no) AS longest_gap
+        FROM (SELECT o_custkey, day_no,
+                     LEAD(day_no, 1) OVER (PARTITION BY o_custkey
+                       ORDER BY day_no, o_orderkey) AS nxt
+              FROM base)
+        GROUP BY o_custkey),
+      mx AS (SELECT MAX(day_no) AS max_day FROM base)
+      SELECT o_custkey, n_orders, last_day, longest_gap,
+             max_day - last_day AS dormant_days,
+             CAST(max_day - last_day > 90 AS INT) AS is_dormant
+      FROM gaps, mx"""))
+
   override def ops: Seq[Op] =
     Seq(windowRank, windowAnalytic, windowFrame, topkPerKey, windowDist,
       windowRangeDays, rollingMedian, paretoFront, shareOfTotal, decileLift,
-      rfmSegments)
+      rfmSegments, churnFlags)
 }

@@ -531,7 +531,59 @@ object SimilarityOps extends OpModule {
                  AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
 
+  /** Corpus-pair overlap matrix: word-8-gram Jaccard between every
+    * pair of sources — the cross-corpus contamination/diversity
+    * diagnostic run before mixing corpora. Distinct (source, gram)
+    * pairs shuffle on the gram key once for the intersection counts;
+    * per-source gram totals are a broadcast side input; Jaccard
+    * divides exact integers. Output is |sources|² — catalog-sized. */
+  val sourceOverlap = Op(
+    "source_overlap",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val grams = Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("source"), expr("ngrams(toks, 8)"))
+        .select(col("source"), col("ngram").as("g")).distinct()
+      val sizes = grams.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val a = grams.select(col("source").as("s1"), col("g"))
+      val b = grams.select(col("source").as("s2"), col("g"))
+      a.join(b, "g")
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("s1"),
+          col("n").as("n1"))), "s1")
+        .join(broadcast(sizes.select(col("source").as("s2"),
+          col("n").as("n2"))), "s2")
+        .withColumn("jaccard",
+          round(col("inter") * lit(1.0) /
+            (col("n1") + col("n2") - col("inter")), 6))
+        .select(col("s1"), col("s2"), col("inter"), col("jaccard"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT DISTINCT source,
+               unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                       || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                       || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]
+                       FOR i IN range(0, len(toks) - 7)]) AS g
+        FROM (SELECT source, string_split(text, ' ') AS toks
+              FROM documents)
+        WHERE len(toks) >= 8),
+      sizes AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      inter AS (
+        SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT s1, s2, inter,
+             ROUND(inter * 1.0 / (z1.n + z2.n - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes z1 ON z1.source = s1
+      JOIN sizes z2 ON z2.source = s2"""))
+
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
-      minhashDet, langId, dupSpanFrac, editDistPairs)
+      minhashDet, langId, dupSpanFrac, editDistPairs, sourceOverlap)
 }

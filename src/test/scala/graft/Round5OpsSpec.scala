@@ -395,6 +395,27 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(lines == Tables(spark, sfDir, "lineitem").count())
   }
 
+  test("source_overlap: jaccard in (0,1], symmetric-free pairs, bounded") {
+    val out = q("source_overlap", sfDir01).collect()
+    out.foreach { r =>
+      val (s1, s2, inter, j) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))
+      assert(s1 < s2)
+      assert(inter > 0 && j > 0 && j <= 1)
+    }
+  }
+
+  test("churn_flags: every customer labeled, gaps/dormancy consistent") {
+    val out = q("churn_flags")
+    assert(out.count() == Tables(spark, sfDir, "orders")
+      .select(col("o_custkey")).distinct().count())
+    val bad = out.filter(
+      col("dormant_days") < 0 ||
+        (col("is_dormant") === 1) =!= (col("dormant_days") > 90) ||
+        (col("n_orders") === 1 && col("longest_gap").isNotNull)).count()
+    assert(bad == 0)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
