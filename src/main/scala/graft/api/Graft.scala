@@ -374,10 +374,16 @@ object Graft {
     * ln(p(x,y)/(p(x)p(y))) with a min pair count. */
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Int = 5,
       topK: Int = 25): DataFrame = {
+    // internal frames carry only our own aliases after the initial
+    // projection, so only the input column ROLES can collide
+    require(!Set("w1", "w2", "_c1", "_c2", "_nu", "_nb")(textCol),
+      s"pmiBigrams: column name '$textCol' is reserved")
     val taken = df.columns.toSet
     val (toks, i) = (fresh("_toks", taken), fresh("_i", taken))
     val t = df.select(split(col(textCol), " ").as(toks))
     val bg = t
+      // single-token rows: sequence(1, 0) descends in Spark — guard
+      .filter(size(col(toks)) >= 2)
       .select(col(toks), explode(sequence(lit(1), size(col(toks)) - 1)).as(i))
       .select(element_at(col(toks), col(i)).as("w1"),
         element_at(col(toks), col(i) + 1).as("w2"))
@@ -404,6 +410,8 @@ object Graft {
     * own unigram distribution. */
   def unigramLogprob(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    require(!Set("_w", "_c", "_nu")(idCol),
+      s"unigramLogprob: id column '$idCol' is reserved")
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("_w"))
     val cu = toks.groupBy(col("_w")).agg(count(lit(1)).as("_c"))
     val nu = cu.agg(sum(col("_c")).as("_nu"))
@@ -421,6 +429,9 @@ object Graft {
   def editDistPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxDist: Int = 3): DataFrame = {
     require(blockCols.nonEmpty, "editDistPairs needs at least one block col")
+    val reserved = Set("_n1", "_n2", "_ka", "_kb", "dist")
+    require(!blockCols.exists(reserved), s"editDistPairs: block columns " +
+      s"may not use the reserved names ${reserved.mkString(", ")}")
     val bc = blockCols.map(col)
     val names = df.select(bc :+ col(nameCol).as("_n1"): _*).distinct()
     val cand = names
@@ -447,6 +458,8 @@ object Graft {
     * by basket size via the basket-keyed self-join. */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
       topK: Int = 20): DataFrame = {
+    require(basketCol != "_it" && basketCol != "_it2" && itemCol != "_bk",
+      "basketPairs: _bk/_it/_it2 are reserved temp names")
     val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .distinct()
     b.join(b.toDF("_bk", "_it2"), "_bk")

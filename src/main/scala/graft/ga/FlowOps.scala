@@ -581,12 +581,15 @@ object FlowOps extends OpModule {
         .groupBy(col("user_id"))
         .agg(min(col("us")).as("p_us"), min(col("signup_us")).as("s_us"))
         .withColumn("lag_us", col("p_us") - col("s_us"))
-      def q(p: Double) = round(percentile(col("lag_us"), lit(p)) / 1e6, 2)
+      // NO round: quartiles over integer µs are dyadic-exact and the
+      // mean divides exact operands — both engines produce the same
+      // IEEE double, while ROUND could land on a half-way value the
+      // engines round apart (SURVEY §2 round-half trap)
+      def q(p: Double) = percentile(col("lag_us"), lit(p)) / 1e6
       lags.agg(
         count(lit(1)).as("n_users"),
         q(0.25).as("q1_s"), q(0.5).as("med_s"), q(0.75).as("q3_s"),
-        round(sum(col("lag_us")) / (count(lit(1)) * lit(1e6)), 2)
-          .as("avg_s"))
+        (sum(col("lag_us")) / (count(lit(1)) * lit(1e6))).as("avg_s"))
     },
     Some("""
       WITH ev AS (
@@ -604,10 +607,10 @@ object FlowOps extends OpModule {
           AND us >= signup_us
         GROUP BY user_id)
       SELECT COUNT(*) AS n_users,
-             ROUND(quantile_cont(lag_us, 0.25) / 1e6, 2) AS q1_s,
-             ROUND(quantile_cont(lag_us, 0.5)  / 1e6, 2) AS med_s,
-             ROUND(quantile_cont(lag_us, 0.75) / 1e6, 2) AS q3_s,
-             ROUND(SUM(lag_us) / (COUNT(*) * 1e6), 2) AS avg_s
+             quantile_cont(lag_us, 0.25) / 1e6 AS q1_s,
+             quantile_cont(lag_us, 0.5)  / 1e6 AS med_s,
+             quantile_cont(lag_us, 0.75) / 1e6 AS q3_s,
+             SUM(lag_us) / (COUNT(*) * 1e6) AS avg_s
       FROM lags"""))
 
   /** Least-squares revenue trend per order priority: slope of daily
@@ -627,12 +630,20 @@ object FlowOps extends OpModule {
       base.groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          round((count(lit(1)) * lit(1.0) *
-            sum((col("x") * col("y")).cast("decimal(38,0)")) -
-            sum(col("x")) * lit(1.0) * sum(col("y"))) /
-            (count(lit(1)) * lit(1.0) * sum(col("x") * col("x")) -
-              sum(col("x")) * lit(1.0) * sum(col("x"))), 6)
-            .as("slope_cents_per_day"))
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("_sxy"),
+          sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+          sum(col("x") * col("x")).as("_sxx"))
+        .withColumn("_den",
+          col("n") * lit(1.0) * col("_sxx") -
+            col("_sx") * lit(1.0) * col("_sx"))
+        // all orders on one day → zero variance → NULL slope (DuckDB's
+        // x/0 is NULL; Spark's would be NaN/Inf — guard to match)
+        .withColumn("slope_cents_per_day",
+          when(col("_den") =!= 0.0,
+            round((col("n") * lit(1.0) * col("_sxy") -
+              col("_sx") * lit(1.0) * col("_sy")) / col("_den"), 6)))
+        .select(col("o_orderpriority"), col("n"),
+          col("slope_cents_per_day"))
     },
     Some("""
       WITH base AS (
@@ -670,7 +681,10 @@ object FlowOps extends OpModule {
           round(col("n_events") * lit(1.0) /
             sum(col("n_events")).over(w), 6))
         .select(col("event_type"), col("dow"), col("n_events"),
-          round(col("_sum_vc") / (col("n_events") * lit(100.0)), 4)
+          // NO round on the mean: exact-integer sum / count divides
+          // identically on both engines; rounding risks a half-way
+          // value at the 4th decimal
+          (col("_sum_vc") / (col("n_events") * lit(100.0)))
             .as("avg_value"),
           col("share"))
     },
@@ -686,7 +700,7 @@ object FlowOps extends OpModule {
                CAST(SUM(vc) AS BIGINT) AS sum_vc
         FROM ev GROUP BY event_type, dow)
       SELECT event_type, dow, n_events,
-             ROUND(sum_vc / (n_events * 100.0), 4) AS avg_value,
+             sum_vc / (n_events * 100.0) AS avg_value,
              ROUND(n_events * 1.0 / SUM(n_events)
                OVER (PARTITION BY event_type), 6) AS share
       FROM g"""))
@@ -714,13 +728,15 @@ object FlowOps extends OpModule {
       val n1 = t1.agg(count(lit(1)).as("step1_users"))
       val n2 = t2.agg(count(lit(1)).as("step2_users"))
       val n3 = t3.agg(count(lit(1)).as("step3_users"))
+      // rates null out on an empty step (DuckDB's x/0 is NULL while
+      // Spark's double division yields NaN — guard to match)
+      def rate(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        when(den > 0, round(num * lit(1.0) / den, 6))
       n1.crossJoin(n2).crossJoin(n3)
-        .withColumn("rate_12",
-          round(col("step2_users") * lit(1.0) / col("step1_users"), 6))
-        .withColumn("rate_23",
-          round(col("step3_users") * lit(1.0) / col("step2_users"), 6))
-        .withColumn("rate_13",
-          round(col("step3_users") * lit(1.0) / col("step1_users"), 6))
+        .withColumn("rate_12", rate(col("step2_users"), col("step1_users")))
+        .withColumn("rate_23", rate(col("step3_users"), col("step2_users")))
+        .withColumn("rate_13", rate(col("step3_users"), col("step1_users")))
     },
     Some("""
       WITH ev AS (

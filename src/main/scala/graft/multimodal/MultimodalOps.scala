@@ -142,6 +142,9 @@ object MultimodalOps extends OpModule {
     "media_dedup",
     (s, d) =>
       mediaTable(s, d)
+        // empty payloads: sequence(0, -1) throws in Spark; DuckDB's
+        // generate_series is empty — filter to match
+        .filter(col("n_bytes") > 0)
         .select(col("doc_id"), col("content"),
           explode(sequence(lit(0), col("n_bytes").cast("int") - 1,
             lit(64))).as("off"))

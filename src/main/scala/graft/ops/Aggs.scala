@@ -401,7 +401,11 @@ object Aggs extends OpModule {
     "quantile_exact",
     (s, d) => {
       val cents = floor(col("l_extendedprice") * 100).cast("long")
-      def q(p: Double) = round(percentile(cents, lit(p)) / 100.0, 2)
+      // NO round: the quartile over cents is exact (dyadic fraction ×
+      // integer order stats) and /100.0 is the same IEEE division on
+      // both engines — rounding would re-introduce the .xx5 half-way
+      // hazard (SURVEY §2 determinism rule 3, round-half trap)
+      def q(p: Double) = percentile(cents, lit(p)) / 100.0
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -410,12 +414,12 @@ object Aggs extends OpModule {
     },
     Some("""
       SELECT l_returnflag, COUNT(*) AS n_rows,
-             ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100)
-               AS BIGINT), 0.25) / 100.0, 2) AS q1,
-             ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100)
-               AS BIGINT), 0.5)  / 100.0, 2) AS q2,
-             ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100)
-               AS BIGINT), 0.75) / 100.0, 2) AS q3
+             quantile_cont(CAST(FLOOR(l_extendedprice * 100)
+               AS BIGINT), 0.25) / 100.0 AS q1,
+             quantile_cont(CAST(FLOOR(l_extendedprice * 100)
+               AS BIGINT), 0.5)  / 100.0 AS q2,
+             quantile_cont(CAST(FLOOR(l_extendedprice * 100)
+               AS BIGINT), 0.75) / 100.0 AS q3
       FROM lineitem GROUP BY l_returnflag"""))
 
   /** Winsorized (robust) mean per group: clamp prices to the exact
@@ -462,10 +466,14 @@ object Aggs extends OpModule {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_rows"),
-          round(max(col("lo")) / 100.0, 2).as("p05"),
-          round(max(col("hi")) / 100.0, 2).as("p95"),
-          round(avg(col("cents")) / 100.0, 2).as("mean_raw"),
-          round(avg(col("clamped")) / 100.0, 2).as("mean_winsor"))
+          // NO round: order stats are integers and the means divide
+          // exact operands (integer-valued double sums stay exact
+          // below 2^53) — identical IEEE results on both engines,
+          // while round could split on a .xx5 half-way value
+          (max(col("lo")) / 100.0).as("p05"),
+          (max(col("hi")) / 100.0).as("p95"),
+          (avg(col("cents")) / 100.0).as("mean_raw"),
+          (avg(col("clamped")) / 100.0).as("mean_winsor"))
     },
     Some("""
       WITH ranked AS (
@@ -487,11 +495,10 @@ object Aggs extends OpModule {
                MAX(CASE WHEN rn = k95 THEN cents END) AS hi
         FROM keyed GROUP BY l_returnflag)
       SELECT k.l_returnflag, COUNT(*) AS n_rows,
-             ROUND(MAX(lo) / 100.0, 2) AS p05,
-             ROUND(MAX(hi) / 100.0, 2) AS p95,
-             ROUND(AVG(cents) / 100.0, 2) AS mean_raw,
-             ROUND(AVG(LEAST(GREATEST(cents, lo), hi)) / 100.0, 2)
-               AS mean_winsor
+             MAX(lo) / 100.0 AS p05,
+             MAX(hi) / 100.0 AS p95,
+             AVG(cents) / 100.0 AS mean_raw,
+             AVG(LEAST(GREATEST(cents, lo), hi)) / 100.0 AS mean_winsor
       FROM keyed k JOIN bounds b ON k.l_returnflag = b.l_returnflag
       GROUP BY k.l_returnflag"""))
 
@@ -606,8 +613,11 @@ object Aggs extends OpModule {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_rows"),
-          round(max(col("med")) / 100.0, 2).as("median"),
-          round(max(col("mad")) / 100.0, 2).as("mad"),
+          // NO round: half-cent medians are exact and /100.0 is the
+          // same IEEE division both sides; rounding would sit exactly
+          // on the .xx5 boundary the engines round apart
+          (max(col("med")) / 100.0).as("median"),
+          (max(col("mad")) / 100.0).as("mad"),
           sum(when(col("adev") > lit(5.0) * col("mad"), 1L).otherwise(0L))
             .cast("long").as("n_outliers"))
     },
@@ -626,8 +636,8 @@ object Aggs extends OpModule {
         SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
         FROM dev GROUP BY l_returnflag)
       SELECT d.l_returnflag, COUNT(*) AS n_rows,
-             ROUND(MAX(med) / 100.0, 2) AS median,
-             ROUND(MAX(mad) / 100.0, 2) AS mad,
+             MAX(med) / 100.0 AS median,
+             MAX(mad) / 100.0 AS mad,
              CAST(SUM(CASE WHEN adev > 5.0 * mad THEN 1 ELSE 0 END)
                AS BIGINT) AS n_outliers
       FROM dev d JOIN mad USING (l_returnflag)

@@ -31,6 +31,9 @@ object LmOps extends OpModule {
     "chunk_docs",
     (s, d) =>
       Tables(s, d, "documents")
+        // empty docs: sequence(0, -1, stride) throws in Spark while
+        // DuckDB's generate_series returns empty — filter to match
+        .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), col("n_chars").cast("int") - 1,
             lit(ChunkStride))).as("off"))
@@ -61,6 +64,10 @@ object LmOps extends OpModule {
       val docs = Tables(s, d, "documents")
       val toks = docs.select(split(col("text"), " ").as("toks"))
       val bg = toks
+        // single-token docs: sequence(1, 0) DESCENDS to [1, 0] in
+        // Spark (element_at then throws); DuckDB's generate_series is
+        // empty — filter to match
+        .filter(size(col("toks")) >= 2)
         .select(col("toks"),
           explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
         .select(element_at(col("toks"), col("i")).as("w1"),
