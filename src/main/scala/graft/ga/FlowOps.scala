@@ -766,9 +766,49 @@ object FlowOps extends OpModule {
              ROUND((SELECT COUNT(*) FROM t3) * 1.0 /
                    (SELECT COUNT(*) FROM t1), 6) AS rate_13"""))
 
+  /** Rolling 7-day distinct active users per day (the WAU curve):
+    * each distinct (user, active-day) row explodes into the ≤7 report
+    * days it covers, then one exact distinct count per report day —
+    * no per-day set intersection, no quadratic window. The explode
+    * factor is the window length (constant); the distinct count
+    * shuffles (day, user) keys once. Report days are restricted to
+    * the observed span. */
+  val rollingWau = Op(
+    "rolling_wau",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("dno"))
+        .distinct()
+      val span = days.agg(min(col("dno")).as("d0"), max(col("dno")).as("d1"))
+      days
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(col("dno"),
+            least(col("dno") + 6, col("d1")))).as("report_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .filter(col("report_day") >= lit(0))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS INT) AS dno
+        FROM events),
+      span AS (SELECT MIN(dno) AS d0, MAX(dno) AS d1 FROM days),
+      cover AS (
+        SELECT user_id, CAST(rd AS INT) AS report_day
+        FROM days, span,
+             UNNEST(generate_series(dno, LEAST(dno + 6, d1))) AS u(rd))
+      SELECT report_day, COUNT(DISTINCT user_id) AS wau
+      FROM cover
+      WHERE report_day >= 0
+      GROUP BY report_day"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
       markovTransitions, firstTouch, conversionLag, trendSlope,
-      seasonalityDow, funnelSteps)
+      seasonalityDow, funnelSteps, rollingWau)
 }

@@ -583,7 +583,48 @@ object SimilarityOps extends OpModule {
       JOIN sizes z1 ON z1.source = s1
       JOIN sizes z2 ON z2.source = s2"""))
 
+  /** Fuzzy entity resolution end-to-end: connected components over
+    * the `edit_dist_pairs` graph — near-identical part names collapse
+    * into families labeled by their min partkey. Composes the blocked
+    * distance kernel with the same hash-to-min label propagation as
+    * `neardup_cluster`; output is family rollups (size, canonical
+    * key), catalog-bounded. */
+  val nameClusters = Op(
+    "name_clusters",
+    (s, d) => {
+      val edges = editDistPairs.run(s, d)
+        .select(col("k1").as("src"), col("k2").as("dst"))
+      val nodes = graft.Tables(s, d, "part")
+        .select(col("p_partkey").as("id"))
+      graft.ops.Graphs
+        .connectedComponents(nodes, "id", edges, "src", "dst")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") > 1)
+    },
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS k1, b.p_partkey AS k2
+        FROM part a
+        JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                   AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      edges AS (
+        SELECT k1 AS src, k2 AS dst FROM pairs
+        UNION ALL SELECT k2, k1 FROM pairs),
+      reach(node, root) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION
+        SELECT e.dst, r.root
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.root < e.dst)
+      SELECT cluster_id, COUNT(*) AS n_members FROM (
+        SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+      GROUP BY cluster_id
+      HAVING COUNT(*) > 1"""))
+
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
-      minhashDet, langId, dupSpanFrac, editDistPairs, sourceOverlap)
+      minhashDet, langId, dupSpanFrac, editDistPairs, sourceOverlap,
+      nameClusters)
 }

@@ -416,6 +416,45 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("name_clusters matches union-find over the edit-distance edges") {
+    val edges = q("edit_dist_pairs", sfDir01)
+      .select(col("k1"), col("k2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = scala.collection.mutable.Map
+      .empty[Long, Long].withDefaultValue(0L)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach(n => members(find(n)) += 1)
+    val expect = members.collect { case (root, n) if n > 1 => (root, n) }
+      .toSet
+    val got = q("name_clusters", sfDir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("rolling_wau matches a brute-force trailing-window recount") {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("dno"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val span = days.map(_._2)
+    val expect = (span.min to span.max).map { d =>
+      d -> days.filter(t => t._2 >= d - 6 && t._2 <= d)
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    val got = q("rolling_wau").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
