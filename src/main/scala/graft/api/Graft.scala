@@ -397,9 +397,11 @@ object Graft {
       .join(broadcast(cu.select(col("w").as("w2"), col("c").as("_c2"))), "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .filter(col("pair_count") >= minCount)
+      // rounded to 4dp like the declared op so the top-K cut and its
+      // (w1, w2) tie-break select the same rows
       .withColumn("pmi",
-        log(col("pair_count") * lit(1.0) * col("_nu") / col("_nb") *
-          (col("_nu") * lit(1.0) / col("_c1")) / col("_c2")))
+        round(log(col("pair_count") * lit(1.0) * col("_nu") / col("_nb") *
+          (col("_nu") * lit(1.0) / col("_c1")) / col("_c2")), 4))
       .select(col("w1"), col("w2"), col("pair_count"), col("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
@@ -447,7 +449,9 @@ object Graft {
     cand
       .join(k1, blockCols :+ "_n1")
       .join(k2, blockCols :+ "_n2")
-      .filter(col("_n1") < col("_n2") ||
+      // _ka =!= _kb also on the distinct-name branch: one id carrying
+      // two similar names in a block must not emit a self-pair
+      .filter((col("_n1") < col("_n2") && col("_ka") =!= col("_kb")) ||
         (col("_n1") === col("_n2") && col("_ka") < col("_kb")))
       .select(least(col("_ka"), col("_kb")).as("id1"),
         greatest(col("_ka"), col("_kb")).as("id2"), col("dist"))
@@ -476,6 +480,8 @@ object Graft {
   def histogram(df: DataFrame, valueCol: String, groupCol: String,
       nBuckets: Int = 10): DataFrame = {
     require(nBuckets > 0, "histogram needs nBuckets > 0")
+    require(groupCol != "bucket" && valueCol != "bucket",
+      "histogram: 'bucket' is a reserved output name")
     val taken = df.columns.toSet
     val (mn, mx) = (fresh("_mn", taken), fresh("_mx", taken))
     val span = df.agg(min(col(valueCol)).as(mn), max(col(valueCol)).as(mx))
@@ -495,6 +501,8 @@ object Graft {
     * note (percentile boundaries for web-scale entity counts). */
   def decileLift(df: DataFrame, keyCol: String, valueCol: String,
       nTiles: Int = 10): DataFrame = {
+    require(!Set("_v", "_tv", "_tot", "tile")(keyCol),
+      s"decileLift: key column '$keyCol' is reserved")
     val per = df.groupBy(col(keyCol))
       .agg(sum(col(valueCol)).as("_v"))
     val w = Window.orderBy(col("_v").desc, col(keyCol))
@@ -516,6 +524,8 @@ object Graft {
     * n_active_days). */
   def userStreaks(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
+    require(userCol != "_len",
+      "userStreaks: '_len' is a reserved temp name")
     val taken = events.columns.toSet
     val (dno, isl) = (fresh("_dno", taken), fresh("_isl", taken))
     val days = events

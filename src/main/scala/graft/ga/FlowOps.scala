@@ -589,7 +589,10 @@ object FlowOps extends OpModule {
       lags.agg(
         count(lit(1)).as("n_users"),
         q(0.25).as("q1_s"), q(0.5).as("med_s"), q(0.75).as("q3_s"),
-        (sum(col("lag_us")) / (count(lit(1)) * lit(1e6))).as("avg_s"))
+        // decimal sum: µs lags × millions of users would wrap int64
+        // where DuckDB's HUGEINT sum stays exact
+        (sum(col("lag_us").cast("decimal(38,0)")) /
+          (count(lit(1)) * lit(1e6))).as("avg_s"))
     },
     Some("""
       WITH ev AS (
@@ -781,14 +784,19 @@ object FlowOps extends OpModule {
           datediff(to_date(col("ts")), lit("2024-01-01")).as("dno"))
         .distinct()
       val span = days.agg(min(col("dno")).as("d0"), max(col("dno")).as("d1"))
-      days
+      val counts = days
         .crossJoin(broadcast(span))
         .select(col("user_id"),
           explode(sequence(col("dno"),
             least(col("dno") + 6, col("d1")))).as("report_day"))
         .groupBy(col("report_day"))
-        .agg(countDistinct(col("user_id")).as("wau"))
-        .filter(col("report_day") >= lit(0))
+        .agg(countDistinct(col("user_id")).as("n"))
+      // dense calendar: a report day inside the span with no active
+      // user in its trailing window is a 0 row, not a missing row
+      span.select(explode(sequence(col("d0"), col("d1"))).as("report_day"))
+        .join(counts, Seq("report_day"), "left")
+        .select(col("report_day"),
+          coalesce(col("n"), lit(0L)).as("wau"))
     },
     Some("""
       WITH days AS (
@@ -800,11 +808,15 @@ object FlowOps extends OpModule {
       cover AS (
         SELECT user_id, CAST(rd AS INT) AS report_day
         FROM days, span,
-             UNNEST(generate_series(dno, LEAST(dno + 6, d1))) AS u(rd))
-      SELECT report_day, COUNT(DISTINCT user_id) AS wau
-      FROM cover
-      WHERE report_day >= 0
-      GROUP BY report_day"""))
+             UNNEST(generate_series(dno, LEAST(dno + 6, d1))) AS u(rd)),
+      counts AS (
+        SELECT report_day, COUNT(DISTINCT user_id) AS n
+        FROM cover GROUP BY report_day),
+      cal AS (
+        SELECT CAST(rd AS INT) AS report_day
+        FROM span, UNNEST(generate_series(d0, d1)) AS u(rd))
+      SELECT report_day, COALESCE(n, 0) AS wau
+      FROM cal LEFT JOIN counts USING (report_day)"""))
 
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,

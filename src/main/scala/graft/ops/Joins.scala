@@ -415,7 +415,10 @@ object Joins extends OpModule {
       val od = Tables(s, d, "orders")
       graft.ops.Skew
         .saltedJoin(li, od, "l_orderkey", "o_orderkey",
-          col("l_orderkey"), 8)
+          // salt must vary WITHIN a join key (a hash of the key itself
+          // is constant per key and spreads nothing): linenumber
+          // differs across a hot order's rows
+          col("l_linenumber"), 8)
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_lines"),
