@@ -187,7 +187,45 @@ object Scans extends OpModule {
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 20"""))
 
+  /** Column profiling (the ANALYZE TABLE / data-quality pass): one
+    * row per profiled column with row/null/distinct counts, via a
+    * stack unpivot so the table scans ONCE for all columns. Values
+    * are stringified only as distinct-count keys (injective per
+    * engine, never emitted), so numeric formatting differences can't
+    * leak into the output. */
+  val dataProfile = Op(
+    "data_profile",
+    (s, d) =>
+      Tables(s, d, "orders")
+        .select(expr("""stack(4,
+            'o_orderstatus',   o_orderstatus,
+            'o_orderpriority', o_orderpriority,
+            'o_custkey',       CAST(o_custkey AS STRING),
+            'o_totalprice',    CAST(o_totalprice AS STRING))
+          AS (col_name, val)"""))
+        .groupBy(col("col_name"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_null"),
+          countDistinct(col("val")).as("n_distinct")),
+    Some("""
+      WITH u AS (
+        SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders)
+      SELECT col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             COUNT(DISTINCT val) AS n_distinct
+      FROM u GROUP BY col_name"""))
+
   override def ops: Seq[Op] =
     Seq(scanProject, filterPred, scanPruned, caseExpr, topk, zorderBucket,
-      topkDiverse)
+      topkDiverse, dataProfile)
 }

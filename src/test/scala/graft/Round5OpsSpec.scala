@@ -455,6 +455,23 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("data_profile counts agree with direct per-column aggregates") {
+    val od = Tables(spark, sfDir, "orders")
+    val got = q("data_profile").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got.keySet == Set("o_orderstatus", "o_orderpriority",
+      "o_custkey", "o_totalprice"))
+    val n = od.count()
+    got.values.foreach { case (rows, nulls, _) =>
+      assert(rows == n && nulls == 0)
+    }
+    assert(got("o_orderstatus")._3 ==
+      od.select(col("o_orderstatus")).distinct().count())
+    assert(got("o_custkey")._3 ==
+      od.select(col("o_custkey")).distinct().count())
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
