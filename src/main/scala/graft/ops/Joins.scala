@@ -430,8 +430,109 @@ object Joins extends OpModule {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  /** MERGE INTO semantics (upsert) as a pure DataFrame transform:
+    * target = customer; source = a deterministic hash-picked 10%
+    * slice with updated balances plus synthesized new keys. Matched
+    * rows take the source payload, unmatched-target rows pass
+    * through, unmatched-source rows insert — one full-outer join on
+    * the key, coalesce per column (the Delta/Iceberg MERGE plan
+    * reduces to exactly this shuffle when no file pruning applies).
+    * Output is an audit rollup so the declared result stays small. */
+  val mergeUpsert = Op(
+    "merge_upsert",
+    (s, d) => {
+      val target = Tables(s, d, "customer")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val maxKey = target.agg(max(col("key")).as("mk"))
+      val source = target
+        .filter(expr("(key % 100000) * 2654435761 % 10 = 0"))
+        .crossJoin(broadcast(maxKey))
+        .select(
+          // the hash picks multiples of 10, so split on key % 20:
+          // even multiples update in place, odd multiples insert
+          // beyond the key space
+          when(col("key") % 20 === 0, col("key"))
+            .otherwise(col("key") + col("mk") + 1).as("key"),
+          round(col("bal") + 100.0, 2).as("bal"))
+      val merged = target.select(col("key"), col("bal").as("t_bal"))
+        .join(source.select(col("key"), col("bal").as("s_bal")),
+          Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("s_bal"), col("t_bal")).as("bal"),
+          when(col("s_bal").isNotNull && col("t_bal").isNotNull, "updated")
+            .when(col("s_bal").isNotNull, "inserted")
+            .otherwise("unchanged").as("action"))
+      merged.groupBy(col("action"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(floor(col("bal") * 100)) / 100.0, 2).as("total_bal"))
+    },
+    Some("""
+      WITH target AS (
+        SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+      mk AS (SELECT MAX(key) AS mk FROM target),
+      source AS (
+        SELECT CASE WHEN key % 20 = 0 THEN key ELSE key + mk + 1 END AS key,
+               ROUND(bal + 100.0, 2) AS bal
+        FROM target, mk
+        WHERE (key % 100000) * 2654435761 % 10 = 0),
+      merged AS (
+        SELECT COALESCE(t.key, s.key) AS key,
+               COALESCE(s.bal, t.bal) AS bal,
+               CASE WHEN s.bal IS NOT NULL AND t.bal IS NOT NULL
+                      THEN 'updated'
+                    WHEN s.bal IS NOT NULL THEN 'inserted'
+                    ELSE 'unchanged' END AS action
+        FROM target t FULL OUTER JOIN source s ON t.key = s.key)
+      SELECT action, COUNT(*) AS n_rows,
+             ROUND(SUM(FLOOR(bal * 100)) / 100.0, 2) AS total_bal
+      FROM merged GROUP BY action"""))
+
+  /** Table-version diff (the reconciliation pass after a merge):
+    * compare the base table against its upserted version and count
+    * added / changed / unchanged rows per balance tier — one
+    * full-outer join on the key with field comparison, the
+    * "what did this pipeline run change" audit at any scale. */
+  val tableDiff = Op(
+    "table_diff",
+    (s, d) => {
+      val base = Tables(s, d, "customer")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val updated = base
+        .withColumn("bal",
+          when(expr("(key % 100000) * 2654435761 % 10 = 0"),
+            round(col("bal") + 100.0, 2)).otherwise(col("bal")))
+      base.select(col("key"), col("bal").as("old_bal"))
+        .join(updated.select(col("key"), col("bal").as("new_bal")),
+          Seq("key"), "full_outer")
+        .select(
+          when(col("old_bal").isNull, "added")
+            .when(col("new_bal").isNull, "deleted")
+            .when(floor(col("old_bal") * 100) =!=
+              floor(col("new_bal") * 100), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+      updated AS (
+        SELECT key,
+               CASE WHEN (key % 100000) * 2654435761 % 10 = 0
+                    THEN ROUND(bal + 100.0, 2) ELSE bal END AS bal
+        FROM base)
+      SELECT CASE WHEN b.bal IS NULL THEN 'added'
+                  WHEN u.bal IS NULL THEN 'deleted'
+                  WHEN FLOOR(b.bal * 100) <> FLOOR(u.bal * 100)
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COUNT(*) AS n_rows
+      FROM base b FULL OUTER JOIN updated u ON b.key = u.key
+      GROUP BY 1"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
       joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi,
-      rangeJoinTime, joinAsofNearest, basketPairs, joinSalted)
+      rangeJoinTime, joinAsofNearest, basketPairs, joinSalted,
+      mergeUpsert, tableDiff)
 }

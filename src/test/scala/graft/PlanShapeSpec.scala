@@ -198,7 +198,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "funnel_steps",  // crossJoin of three 1-row step-count aggregates
       "rfm_segments",  // crossJoin of the 1-row global max-day scalar
       "churn_flags",   // crossJoin of the 1-row dataset-end scalar
-      "rolling_wau")   // crossJoin of the 1-row day-span scalar
+      "rolling_wau",   // crossJoin of the 1-row day-span scalar
+      "merge_upsert")  // crossJoin of the 1-row max-key scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are

@@ -472,6 +472,26 @@ class Round5OpsSpec extends AnyFunSuite {
       od.select(col("o_custkey")).distinct().count())
   }
 
+  test("merge_upsert: action counts reconcile with the key space") {
+    val out = q("merge_upsert").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("updated", "inserted", "unchanged"))
+    val nCust = Tables(spark, sfDir, "customer").count()
+    // merged rows = all target keys + inserted keys
+    assert(out("updated") + out("unchanged") == nCust)
+    assert(out("inserted") > 0)
+  }
+
+  test("table_diff: statuses partition the key space, changed = picks") {
+    val out = q("table_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCust = Tables(spark, sfDir, "customer").count()
+    assert(out.values.sum == nCust)
+    val picked = Tables(spark, sfDir, "customer")
+      .filter(expr("(c_custkey % 100000) * 2654435761 % 10 = 0")).count()
+    assert(out.getOrElse("changed", 0L) == picked)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
