@@ -496,17 +496,22 @@ object Graft {
   }
 
   /** Gains/lift table: entities bucketed into `nTiles` by descending
-    * total `valueCol`, each tile's share + cumulative share. The
-    * ntile runs on the per-entity rollup — see `decile_lift`'s scale
-    * note (percentile boundaries for web-scale entity counts). */
+    * total `valueCol`, each tile's share + cumulative share. Tiles
+    * are assigned on the per-entity rollup via distributed exact rank
+    * (`Ranks.withGlobalRank`) + the closed-form NTILE — no global
+    * window, so the transform holds at web-scale entity counts. */
   def decileLift(df: DataFrame, keyCol: String, valueCol: String,
       nTiles: Int = 10): DataFrame = {
-    require(!Set("_v", "_tv", "_tot", "tile")(keyCol),
+    require(!Set("_v", "_tv", "_tot", "_n", "_rnk", "tile")(keyCol),
       s"decileLift: key column '$keyCol' is reserved")
     val per = df.groupBy(col(keyCol))
       .agg(sum(col(valueCol)).as("_v"))
-    val w = Window.orderBy(col("_v").desc, col(keyCol))
-    val byTile = per.withColumn("tile", ntile(nTiles).over(w))
+    val n = per.agg(count(lit(1)).cast("long").as("_n"))
+    val byTile = graft.ops.Ranks
+      .withGlobalRank(per, "_rnk", col("_v").desc, col(keyCol))
+      .crossJoin(broadcast(n))
+      .withColumn("tile",
+        graft.ops.Ranks.ntileFromRank(col("_rnk"), col("_n"), nTiles))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n_keys"), sum(col("_v")).as("_tv"))
     val tot = byTile.agg(sum(col("_tv")).as("_tot"))

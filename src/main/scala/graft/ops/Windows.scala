@@ -320,17 +320,19 @@ object Windows extends OpModule {
   /** Gains/lift table: customers ranked into spend deciles, each
     * decile's share and cumulative share of total revenue — the
     * marketing-analytics "top 10% of customers drive X%" summary.
-    * ntile runs on the per-customer ROLLUP (one groupBy shuffle +
-    * one window pass over customers, not orders); integer-cent sums
-    * make the shares divide identical exact operands.
+    * deciles run on the per-customer ROLLUP (one groupBy shuffle,
+    * not orders); integer-cent sums make the shares divide identical
+    * exact operands.
     *
-    * Scale note: the ntile window is global, so the rollup sorts in
-    * one partition — fine while customers ≪ facts (here 10×–40×
-    * smaller), but for a 100 TB/100M-customer table the production
-    * path is 9 exact-percentile boundary values (distributed, as in
-    * `quantile_exact`) + comparison-based decile assignment; NTILE is
-    * kept here because its equal-count tie splitting is what DuckDB
-    * reproduces bit-exactly. */
+    * Scale posture: NTILE is computed WITHOUT a global window — the
+    * rollup is range-partitioned on the sort key, ranked per
+    * partition, and the exact global rank recovered by adding
+    * broadcast per-partition offsets (`Ranks.withGlobalRank`); the
+    * decile is then a closed-form function of (rank, n) that matches
+    * the oracle's NTILE bit-exactly (`Ranks.ntileFromRank`). At
+    * 100 TB / 100M customers every stage stays parallel: the only
+    * single-partition structures are the ≤#partitions offsets table
+    * and the 10-row decile rollup. */
   val decileLift = Op(
     "decile_lift",
     (s, d) => {
@@ -338,9 +340,13 @@ object Windows extends OpModule {
         .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
         .groupBy(col("o_custkey"))
         .agg(sum(col("cents")).as("cust_cents"))
-      val w = Window.orderBy(col("cust_cents").desc, col("o_custkey"))
-      val byDecile = perCust
-        .withColumn("decile", ntile(10).over(w))
+      val n = perCust.agg(count(lit(1)).cast("long").as("__n"))
+      val byDecile = Ranks
+        .withGlobalRank(perCust, "__rnk",
+          col("cust_cents").desc, col("o_custkey"))
+        .crossJoin(broadcast(n))
+        .withColumn("decile",
+          Ranks.ntileFromRank(col("__rnk"), col("__n"), 10))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("cust_cents")).as("dec_cents"))
@@ -384,10 +390,13 @@ object Windows extends OpModule {
   /** RFM customer segmentation: quintile scores for Recency (days
     * since last order, lower = better), Frequency (order count) and
     * Monetary (total cents), rolled up to per-(r,f,m)-cell customer
-    * counts and exact mean spend. Three ntile windows run on the
-    * per-customer ROLLUP (same scale posture as `decile_lift` —
-    * percentile boundaries + comparison assignment for web-scale
-    * customer counts); the global max date is one broadcast scalar. */
+    * counts and total spend (total, not mean — a mean can land on a
+    * .xx5 round-half boundary where the engines round apart). The
+    * three quintile scores are computed as in `decile_lift`: three
+    * range-partitioned exact-rank passes over the per-customer ROLLUP
+    * (`Ranks.withGlobalRank`) + the closed-form NTILE assignment —
+    * no global window anywhere, so the op scales to web-scale
+    * customer counts; the global max date is one broadcast scalar. */
   val rfmSegments = Op(
     "rfm_segments",
     (s, d) => {
@@ -399,15 +408,23 @@ object Windows extends OpModule {
         .agg(max(col("day_no")).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("cents")).as("monetary"))
-      val mx = per.agg(max(col("last_day")).as("max_day"))
-      val scored = per.crossJoin(broadcast(mx))
+      val mx = per.agg(max(col("last_day")).as("max_day"),
+        count(lit(1)).cast("long").as("__n"))
+      val base = per.crossJoin(broadcast(mx))
         .withColumn("recency", col("max_day") - col("last_day"))
-        .withColumn("r_score", ntile(5).over(
-          Window.orderBy(col("recency"), col("o_custkey"))))
-        .withColumn("f_score", ntile(5).over(
-          Window.orderBy(col("freq").desc, col("o_custkey"))))
-        .withColumn("m_score", ntile(5).over(
-          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      val r1 = Ranks.withGlobalRank(base, "__rr",
+        col("recency"), col("o_custkey"))
+      val r2 = Ranks.withGlobalRank(r1, "__fr",
+        col("freq").desc, col("o_custkey"))
+      val ranked = Ranks.withGlobalRank(r2, "__mr",
+        col("monetary").desc, col("o_custkey"))
+      val scored = ranked
+        .withColumn("r_score",
+          Ranks.ntileFromRank(col("__rr"), col("__n"), 5))
+        .withColumn("f_score",
+          Ranks.ntileFromRank(col("__fr"), col("__n"), 5))
+        .withColumn("m_score",
+          Ranks.ntileFromRank(col("__mr"), col("__n"), 5))
       scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"),
           // total (not mean) spend: cents/100 always has exactly two

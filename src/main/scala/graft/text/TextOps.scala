@@ -274,22 +274,23 @@ object TextOps extends OpModule {
     * the id table a BPE-ish tokenizer training step emits first.
     *
     * Scale shape: the count is the usual explode + map-side-combined
-    * groupBy (vocabulary-sized shuffle); the ranking window is
-    * deliberately global BUT runs on the post-filter VOCABULARY
-    * (bounded by distinct-token count, not corpus size) — the same
-    * "single partition is fine because the input is dictionary-sized"
-    * argument as a dimension broadcast. */
+    * groupBy (vocabulary-sized shuffle); the dense-id assignment is a
+    * distributed exact rank (`Ranks.withGlobalRank`: range-partition
+    * + per-partition row_number + broadcast offsets) — a web-corpus
+    * vocabulary can be tens of millions of tokens, too big to bet on
+    * a single-partition window. */
   val vocabBuild = Op(
     "vocab_build",
     (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_occ").desc, col("token"))
-      Tables(s, d, "documents")
+      val counts = Tables(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= 5)
-        .withColumn("token_id", row_number().over(w) - 1)
+      graft.ops.Ranks
+        .withGlobalRank(counts, "__rnk",
+          col("n_occ").desc, col("token"))
+        .withColumn("token_id", (col("__rnk") - 1).cast("int"))
         .select(col("token_id"), col("token"), col("n_occ"))
     },
     Some("""

@@ -215,6 +215,61 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no declared query plans a data-sized global window") {
+    // A Window with an empty partition spec funnels its whole input
+    // through ONE task — the classic scale-killer. Allowed only where
+    // the window's input is bounded by construction (calendar span,
+    // #shuffle-partitions, a ≤k-row rollup), never by data volume.
+    val boundedGlobalWindow = Map(
+      "window_frame" -> "per-day rollup: calendar-sized at any SF",
+      "session_concurrency" -> "per-day carry rollup: calendar-sized",
+      "rolling_wau" -> "per-day rollup: calendar-sized",
+      "period_compare" -> "per-period rollup: calendar-sized",
+      "trend_slope" -> "per-day rollup: calendar-sized",
+      "decile_lift" -> "10-row decile rollup cum-share",
+      "quantile_exact" -> "(group, distinct-value) rollup: value-domain-bounded",
+      "winsorize" -> "(group, distinct-value) rollup: value-domain-bounded",
+      "gini_concentration" -> "(group, distinct-value) rollup: value-domain-bounded",
+      "value_histogram" -> "bucket rollup: ≤nBuckets rows per group",
+      "order_lines_hist" -> "line-count domain rollup: ≤7 distinct values",
+      "mad_outliers" -> "(group, distinct-value) rollup: value-domain-bounded",
+      "pareto_front" -> "(group, distinct-value) dominance rollup")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty &&
+                // Ranks.withGlobalRank's offset window orders by the
+                // __pid partition id: ≤#shuffle-partitions rows by
+                // construction, allowed wherever it appears
+                !w.orderSpec.forall(_.child.toString.contains("__pid")) => w
+        }
+        if (globals.nonEmpty && !boundedGlobalWindow.contains(name))
+          Some(s"$name: ${globals.size} global window(s)")
+        else None
+    }
+    assert(offenders.isEmpty,
+      "data-sized global window(s) planned:\n" + offenders.mkString("\n"))
+  }
+
+  test("decile_lift/rfm_segments never sort per-customer data globally") {
+    // regression guard for the r5 'weak' finding: their only global
+    // windows must order config-bounded helper tables (__pid offsets,
+    // the 10-row decile rollup), never the per-customer sort keys
+    val perCustomerKeys = Seq("cust_cents", "recency", "freq", "monetary")
+    for (name <- Seq("decile_lift", "rfm_segments")) {
+      val globals = q(name).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      val bad = globals.filter(w => w.orderSpec.exists(o =>
+        perCustomerKeys.exists(k => o.child.toString.contains(k))))
+      assert(bad.isEmpty,
+        s"$name plans a global window over per-customer keys:\n" +
+          bad.mkString("\n"))
+    }
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
