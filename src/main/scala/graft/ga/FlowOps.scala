@@ -16,12 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `page_transitions`: one window shuffle on user_id (bounded
   *    per-user partitions, same exchange as sessionize) + a pair
   *    count whose output is |pages|² at most — catalog-sized.
-  *  - `pagerank`: the rank vector is node-catalog-sized (pages, not
-  *    hits), so each of the fixed iterations is edges ⋈ broadcast
-  *    ranks + one groupBy on dst. For a web-scale node set the same
-  *    loop holds with ranks hash-partitioned on src instead of
-  *    broadcast — identical to `Graphs.connectedComponents`'s
-  *    join+combine rounds.
+  *  - `pagerank`: the rank vector grows with |nodes|, so each of the
+  *    fixed iterations co-partitions it against the (pre-partitioned,
+  *    checkpointed) edge list via a hinted shuffle-hash join — never
+  *    a forced broadcast, which at web-scale node sets would OOM the
+  *    executors. Identical join+combine rounds to
+  *    `Graphs.connectedComponents`.
   *  - `scd2_track`: gaps-and-islands entirely inside ONE user_id
   *    exchange: both windows and the final groupBy reuse the same
   *    partitioning, so Catalyst plans a single shuffle.
@@ -84,23 +84,28 @@ object FlowOps extends OpModule {
         .select(col("prev_page").as("src"), col("page").as("dst"),
           col("n_trans").cast("double").as("w"))
       val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-      // normalized transition weight: evaluated once, reused by every
-      // iteration's contribution join
-      val norm = edges.join(outW, "src")
+      // normalized transition weight: evaluated once, pre-partitioned
+      // on src (the per-iteration join key) and checkpointed, so each
+      // iteration shuffles only the |nodes|-sized rank vector
+      val norm = edges.join(outW.hint("shuffle_hash"), "src")
         .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+        .repartition(col("src"))
         .localCheckpoint()
       val nodes = hits(s, d).select(col("page")).distinct()
         .localCheckpoint()
       val n = nodes.count()
       var ranks = nodes.withColumn("r", lit(1.0 / n))
       for (_ <- 1 to 3) {
+        // shuffle_hash hint: the rank vector grows with |nodes|, so a
+        // broadcast here is an OOM at web-scale node sets; hash
+        // co-partitioning on src keeps every iteration all-parallel
         val contrib = norm
-          .join(broadcast(ranks.select(col("page").as("src"), col("r"))),
-            "src")
+          .join(ranks.select(col("page").as("src"), col("r"))
+            .hint("shuffle_hash"), "src")
           .groupBy(col("dst"))
           .agg(sum(col("p") * col("r")).as("c"))
           .withColumnRenamed("dst", "page")
-        ranks = nodes.join(contrib, Seq("page"), "left")
+        ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("page"), "left")
           .select(col("page"),
             (lit((1.0 - D) / n) + lit(D) * coalesce(col("c"), lit(0.0)))
               .as("r"))

@@ -270,6 +270,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank co-partitions the rank vector, never broadcasts it") {
+    // the rank table grows with |nodes|: a forced broadcast per
+    // iteration is an executor OOM at web-scale node sets (r5 'weak'
+    // finding) — every rank join must be a shuffled hash join
+    val plan = executedPlan(q("pagerank"))
+    assert(!plan.contains("BroadcastExchange"),
+      s"pagerank broadcasts a node-sized table:\n${plan.take(1500)}")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(800))
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
