@@ -644,8 +644,10 @@ object FlowOps extends OpModule {
         .withColumn("_den",
           col("n") * lit(1.0) * col("_sxx") -
             col("_sx") * lit(1.0) * col("_sx"))
-        // all orders on one day → zero variance → NULL slope (DuckDB's
-        // x/0 is NULL; Spark's would be NaN/Inf — guard to match)
+        // all orders on one day → zero variance → NULL slope; guarded
+        // on BOTH sides (this when(), NULLIF in the oracle) so parity
+        // never depends on DuckDB's div-by-zero default, which changed
+        // across releases (ieee_floating_point_ops returns inf)
         .withColumn("slope_cents_per_day",
           when(col("_den") =!= 0.0,
             round((col("n") * lit(1.0) * col("_sxy") -
@@ -663,8 +665,8 @@ object FlowOps extends OpModule {
       SELECT o_orderpriority, COUNT(*) AS n,
              ROUND((COUNT(*) * 1.0 * SUM(x * y) -
                     SUM(x) * 1.0 * SUM(y)) /
-                   (COUNT(*) * 1.0 * SUM(x * x) -
-                    SUM(x) * 1.0 * SUM(x)), 6) AS slope_cents_per_day
+                   NULLIF(COUNT(*) * 1.0 * SUM(x * x) -
+                    SUM(x) * 1.0 * SUM(x), 0), 6) AS slope_cents_per_day
       FROM base GROUP BY o_orderpriority"""))
 
   /** Day-of-week seasonality profile per event type: event count,

@@ -137,7 +137,14 @@ object MultimodalOps extends OpModule {
     * report frames shared across ≥2 items with the keeper (min doc).
     * The storage-dedup shape for media at 100 TB: only (digest,
     * doc_id) pairs shuffle, never the frame bytes, and the groupBy
-    * key space is bounded by distinct content, not items × size. */
+    * key space is bounded by distinct content, not items × size.
+    *
+    * Oracle parity caveat: the Spark side frames over BYTES of the
+    * binary payload (the real media shape); DuckDB v1.0.0 has no
+    * BLOB substring/md5, so the oracle frames over CHARACTERS of the
+    * source text. Equivalent iff the fixture text is pure ASCII
+    * (1 byte = 1 char) — asserted mechanically in MultimodalSpec
+    * ("documents fixture is ASCII"), not merely assumed. */
   val mediaDedup = Op(
     "media_dedup",
     (s, d) =>

@@ -92,6 +92,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.collect().map(_.getLong(2)).sum == media.count())
   }
 
+  test("documents fixture is ASCII (media_dedup byte/char frame parity)") {
+    // media_dedup's Spark side frames over BYTES, its oracle over
+    // CHARACTERS (DuckDB v1.0.0 has no BLOB substring/md5) — the two
+    // agree only while 1 char = 1 byte. Check the assumption at both
+    // test SFs so any future multi-byte fixture text fails loudly
+    // here instead of as a silent oracle divergence.
+    for (dir <- Seq(sfDir, sfDir01)) {
+      val nonAscii = Tables(spark, dir, "documents")
+        .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+        .count()
+      assert(nonAscii == 0,
+        s"$dir/documents has $nonAscii non-ASCII texts: media_dedup's " +
+          "char-framed oracle no longer matches its byte-framed query")
+    }
+  }
+
   test("sampleFrames emits zero frames for empty payloads (regression)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
