@@ -90,5 +90,73 @@ object SourceOps extends OpModule {
       WHERE event_type = 'purchase'
       GROUP BY 1"""))
 
-  override def ops: Seq[Op] = Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned)
+  /** MERGE INTO against a partitioned target layout — the thing a
+    * real Delta/Iceberg merge buys over `merge_upsert`'s plain-table
+    * shuffle: when every source row targets one partition (here
+    * event_type='click'), the target read is pruned at FILE LISTING
+    * time (PartitionFilters on the scan), so a 100 TB event store
+    * rewrites one partition's files instead of scanning the table.
+    * Same full-outer-join + per-column coalesce kernel and the same
+    * audit-rollup output shape as `merge_upsert`; integer-cent sums
+    * for exact cross-engine totals. The oracle computes the identical
+    * merge from the source `events` table filtered to the partition
+    * (pruning changes I/O, never results). */
+  val mergePartitioned = Op(
+    "merge_partitioned",
+    (s, d) => {
+      val path = tmp("mergepart", d)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      // target: only the merged partition is listed, never the rest
+      val target = s.read.parquet(path)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("t_cents"))
+      val mk = target.agg(max(col("event_id")).as("mk"))
+      val source = target
+        .filter(expr("(event_id % 100000) * 2654435761 % 10 = 0"))
+        .crossJoin(broadcast(mk))
+        .select(
+          // even multiples of 10 update in place, odd multiples
+          // insert beyond the key space (same split as merge_upsert)
+          when(col("event_id") % 20 === 0, col("event_id"))
+            .otherwise(col("event_id") + col("mk") + 1).as("event_id"),
+          (col("t_cents") + 100L).as("s_cents"))
+      target.join(source, Seq("event_id"), "full_outer")
+        .select(
+          when(col("s_cents").isNotNull && col("t_cents").isNotNull,
+            "updated")
+            .when(col("s_cents").isNotNull, "inserted")
+            .otherwise("unchanged").as("action"),
+          coalesce(col("s_cents"), col("t_cents")).as("cents"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("cents")) / 100.0, 2).as("total_value"))
+    },
+    Some("""
+      WITH target AS (
+        SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'),
+      mk AS (SELECT MAX(event_id) AS mk FROM target),
+      source AS (
+        SELECT CASE WHEN event_id % 20 = 0 THEN event_id
+                    ELSE event_id + mk + 1 END AS event_id,
+               cents + 100 AS cents
+        FROM target, mk
+        WHERE (event_id % 100000) * 2654435761 % 10 = 0),
+      merged AS (
+        SELECT COALESCE(s.cents, t.cents) AS cents,
+               CASE WHEN s.cents IS NOT NULL AND t.cents IS NOT NULL
+                      THEN 'updated'
+                    WHEN s.cents IS NOT NULL THEN 'inserted'
+                    ELSE 'unchanged' END AS action
+        FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id)
+      SELECT action, COUNT(*) AS n_rows,
+             ROUND(SUM(cents) / 100.0, 2) AS total_value
+      FROM merged GROUP BY action"""))
+
+  override def ops: Seq[Op] =
+    Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned)
 }

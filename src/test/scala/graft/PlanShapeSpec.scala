@@ -199,7 +199,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "rfm_segments",  // crossJoin of the 1-row global max-day scalar
       "churn_flags",   // crossJoin of the 1-row dataset-end scalar
       "rolling_wau",   // crossJoin of the 1-row day-span scalar
-      "merge_upsert")  // crossJoin of the 1-row max-key scalar
+      "merge_upsert",  // crossJoin of the 1-row max-key scalar
+      "merge_partitioned") // crossJoin of the 1-row max-key scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
@@ -268,6 +269,20 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name plans a global window over per-customer keys:\n" +
           bad.mkString("\n"))
     }
+  }
+
+  test("merge_partitioned prunes the target scan to the merged partition") {
+    // the point of merging against a partitioned layout: the target
+    // read must be satisfied by directory pruning, not a table scan
+    val plan = executedPlan(q("merge_partitioned"))
+    val part = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(part.contains("event_type"),
+      s"target partition not pruned at listing: $part")
+    // and the partition predicate must not survive as a row filter
+    assert(!plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("event_type")),
+      "partition predicate re-evaluated per row")
   }
 
   test("pagerank co-partitions the rank vector, never broadcasts it") {
