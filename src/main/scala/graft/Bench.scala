@@ -26,7 +26,7 @@ object Bench {
     "bloom_semi", "cdc_latest", "resample_daily", "embed_quantize",
     "ann_bucket_topk", "ivf_topk", "kmeans_assign", "bm25_top",
     "dup_span_frac", "chunk_docs", "pmi_bigrams", "unigram_logprob",
-    "mix_uniform", "media_dedup", "edit_dist_pairs")
+    "mix_uniform", "media_dedup", "media_decode", "edit_dist_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

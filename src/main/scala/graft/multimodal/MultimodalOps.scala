@@ -8,12 +8,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * `binary` columns + typed metadata, processed by batch-shaped
   * per-partition functions).
   *
-  * The container has no media codecs, so the decode step is a
-  * clearly-marked deterministic STUB (byte histogram standing in for
-  * pixel decoding); everything around it — binary columns, metadata
-  * struct, partition-preserving mapPartitions batch shape, fixed
-  * feature dim, explode-based frame sampling — is the real Spark
-  * plumbing a production decoder would drop into.
+  * The decode step is REAL: payloads are wrapped as uncompressed
+  * binary P6 PPM images (`ppmTable`), and `parsePpm` is a genuine
+  * format parser — ASCII header (magic, dims, maxval) + raw RGB
+  * raster — needing no codec libraries. A production pipeline swaps
+  * `parsePpm` for a JPEG/PCM codec call; every other piece — binary
+  * columns, metadata struct, partition-preserving mapPartitions
+  * batch shape, fixed feature dim, explode-based frame sampling —
+  * is unchanged. Per-pixel channel stats over the decoded raster are
+  * a declared oracle query (`media_decode`).
   *
   * Scale shape: decode/feature-extract are narrow (no shuffle,
   * per-partition batches); only the tiny feature vectors ever reach a
@@ -43,29 +46,77 @@ object MultimodalOps extends OpModule {
       encode(col("text"), "UTF-8").as("content"),
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB DECODER — replace with a real codec (JPEG/PCM/...) in
-    * production. Deterministic: 16-bin byte histogram, L1-normalized.
-    * Takes the whole partition iterator so a real implementation can
-    * amortize codec init across the batch (the mapInPandas shape). */
-  def decodeStub(content: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < content.length) {
-      hist(((content(i) & 0xff) * FeatureDim) >> 8) += 1f
-      i += 1
+  /** 8×8 RGB PPM geometry: 192 raster bytes per image. */
+  val PpmW = 8
+  val PpmH = 8
+
+  /** Media table with every payload wrapped as a REAL binary image:
+    * a P6 PPM whose 8×8 RGB raster is the first 192 payload bytes,
+    * zero-padded. Built with Spark binary expressions so the payload
+    * is an ordinary binary column in the plan; uncompressed, so it
+    * decodes pure-JVM (no codec libs) and DuckDB can recompute
+    * per-pixel stats from the same source text via ord/substr
+    * arithmetic (the `media_decode` oracle). */
+  def ppmTable(s: SparkSession, d: String): DataFrame = {
+    val raster = PpmW * PpmH * 3
+    val header = lit(s"P6\n$PpmW $PpmH\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    mediaTable(s, d)
+      .withColumn("content",
+        concat(header,
+          rpad(substring(col("content"), 1, raster), raster,
+            Array[Byte](0))))
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+  }
+
+  /** REAL format decoder: parses a binary P6 PPM — whitespace-
+    * delimited ASCII header (magic "P6", width, height, maxval),
+    * then the raw RGB raster. Returns (width, height, raster).
+    * The uncompressed-format analog of the JPEG/PCM codec call a
+    * production pipeline makes at this exact point. */
+  def parsePpm(content: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def token(): String = {
+      while (pos < content.length &&
+        Character.isWhitespace(content(pos).toChar)) pos += 1
+      val start = pos
+      while (pos < content.length &&
+        !Character.isWhitespace(content(pos).toChar)) pos += 1
+      new String(content, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
     }
-    val n = math.max(1, content.length).toFloat
-    hist.map(_ / n)
+    val magic = token()
+    require(magic == "P6", s"not a binary PPM (P6): '$magic'")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(w > 0 && h > 0 && maxval == 255,
+      s"unsupported PPM geometry ${w}x$h maxval=$maxval")
+    pos += 1 // exactly one whitespace byte separates header and raster
+    require(content.length - pos >= w * h * 3,
+      s"truncated raster: ${content.length - pos} < ${w * h * 3}")
+    (w, h, java.util.Arrays.copyOfRange(content, pos, pos + w * h * 3))
   }
 
   /** Batch decode: partition-preserving (no shuffle), codec init once
-    * per partition, fixed output dim. */
+    * per partition, fixed output dim. Features = 16-bin histogram of
+    * DECODED pixel values, L1-normalized. Input rows must carry PPM
+    * payloads (`ppmTable`). */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: initialize the codec ONCE here, then stream rows
-      rows.map(r => MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
-        decodeStub(r.content)))
+      rows.map { r =>
+        val (_, _, px) = parsePpm(r.content)
+        val hist = new Array[Float](FeatureDim)
+        var i = 0
+        while (i < px.length) {
+          hist(((px(i) & 0xff) * FeatureDim) >> 8) += 1f
+          i += 1
+        }
+        val n = math.max(1, px.length).toFloat
+        MediaFeatures(r.doc_id, r.media_type, r.n_bytes, hist.map(_ / n))
+      }
     }
   }
 
@@ -176,5 +227,56 @@ object MultimodalOps extends OpModule {
       GROUP BY frame_md5
       HAVING COUNT(DISTINCT doc_id) > 1"""))
 
-  override def ops: Seq[Op] = Seq(mediaMeta, mediaStats, mediaDedup)
+  /** Declared query: REAL image decode + per-pixel channel stats —
+    * every payload wrapped as a binary P6 PPM (`ppmTable`), parsed by
+    * the genuine format decoder (`parsePpm`), per-channel byte sums
+    * computed from the decoded raster. The oracle recomputes the same
+    * sums from the source text with ord/substr arithmetic (exact:
+    * integer sums of integer bytes; 1 char = 1 byte asserted by the
+    * ASCII-fixture test). Decode is narrow (mapPartitions, no
+    * shuffle); only (doc_id, 5 ints) ever leaves the decode stage —
+    * at 100 TB the raster bytes never reach a shuffle. */
+  val mediaDecode = Op(
+    "media_decode",
+    (s, d) => {
+      import s.implicits._
+      ppmTable(s, d)
+        .select(col("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // codec init would happen once per partition here
+          it.map { case (id, bytes) =>
+            val (w, h, px) = parsePpm(bytes)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < w * h) {
+              sr += px(3 * i) & 0xff
+              sg += px(3 * i + 1) & 0xff
+              sb += px(3 * i + 2) & 0xff
+              i += 1
+            }
+            (id, w, h, sr, sg, sb)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id, off,
+               CASE WHEN off < n_chars
+                    THEN ord(substr(text, CAST(off + 1 AS INT), 1))
+                    ELSE 0 END AS b
+        FROM documents,
+             UNNEST(generate_series(0, 191)) AS u(off))
+      SELECT doc_id, 8 AS width, 8 AS height,
+             CAST(SUM(CASE WHEN off % 3 = 0 THEN b ELSE 0 END)
+               AS BIGINT) AS sum_r,
+             CAST(SUM(CASE WHEN off % 3 = 1 THEN b ELSE 0 END)
+               AS BIGINT) AS sum_g,
+             CAST(SUM(CASE WHEN off % 3 = 2 THEN b ELSE 0 END)
+               AS BIGINT) AS sum_b
+      FROM px GROUP BY doc_id"""))
+
+  override def ops: Seq[Op] =
+    Seq(mediaMeta, mediaStats, mediaDedup, mediaDecode)
 }

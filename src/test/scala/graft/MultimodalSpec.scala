@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing tests: binary columns survive the pipeline,
-  * the stub decoder is deterministic with fixed dim and L1 norm,
-  * decoding is partition-preserving (no shuffle), pooling and frame
-  * sampling have the right shapes.
+  * the PPM parser decodes the real binary format (and rejects
+  * malformed payloads), feature decode is deterministic with fixed
+  * dim and L1 norm and partition-preserving (no shuffle), pooling
+  * and frame sampling have the right shapes.
   */
 class MultimodalSpec extends AnyFunSuite {
   import SparkFixture._
 
   private lazy val media = MultimodalOps.mediaTable(spark, sfDir)
+  private lazy val ppm = MultimodalOps.ppmTable(spark, sfDir)
 
   test("media table: binary content with consistent metadata") {
     val rows = media.collect()
@@ -24,12 +26,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("parsePpm decodes the real binary format (round-trip)") {
+    // hand-built 2x1 P6 image: the parser must read geometry from the
+    // header, not assume it, and return the raster byte-exact
+    val raster = Array[Byte](10, 20, 30, -1, 0, 127)
+    val img = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ raster
+    val (w, h, px) = MultimodalOps.parsePpm(img)
+    assert(w == 2 && h == 1)
+    assert(px.sameElements(raster))
+    // malformed payloads must fail loudly, not decode garbage
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parsePpm("P5\n2 1\n255\nxxxxxx".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parsePpm("P6\n4 4\n255\nshort".getBytes("US-ASCII"))
+    }
+  }
+
   test("decodeFeatures: fixed dim, L1-normalized, deterministic") {
     import spark.implicits._
-    val ds = media.as[MultimodalOps.MediaRow]
+    val ds = ppm.as[MultimodalOps.MediaRow]
     val f1 = MultimodalOps.decodeFeatures(ds).collect().sortBy(_.doc_id)
     val f2 = MultimodalOps.decodeFeatures(ds).collect().sortBy(_.doc_id)
-    assert(f1.length == media.count())
+    assert(f1.length == ppm.count())
     f1.foreach { f =>
       assert(f.features.length == MultimodalOps.FeatureDim)
       assert(math.abs(f.features.map(_.toDouble).sum - 1.0) < 1e-4)
@@ -40,7 +59,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("decodeFeatures adds no shuffle (narrow plan)") {
     import spark.implicits._
-    val ds = media.repartition(4).as[MultimodalOps.MediaRow]
+    val ds = ppm.repartition(4).as[MultimodalOps.MediaRow]
     val decoded = MultimodalOps.decodeFeatures(ds)
     decoded.collect()
     val plan = decoded.queryExecution.executedPlan.toString
@@ -51,7 +70,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("pool: averages groups of adjacent bins") {
     import spark.implicits._
-    val ds = media.as[MultimodalOps.MediaRow]
+    val ds = ppm.as[MultimodalOps.MediaRow]
     val feats = MultimodalOps.decodeFeatures(ds).toDF()
     val pooled = MultimodalOps.pool(feats, 4).collect()
     pooled.foreach { r =>
@@ -86,10 +105,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("features survive a relational join + groupBy") {
     import spark.implicits._
     val feats = MultimodalOps
-      .decodeFeatures(media.as[MultimodalOps.MediaRow]).toDF()
+      .decodeFeatures(ppm.as[MultimodalOps.MediaRow]).toDF()
     val joined = feats.join(Tables(spark, sfDir, "documents"), "doc_id")
       .groupBy("media_type", "lang").agg(count(lit(1)).as("n"))
-    assert(joined.collect().map(_.getLong(2)).sum == media.count())
+    assert(joined.collect().map(_.getLong(2)).sum == ppm.count())
   }
 
   test("documents fixture is ASCII (media_dedup byte/char frame parity)") {
