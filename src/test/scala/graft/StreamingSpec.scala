@@ -195,6 +195,72 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("RocksDB transformWithState holds user-sized state over an sf1 replay") {
+    // the 100 TB streaming claim, executed: replay the synthesized
+    // sf1 events (1M rows, ~15k users) through the RocksDB-backed
+    // transformWithState sessionization in time-ordered chunks and
+    // assert from StreamingQueryProgress that state is ∝ ACTIVE USERS
+    // (open sessions + their timers), never ∝ events seen — the
+    // property that lets the operator run forever on an unbounded
+    // stream. Cancels (not fails) when the sf1 artifact is absent.
+    import spark.implicits._
+    val sf1 = "/tmp/sf1"
+    assume(new java.io.File(s"$sf1/events.parquet").exists(),
+      "synthesized sf1 fixture not present (tools/make_sf.py)")
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Tables.events(spark, sf1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .collect().map { r =>
+          Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+            r.getDouble(4))
+        }.sortBy(e => (e.ts.getTime, e.event_id))
+      val nUsers = evs.map(_.user_id).distinct.length
+      val in = MemoryStream[Ev](11, spark, None)
+      val query = StreamOps.sessionizeTws(in.toDS()).writeStream
+        .format("memory").queryName("t_tws_sf1")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", freshDir()).start()
+      // 4 time-ordered chunks: sessions must survive chunk boundaries
+      // in state, and the watermark only ever moves forward
+      val chunk = (evs.length + 3) / 4
+      var maxState = 0L
+      evs.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq)
+        query.processAllAvailable()
+        val st = query.lastProgress.stateOperators
+        if (st.nonEmpty) maxState = math.max(maxState, st(0).numRowsTotal)
+      }
+      // close everything still open with a far-future sentinel
+      in.addData(Ev(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0))
+      query.processAllAvailable()
+      query.stop()
+      // state scaled with users, not with the 1M replayed events:
+      // ≤ 2 rows per user (session value + pending timer)
+      assert(maxState > 0, "no state operator progress reported")
+      assert(maxState <= 2L * nUsers,
+        s"state rows $maxState exceed 2x the $nUsers active users")
+      assert(maxState < evs.length / 10L,
+        s"state rows $maxState scale with events (${evs.length}), not users")
+      // and the emitted sessions are the batch answer, at sf1 scale
+      val gotN = spark.table("t_tws_sf1")
+        .filter(col("user_id") =!= -1L).count()
+      val batchN = SparkEntry.queries("sessionize")(spark, sf1).count()
+      assert(gotN == batchN,
+        s"streamed sessions $gotN != batch sessions $batchN at sf1")
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join enriches events with a dimension") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
