@@ -825,9 +825,90 @@ object FlowOps extends OpModule {
       SELECT report_day, COALESCE(n, 0) AS wau
       FROM cal LEFT JOIN counts USING (report_day)"""))
 
+  /** Linear (equal-split) multi-touch attribution — the GA model
+    * between `first_touch` and last-touch: every click/view touch
+    * that precedes a purchase by the same user shares that purchase's
+    * revenue equally; purchases with no prior touch credit a 'direct'
+    * bucket (-1). The split is EXACT integer arithmetic: each touch
+    * gets cents div n, and the first (cents mod n) touches in hit
+    * order get one extra cent — revenue conserves to the cent and no
+    * engine ever divides a double (the production-grade way to split
+    * money; SURVEY §2 determinism rule 3).
+    *
+    * Scale: one user_id equi-join (pair count bounded by per-user
+    * activity — a real deployment adds a lookback window, same
+    * shape), one purchase-keyed window, then a campaign-sized rollup.
+    * Nothing global, nothing all-pairs. */
+  val attributionLinear = Op(
+    "attribution_linear",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+      val touches = ev
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"),
+          (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .as("campaign"),
+          col("us").as("t_us"), col("event_id").as("t_id"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("p_id"), col("us").as("p_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val paired = purchases.join(touches,
+        col("p_user") === col("t_user") && col("t_us") < col("p_us"),
+        "left")
+      val wP = Window.partitionBy(col("p_id"))
+      paired
+        .withColumn("n", count(lit(1)).over(wP))
+        .withColumn("rn", row_number().over(
+          wP.orderBy(col("t_us").asc_nulls_first,
+            col("t_id").asc_nulls_first)))
+        // no-touch purchases ride the same formula: the left join
+        // leaves one row with n=1, rn=1 → credit = cents
+        .withColumn("credit",
+          expr("cents div n") +
+            when(col("rn") <= col("cents") % col("n"), 1L).otherwise(0L))
+        .withColumn("campaign", coalesce(col("campaign"), lit(-1)))
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_credits"),
+          round(sum(col("credit")) / 100.0, 2).as("revenue"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(json_extract_string(props, '$.k') AS INT) % 5
+                 AS campaign
+        FROM events),
+      t AS (
+        SELECT user_id AS t_user, campaign, us AS t_us,
+               event_id AS t_id
+        FROM ev WHERE event_type IN ('click', 'view')),
+      p AS (
+        SELECT user_id AS p_user, event_id AS p_id, us AS p_us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM ev WHERE event_type = 'purchase'),
+      paired AS (
+        SELECT p.p_id, p.cents, t.campaign, t.t_us, t.t_id
+        FROM p LEFT JOIN t
+          ON p.p_user = t.t_user AND t.t_us < p.p_us),
+      credited AS (
+        SELECT COALESCE(campaign, -1) AS campaign,
+               cents // COUNT(*) OVER (PARTITION BY p_id)
+                 + CASE WHEN ROW_NUMBER() OVER (PARTITION BY p_id
+                          ORDER BY t_us ASC NULLS FIRST,
+                                   t_id ASC NULLS FIRST)
+                        <= cents % COUNT(*) OVER (PARTITION BY p_id)
+                   THEN 1 ELSE 0 END AS credit
+        FROM paired)
+      SELECT campaign, COUNT(*) AS n_credits,
+             ROUND(SUM(credit) / 100.0, 2) AS revenue
+      FROM credited GROUP BY campaign"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
       markovTransitions, firstTouch, conversionLag, trendSlope,
-      seasonalityDow, funnelSteps, rollingWau)
+      seasonalityDow, funnelSteps, rollingWau, attributionLinear)
 }

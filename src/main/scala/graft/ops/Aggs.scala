@@ -662,10 +662,47 @@ object Aggs extends OpModule {
             FROM lineitem GROUP BY l_orderkey)
       GROUP BY n_lines"""))
 
+  /** Key-skew diagnostics — the profiling pass that DECIDES when the
+    * salting/AQE machinery (`agg_salted`, `join_salted`) is needed:
+    * per event_type, the distribution of per-user group sizes
+    * (distinct keys, max, exact median, total) plus the hot-key share
+    * in basis points. Two map-side-combinable aggregations — sizes
+    * collapse to one row per (type, user) before the only data-sized
+    * shuffle; the second agg is output-sized. All-integer output
+    * (median of integer sizes at q=0.5 is dyadic-exact; share uses
+    * integer div), so cross-engine parity is exact at any SF. */
+  val keySkew = Op(
+    "key_skew",
+    (s, d) => {
+      val sizes = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("sz"))
+      sizes
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          max(col("sz")).as("max_sz"),
+          percentile(col("sz"), lit(0.5)).as("med_sz"),
+          sum(col("sz")).as("total"))
+        .withColumn("hot_share_bp",
+          expr("max_sz * 10000 div total"))
+    },
+    Some("""
+      WITH sizes AS (
+        SELECT event_type, user_id, COUNT(*) AS sz
+        FROM events GROUP BY event_type, user_id)
+      SELECT event_type,
+             COUNT(*) AS n_keys,
+             MAX(sz) AS max_sz,
+             quantile_cont(sz, 0.5) AS med_sz,
+             CAST(SUM(sz) AS BIGINT) AS total,
+             CAST(MAX(sz) * 10000 // SUM(sz) AS BIGINT) AS hot_share_bp
+      FROM sizes GROUP BY event_type"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
       quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact,
       winsorize, giniConcentration, valueHistogram, madOutliers,
-      orderLinesHist)
+      orderLinesHist, keySkew)
 }

@@ -157,6 +157,76 @@ object SourceOps extends OpModule {
              ROUND(SUM(cents) / 100.0, 2) AS total_value
       FROM merged GROUP BY action"""))
 
+  /** part -> ORC -> explicit-schema read. Third columnar format after
+    * parquet (infra) and csv/json (textual): ORC ships in Spark's
+    * default distribution and round-trips int64/string/double
+    * losslessly. The oracle reads the ORIGINAL parquet — hash equality
+    * proves the ORC write+read lost nothing (DuckDB never touches the
+    * ORC file itself). */
+  val orcRoundtrip = Op(
+    "orc_roundtrip",
+    (s, d) => {
+      val path = tmp("orc", d)
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+        .write.mode("overwrite").orc(path)
+      s.read
+        .schema("p_partkey BIGINT, p_name STRING, p_brand STRING, " +
+          "p_retailprice DOUBLE")
+        .orc(path)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+    },
+    Some("SELECT p_partkey, p_name, p_brand, p_retailprice FROM part"))
+
+  /** Co-located join via bucketed tables — the 100 TB join primitive
+    * when NEITHER side fits in a broadcast: both sides are written
+    * `bucketBy(8, custkey)` + `sortBy`, so the scans come up already
+    * hash-partitioned on the join key and the merge join (and the
+    * per-customer aggregate above it, whose grouping keys contain the
+    * bucket key) runs with ZERO shuffle exchanges — at 100 TB that is
+    * the entire join input never crossing the network. Plan-asserted
+    * exchange-free in PlanShapeSpec. Integer-cent sums for exact
+    * cross-engine totals; the oracle computes the same join+rollup
+    * from the original parquet (bucketing changes data movement,
+    * never results). */
+  val bucketJoin = Op(
+    "bucket_join",
+    (s, d) => {
+      val path = tmp("bucket", d)
+      val tag = Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid()
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$path/orders")
+        .saveAsTable(s"graft_bkt_${tag}_orders")
+      Tables(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$path/customer")
+        .saveAsTable(s"graft_bkt_${tag}_customer")
+      val c = s.table(s"graft_bkt_${tag}_customer")
+      val o = s.table(s"graft_bkt_${tag}_orders")
+      // merge hint: at real scale neither side broadcasts; the hint
+      // keeps the local plan on the same SMJ path the cluster would use
+      c.hint("merge").join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("price_cents")) / 100.0, 2).as("total_price"))
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment, COUNT(*) AS n_orders,
+             ROUND(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) / 100.0,
+                   2) AS total_price
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment"""))
+
   override def ops: Seq[Op] =
-    Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned)
+    Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
+      orcRoundtrip, bucketJoin)
 }

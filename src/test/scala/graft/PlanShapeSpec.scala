@@ -295,6 +295,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan.take(800))
   }
 
+  test("bucket_join runs join AND aggregate with zero shuffle exchanges") {
+    // the point of bucketing: both scans come up hash-partitioned on
+    // the join key, so neither the merge join nor the custkey-keyed
+    // aggregate above it moves a single row between partitions — at
+    // 100 TB that is the whole join input never crossing the network
+    val plan = executedPlan(q("bucket_join"))
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n${plan.take(1500)}")
+    // bucket pruning metadata must be on both scans
+    assert(plan.linesIterator.count(_.contains("SelectedBucketsCount")) >= 2
+      || plan.linesIterator.count(_.contains("Bucketed: true")) >= 2,
+      s"scans not bucketed:\n${plan.take(1500)}")
+  }
+
   test("codegen on/off produce identical pricing_agg results") {
     val on = q("pricing_agg").collect().map(_.toString).sorted
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
