@@ -500,7 +500,104 @@ object GaOps extends OpModule {
       FROM grid g LEFT JOIN daily d
         ON g.day = d.day AND g.event_type = d.event_type"""))
 
+  /** New-vs-returning users per day (the GA audience overview): a
+    * user is NEW on their first-ever active day, RETURNING on every
+    * later active day. (user, day) activity rollup → per-user first
+    * day (window over the already-user-partitioned rollup — no second
+    * exchange) → daily counts. All-integer output; one user_id
+    * shuffle + an output-sized day rollup, same scale shape as
+    * `sessionize`. */
+  val newVsReturning = Op(
+    "new_vs_returning",
+    (s, d) => {
+      val active = ev(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      active
+        .withColumn("first_day",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("n_returning"),
+          count(lit(1)).as("n_active"))
+    },
+    Some("""
+      WITH active AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      tagged AS (
+        SELECT day,
+               MIN(day) OVER (PARTITION BY user_id) AS first_day
+        FROM active)
+      SELECT day,
+             CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new,
+             CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_returning,
+             COUNT(*) AS n_active
+      FROM tagged GROUP BY day"""))
+
+  /** Bounce rate per session-start day (GA behavior overview): share
+    * of sessions with exactly one hit. Reuses the gap-sessionization
+    * chain, rolls sessions up to their start day, and reports the
+    * bounce share in integer basis points (no double division) —
+    * exact at any SF. */
+  val bounceRate = Op(
+    "bounce_rate",
+    (s, d) => {
+      val sessions = ev(s, d)
+        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(
+            perUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+      sessions
+        .groupBy(to_date(timestamp_micros(col("start_us"))).as("day"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounced"))
+        .withColumn("bounce_bp",
+          expr("n_bounced * 10000 div n_sessions"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, sid, COUNT(*) AS n_events, MIN(us) AS start_us
+        FROM sess GROUP BY user_id, sid)
+      SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+             COUNT(*) AS n_sessions,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounced,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+               // COUNT(*) AS BIGINT) AS bounce_bp
+      FROM sessions GROUP BY 1"""))
+
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
     cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
-    gaSessions, sessionMetrics, pageTopk, cdcLatest, resampleDaily)
+    gaSessions, sessionMetrics, pageTopk, cdcLatest, resampleDaily,
+    newVsReturning, bounceRate)
 }

@@ -86,6 +86,28 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(diff == 0, "bucketed result diverges from plain join")
   }
 
+  test("new_vs_returning conserves users and activity") {
+    val out = q("new_vs_returning")
+    val totNew = out.agg(sum(col("n_new"))).first().getLong(0)
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    // every user is new exactly once
+    assert(totNew == nUsers, s"$totNew new != $nUsers users")
+    val totActive = out.agg(sum(col("n_active"))).first().getLong(0)
+    val userDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(totActive == userDays)
+  }
+
+  test("bounce_rate sessions reconcile with sessionize") {
+    val out = q("bounce_rate")
+    val sessions = out.agg(sum(col("n_sessions"))).first().getLong(0)
+    assert(sessions == q("sessionize").count())
+    val bounced = out.agg(sum(col("n_bounced"))).first().getLong(0)
+    assert(bounced ==
+      q("sessionize").filter(col("n_events") === 1).count())
+  }
+
   test("orc_roundtrip loses nothing vs the source projection") {
     val src = Tables(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
