@@ -502,20 +502,22 @@ object GaOps extends OpModule {
 
   /** New-vs-returning users per day (the GA audience overview): a
     * user is NEW on their first-ever active day, RETURNING on every
-    * later active day. (user, day) activity rollup → per-user first
-    * day (window over the already-user-partitioned rollup — no second
-    * exchange) → daily counts. All-integer output; one user_id
-    * shuffle + an output-sized day rollup, same scale shape as
-    * `sessionize`. */
+    * later active day. ONE user_id exchange: collect_set(day)
+    * aggregates partially map-side (per-user state bounded by the
+    * calendar), the sorted set's head is the first day, and the
+    * exploded (day, is-new) pairs roll up to an output-sized daily
+    * count. A (user, day) groupBy + user window would shuffle twice —
+    * (user_id, day) hash partitioning does not satisfy a user-only
+    * window. All-integer output. */
   val newVsReturning = Op(
     "new_vs_returning",
     (s, d) => {
-      val active = ev(s, d)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"))
-      active
-        .withColumn("first_day",
-          min(col("day")).over(Window.partitionBy(col("user_id"))))
+      val perUser = ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(to_date(col("ts")))).as("days"))
+        .select(col("user_id"), explode(col("days")).as("day"),
+          element_at(col("days"), 1).as("first_day"))
+      perUser
         .groupBy(col("day"))
         .agg(
           sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
