@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -8,13 +7,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * `withGlobalRank` materializes each row's exact 1-based global rank
   * under a total order WITHOUT a single-partition sort: range-partition
-  * on the sort key (each reducer owns a contiguous key range), rank
-  * locally with a per-partition window, then add the cumulative row
-  * counts of all preceding partitions — a ≤#shuffle-partitions-row
-  * offsets table broadcast back onto the data. The only global window
-  * in the resulting plan runs over that offsets table, whose row count
-  * is bounded by cluster configuration (32 here, ~thousands on a real
-  * cluster), never by data volume.
+  * on the sort key (each reducer owns a contiguous key range), sort
+  * within partitions, then `zipWithIndex` — whose per-partition count
+  * pass and final pass read the same materialized shuffle stage, so
+  * every row gets start-offset-of-partition + local position. All
+  * stages are parallel; nothing single-partition, nothing data-sized
+  * on the driver (the counts array is ≤#partitions longs).
   *
   * `ntileFromRank` then reproduces SQL NTILE(k) bit-exactly as a pure
   * closed-form function of (rank, n): the first n%k buckets take
@@ -27,30 +25,35 @@ object Ranks {
 
   /** Adds `rankCol` = exact global 1-based rank of each row under
     * `sortCols` (which must form a total order — include a unique
-    * tie-break column). One range shuffle + one per-partition window;
-    * no data-sized single-partition stage anywhere in the plan.
-    */
+    * tie-break column). One range shuffle + per-partition sort, then
+    * `zipWithIndex` assigns global offsets; no data-sized
+    * single-partition stage anywhere.
+    *
+    * Why RDD zipWithIndex and not a __pid offsets self-join: the
+    * offsets approach evaluates the range-shuffled branch TWICE (once
+    * for the per-partition counts, once as the join's data side), and
+    * the two evaluations may disagree on partition layout (AQE
+    * coalescing + range-bound resampling are per-evaluation), silently
+    * dropping rows on the inner __pid join — observed nondeterministic
+    * row loss at sf1 (r6). zipWithIndex's count job and the final pass
+    * both read the SAME materialized shuffle stage (DAGScheduler
+    * reuses shuffle map output across jobs) with a deterministic
+    * within-partition total-order sort, so offsets and data can never
+    * diverge. */
   def withGlobalRank(df: DataFrame, rankCol: String,
       sortCols: Column*): DataFrame = {
-    val parted = df
+    val spark = df.sparkSession
+    val sorted = df
       .repartitionByRange(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val lw = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    val local = parted
-      .withColumn("__lrank", row_number().over(lw).cast("long"))
-    // Cumulative start offset of each range partition. The global
-    // window here is over ≤#shuffle-partitions rows — config-bounded,
-    // not data-bounded (whitelisted in PlanShapeSpec's global-window
-    // sweep for exactly that reason).
-    val ow = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(ow), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(rankCol, col("__off") + col("__lrank"))
-      .drop("__pid", "__lrank", "__off")
+      .sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
   }
 
   /** Exact integer division for non-negative long columns (numerator

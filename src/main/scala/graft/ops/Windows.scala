@@ -325,9 +325,9 @@ object Windows extends OpModule {
     * exact operands.
     *
     * Scale posture: NTILE is computed WITHOUT a global window — the
-    * rollup is range-partitioned on the sort key, ranked per
-    * partition, and the exact global rank recovered by adding
-    * broadcast per-partition offsets (`Ranks.withGlobalRank`); the
+    * rollup is range-partitioned on the sort key, sorted per
+    * partition, and the exact global rank assigned by zipWithIndex
+    * over the one materialized shuffle (`Ranks.withGlobalRank`); the
     * decile is then a closed-form function of (rank, n) that matches
     * the oracle's NTILE bit-exactly (`Ranks.ntileFromRank`). At
     * 100 TB / 100M customers every stage stays parallel: the only

@@ -276,7 +276,7 @@ object TextOps extends OpModule {
     * Scale shape: the count is the usual explode + map-side-combined
     * groupBy (vocabulary-sized shuffle); the dense-id assignment is a
     * distributed exact rank (`Ranks.withGlobalRank`: range-partition
-    * + per-partition row_number + broadcast offsets) — a web-corpus
+    * + in-partition sort + zipWithIndex) — a web-corpus
     * vocabulary can be tens of millions of tokens, too big to bet on
     * a single-partition window. */
   val vocabBuild = Op(
