@@ -20,9 +20,19 @@ object Aggs extends OpModule {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // l_quantity is integer-valued: its double sum is exact at
+          // any size, so sum/avg round identically on both engines.
+          // The PRICE sums are 2/4-dp doubles whose accumulation is
+          // order-dependent — at sf10 a 10M-row cell lands on a .xx5
+          // boundary and the engines round apart; summing exact
+          // integer cent/sub-cent units removes the order dependence
+          // (the int→double conversion before the divide is the same
+          // nearest-double on both sides).
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          round(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            / 100.0, 2).as("sum_base_price"),
+          round(sum(floor(col("l_extendedprice") * (lit(1.0) -
+            col("l_discount")) * 10000).cast("long")) / 10000.0, 2)
             .as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(min(col("l_extendedprice")), 2).as("min_price"),
@@ -31,8 +41,10 @@ object Aggs extends OpModule {
     Some("""
       SELECT l_returnflag, l_linestatus,
              ROUND(SUM(l_quantity), 2) AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             ROUND(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+               / 100.0, 2) AS sum_base_price,
+             ROUND(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+               * 10000) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
              ROUND(AVG(l_quantity), 4) AS avg_qty,
              ROUND(MIN(l_extendedprice), 2) AS min_price,
              ROUND(MAX(l_extendedprice), 2) AS max_price,
@@ -70,14 +82,18 @@ object Aggs extends OpModule {
         .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("o_totalprice")), 2).as("total"),
+          // exact integer cents: the grand-total cell sums EVERY
+          // order — at sf10 a raw double sum flips a .xx5 boundary
+          round(sum(floor(col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2).as("total"),
           count(lit(1)).as("n_orders"),
           grouping(col("r_name")).cast("int").as("g_r"),
           grouping(col("n_name")).cast("int").as("g_n"))
     },
     Some("""
       SELECT r_name, n_name,
-             ROUND(SUM(o_totalprice), 2) AS total,
+             ROUND(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS total,
              COUNT(*) AS n_orders,
              CAST(GROUPING(r_name) AS INT) AS g_r,
              CAST(GROUPING(n_name) AS INT) AS g_n
@@ -255,13 +271,17 @@ object Aggs extends OpModule {
         .cube(col("c_mktsegment"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"),
+          // exact integer cents: the cube's grand total sums every
+          // order (same sf10 boundary hazard as agg_grouping_sets)
+          round(sum(floor(col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2).as("total"),
           grouping(col("c_mktsegment")).cast("int").as("g_seg"),
           grouping(col("o_orderstatus")).cast("int").as("g_st"))
     },
     Some("""
       SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
-             ROUND(SUM(o_totalprice), 2) AS total,
+             ROUND(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS total,
              CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
              CAST(GROUPING(o_orderstatus) AS INT) AS g_st
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -366,14 +386,19 @@ object Aggs extends OpModule {
         .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name"))),
           col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("o_totalprice")), 2).as("total"),
+          // exact integer cents — the observed sf10 flip: ASIA's
+          // 2.9M-order cell summed to ...945.995, Spark rounded .0,
+          // DuckDB .99 (order-dependent double accumulation)
+          round(sum(floor(col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2).as("total"),
           count(lit(1)).as("n_orders"),
           grouping(col("r_name")).cast("int").as("g_r"),
           grouping(col("n_name")).cast("int").as("g_n"))
     },
     Some("""
       SELECT r_name, n_name,
-             ROUND(SUM(o_totalprice), 2) AS total,
+             ROUND(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS total,
              COUNT(*) AS n_orders,
              CAST(GROUPING(r_name) AS INT) AS g_r,
              CAST(GROUPING(n_name) AS INT) AS g_n

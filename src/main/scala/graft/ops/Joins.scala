@@ -48,11 +48,15 @@ object Joins extends OpModule {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          // exact integer cents: 240k+ orders per (region, nation)
+          // cell at sf10 — raw double sums are order-dependent there
+          round(sum(floor(col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2).as("total"))
     },
     Some("""
       SELECT r_name, n_name, COUNT(*) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS total
+             ROUND(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS total
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
