@@ -62,6 +62,52 @@ def main(sf_dir, out_dir, json_out=None, skip=()):
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            n_big = con.sql(
+                f"SELECT COUNT(*) FROM read_parquet("
+                f"'{out_dir}/{name}/*.parquet')").fetchone()[0]
+            if n_big > 2_000_000:
+                # Multi-million-row keys: Python canon() would
+                # materialize/sort tens of GB. Exact multiset equality
+                # entirely inside DuckDB instead: same column order
+                # (sorted by name), EXCEPT ALL in both directions must
+                # be empty. Strictly stronger than the value walk
+                # (bag equality, not just pairwise) and float-exact
+                # (DuckDB set ops use IS NOT DISTINCT semantics).
+                cols = ", ".join(f'"{c}"' for c in sorted(spark_rel.columns))
+                o_probe = con.sql(sql)
+                if sorted(o_probe.columns) != sorted(spark_rel.columns):
+                    print(f"FAIL {name}: columns "
+                          f"{sorted(spark_rel.columns)} != "
+                          f"{sorted(o_probe.columns)}")
+                    report[name] = {"pass": False, "err": "columns"}
+                    n_fail += 1
+                    continue
+                n_oracle = con.sql(
+                    f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+                if n_oracle != n_big:
+                    print(f"FAIL {name}: rows {n_big} != {n_oracle}")
+                    report[name] = {"pass": False, "err": "rows"}
+                    n_fail += 1
+                    continue
+                n_diff = con.sql(f"""
+                    SELECT COUNT(*) FROM (
+                      (SELECT {cols} FROM read_parquet(
+                         '{out_dir}/{name}/*.parquet')
+                       EXCEPT ALL SELECT {cols} FROM ({sql}))
+                      UNION ALL
+                      (SELECT {cols} FROM ({sql})
+                       EXCEPT ALL SELECT {cols} FROM read_parquet(
+                         '{out_dir}/{name}/*.parquet')))""").fetchone()[0]
+                if n_diff:
+                    print(f"FAIL {name}: {n_diff} multiset-diff rows "
+                          f"of {n_big}")
+                    report[name] = {"pass": False, "err": "values"}
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({n_big} rows, in-db multiset)")
+                    report[name] = {"pass": True, "rows": n_big}
+                    n_pass += 1
+                continue
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             o_rel = con.sql(sql)
             # HUGEINT survives fetchall() as a plain int (so the value
