@@ -98,8 +98,12 @@ object Generators extends OpModule {
       Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
+          // quantity is integer-valued (exact double sum); the price
+          // sums exact integer cents — 12M-row cells at sf10 flip a
+          // raw double sum's rounding boundary
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            / 100.0, 2).as("sum_price"),
           count(lit(1)).cast("double").as("n_rows"))
         .unpivot(
           Array(col("l_returnflag")),
@@ -109,7 +113,8 @@ object Generators extends OpModule {
       WITH wide AS (
         SELECT l_returnflag,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                 / 100.0, 2) AS sum_price,
                CAST(COUNT(*) AS DOUBLE) AS n_rows
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide

@@ -25,12 +25,16 @@ object Joins extends OpModule {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          // exact sub-cent units: 12M-row cells at sf10 flip a raw
+          // double sum's rounding boundary (same class as pricing_agg)
+          round(sum(floor(col("l_extendedprice") * (lit(1.0) -
+            col("l_discount")) * 10000).cast("long")) / 10000.0, 2)
             .as("revenue"))
     },
     Some("""
       SELECT o_orderpriority, COUNT(*) AS n_items,
-             ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             ROUND(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+               * 10000) AS BIGINT)) / 10000.0, 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
@@ -125,11 +129,14 @@ object Joins extends OpModule {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          // exact integer cents: 10M-row cells at sf10 (see pricing_agg)
+          round(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            / 100.0, 2).as("sum_price"))
     },
     Some("""
       SELECT l_returnflag, COUNT(*) AS n_items,
-             ROUND(SUM(l_extendedprice), 2) AS sum_price
+             ROUND(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+               / 100.0, 2) AS sum_price
       FROM lineitem JOIN orders
         ON l_orderkey = o_orderkey
        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -426,11 +433,14 @@ object Joins extends OpModule {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          // exact integer cents: 12M-row cells at sf10 (see pricing_agg)
+          round(sum(floor(col("l_extendedprice") * 100).cast("long"))
+            / 100.0, 2).as("sum_price"))
     },
     Some("""
       SELECT o_orderpriority, COUNT(*) AS n_lines,
-             ROUND(SUM(l_extendedprice), 2) AS sum_price
+             ROUND(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+               / 100.0, 2) AS sum_price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 

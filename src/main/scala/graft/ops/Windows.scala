@@ -76,23 +76,34 @@ object Windows extends OpModule {
   val windowFrame = Op(
     "window_frame",
     (s, d) => {
+      // exact integer cents end-to-end: the daily sum is exact at any
+      // cell size, and the 7-day moving average divides the exact
+      // windowed cent sum by the exact count in the same association
+      // order on both engines — no order-dependent double accumulation
       val daily = Tables(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
       val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
       daily
-        .withColumn("ma7", round(avg(col("rev")).over(w), 4))
-        .select(col("day"), col("rev"), col("ma7"))
+        .withColumn("ma7",
+          round((sum(col("rev_cents")).over(w) * lit(1.0)) /
+            (count(lit(1)).over(w) * lit(100.0)), 4))
+        .select(col("day"),
+          round(col("rev_cents") / 100.0, 2).as("rev"), col("ma7"))
     },
     Some("""
       WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
-               ROUND(SUM(o_totalprice), 2) AS rev
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev_cents
         FROM orders GROUP BY 1)
-      SELECT day, rev,
-             ROUND(AVG(rev) OVER (ORDER BY day
-               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
-      FROM daily"""))
+      SELECT day, ROUND(rev_cents / 100.0, 2) AS rev,
+             ROUND(SUM(rev_cents) OVER w * 1.0 /
+               (COUNT(*) OVER w * 100.0), 4) AS ma7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                   AND CURRENT ROW)"""))
 
   /** Same top-3-per-customer semantics as `window_rank`, but planned
     * through the custom TopKPerKey operator (graft.plans): the
