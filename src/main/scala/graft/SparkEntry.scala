@@ -22,6 +22,7 @@ object SparkEntry {
     sources.SourceOps,
     ga.GaOps,
     ga.FlowOps,
+    ga.JourneyOps,
     text.TextOps,
     text.SimilarityOps,
     text.CurationOps,

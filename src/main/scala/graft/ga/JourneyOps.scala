@@ -1,0 +1,251 @@
+package graft.ga
+
+import graft.{Op, OpModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-journey operators over the `events` hit stream (SURVEY.md
+  * §2.10, round-6 batch 2): time-decay multi-touch attribution, the
+  * top navigation paths report, and the inter-event latency
+  * histogram — the journey-shaped analyses that sit between
+  * `attribution_linear`/`first_touch` (credit), `page_transitions`
+  * (single-step flow) and `conversion_lag` (one latency pair).
+  *
+  * Scale shapes (all three are GaOps-class plans):
+  *  - `attribution_time_decay`: one user_id equi-join + one
+  *    purchase-keyed window + a campaign-sized rollup — identical
+  *    exchange structure to `attribution_linear`; the decay weights
+  *    add zero shuffles.
+  *  - `session_paths`: the sessionize exchange (one user_id shuffle,
+  *    bounded per-user partitions), trigram production by lead()
+  *    inside the same partitioning, then a map-side-combined
+  *    path-key rollup and a global top-20 TakeOrderedAndProject —
+  *    never a data-sized single-partition sort.
+  *  - `inter_event_hist`: one (user_id-clustered) window shuffle,
+  *    then a rollup whose cardinality is |event_type| × ~40 log2
+  *    buckets — output-bounded at any SF.
+  *
+  * Determinism (SURVEY §2 rules): money splits in exact integer
+  * cents via the telescoping floor-division scheme; decay weights
+  * are integer powers of two (shiftleft — POWER() is double and
+  * never used); gap buckets come from integer bin-string length,
+  * not floating log2.
+  */
+object JourneyOps extends OpModule {
+
+  private val GapUs = 1800L * 1000000L // 30-minute inactivity gap
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+
+  private val perUser = Window
+    .partitionBy(col("user_id"))
+    .orderBy(col("us"), col("event_id"))
+
+  /** Time-decay multi-touch attribution — the GA model that weights
+    * recent touches over old ones: every click/view touch before a
+    * purchase by the same user gets weight 2^(30 − min(age_days, 30))
+    * (half-life of one day, floor at 30 days), and the purchase's
+    * revenue is split ∝ weight with EXACT integer arithmetic: touch
+    * i's credit is ⌊cents·cumw_i/W⌋ − ⌊cents·cumw_{i−1}/W⌋ (cumw =
+    * cumulative weight in hit order, W = total weight), which
+    * telescopes to exactly `cents` — revenue conserves to the cent
+    * and no engine divides a double. No-touch purchases ride the
+    * same formula (left join leaves one row: w=1, cumw=W=1 → full
+    * credit) into a 'direct' bucket (-1).
+    *
+    * Weights are integer powers of two (max 2^30), so cents·cumw
+    * stays < 2^63 for per-user touch counts into the tens of
+    * thousands; beyond that a 100 TB deployment promotes the product
+    * to decimal(38,0) — same plan, wider lanes. */
+  val attributionTimeDecay = Op(
+    "attribution_time_decay",
+    (s, d) => {
+      val e = ev(s, d)
+      val touches = e
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"),
+          (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .as("campaign"),
+          col("us").as("t_us"), col("event_id").as("t_id"))
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("p_id"), col("us").as("p_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val paired = purchases
+        .join(touches,
+          col("p_user") === col("t_user") && col("t_us") < col("p_us"),
+          "left")
+        .withColumn("age_days",
+          expr("(p_us - t_us) div 86400000000"))
+        .withColumn("w",
+          coalesce(
+            expr("shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(30 - LEAST(age_days, 30) AS INT))"),
+            lit(1L)))
+      val wP = Window.partitionBy(col("p_id"))
+      val ordered = wP.orderBy(col("t_us").asc_nulls_first,
+        col("t_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      paired
+        .withColumn("cumw", sum(col("w")).over(ordered))
+        .withColumn("totw", sum(col("w")).over(wP))
+        .withColumn("credit",
+          expr("(cents * cumw) div totw") -
+            expr("(cents * (cumw - w)) div totw"))
+        .withColumn("campaign", coalesce(col("campaign"), lit(-1)))
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_credits"),
+          round(sum(col("credit")) / 100.0, 2).as("revenue"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(json_extract_string(props, '$.k') AS INT) % 5
+                 AS campaign
+        FROM events),
+      t AS (
+        SELECT user_id AS t_user, campaign, us AS t_us,
+               event_id AS t_id
+        FROM ev WHERE event_type IN ('click', 'view')),
+      p AS (
+        SELECT user_id AS p_user, event_id AS p_id, us AS p_us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM ev WHERE event_type = 'purchase'),
+      paired AS (
+        SELECT p.p_id, p.cents, t.campaign, t.t_us, t.t_id,
+               COALESCE(CAST(1 AS BIGINT) <<
+                 CAST(30 - LEAST((p.p_us - t.t_us) // 86400000000, 30)
+                   AS INT), 1) AS w
+        FROM p LEFT JOIN t
+          ON p.p_user = t.t_user AND t.t_us < p.p_us),
+      weighted AS (
+        SELECT p_id, cents, campaign, w,
+               SUM(w) OVER (PARTITION BY p_id
+                            ORDER BY t_us ASC NULLS FIRST,
+                                     t_id ASC NULLS FIRST
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY p_id) AS totw
+        FROM paired),
+      credited AS (
+        SELECT COALESCE(campaign, -1) AS campaign,
+               (cents * cumw) // totw
+                 - (cents * (cumw - w)) // totw AS credit
+        FROM weighted)
+      SELECT campaign, COUNT(*) AS n_credits,
+             ROUND(CAST(SUM(credit) AS BIGINT) / 100.0, 2) AS revenue
+      FROM credited GROUP BY campaign"""))
+
+  /** Top navigation paths (GA behavior-flow report): the 20 most
+    * common 3-page in-session sequences. Sessionize (30-min gap),
+    * order hits within the session, slide a length-3 window via
+    * lead(), count path keys, take the global top 20 under the
+    * deterministic total order (count desc, then path asc).
+    *
+    * Pages stay integers end-to-end — no string concat whose
+    * formatting could diverge between engines. */
+  val sessionPaths = Op(
+    "session_paths",
+    (s, d) => {
+      val hits = ev(s, d)
+        .withColumn("page",
+          get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(perUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      val perSess = Window
+        .partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("us"), col("event_id"))
+      hits
+        .withColumn("p1", col("page"))
+        .withColumn("p2", lead(col("page"), 1).over(perSess))
+        .withColumn("p3", lead(col("page"), 2).over(perSess))
+        .filter(col("p2").isNotNull && col("p3").isNotNull)
+        .groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("n_paths"))
+        .orderBy(col("n_paths").desc, col("p1"), col("p2"), col("p3"))
+        .limit(20)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(json_extract_string(props, '$.k') AS INT) AS page
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      grams AS (
+        SELECT page AS p1,
+               LEAD(page, 1) OVER w2 AS p2,
+               LEAD(page, 2) OVER w2 AS p3
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id, sid
+                      ORDER BY us, event_id))
+      SELECT p1, p2, p3, COUNT(*) AS n_paths
+      FROM grams WHERE p2 IS NOT NULL AND p3 IS NOT NULL
+      GROUP BY p1, p2, p3
+      ORDER BY n_paths DESC, p1, p2, p3 LIMIT 20"""))
+
+  /** Inter-event latency histogram: per event type, the distribution
+    * of gaps between a user's consecutive events of that type, in
+    * power-of-two second buckets (bucket = ⌊log2(gap_s + 1)⌋). The
+    * log2 is EXACT integer arithmetic — length of the binary string
+    * of (gap_s + 1) minus one; both engines' `bin()` agree digit for
+    * digit, where floating LOG2 at exact powers of two does not
+    * (SURVEY §2 determinism rules). */
+  val interEventHist = Op(
+    "inter_event_hist",
+    (s, d) => {
+      val perUserType = Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      ev(s, d)
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(perUserType))
+        .filter(col("gap_us").isNotNull)
+        .withColumn("gap_s", expr("gap_us div 1000000"))
+        .withColumn("bucket", length(bin(col("gap_s") + 1)) - 1)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"),
+          sum(col("gap_s")).as("total_gap_s"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      gaps AS (
+        SELECT event_type,
+               (us - LAG(us) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY us, event_id)) // 1000000
+                 AS gap_s
+        FROM ev)
+      SELECT event_type,
+             CAST(LENGTH(BIN(gap_s + 1)) AS INT) - 1 AS bucket,
+             COUNT(*) AS n_gaps,
+             MIN(gap_s) AS min_gap_s,
+             MAX(gap_s) AS max_gap_s,
+             CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY event_type, bucket"""))
+
+  override def ops: Seq[Op] =
+    Seq(attributionTimeDecay, sessionPaths, interEventHist)
+}

@@ -724,10 +724,61 @@ object Aggs extends OpModule {
              CAST(MAX(sz) * 10000 // SUM(sz) AS BIGINT) AS hot_share_bp
       FROM sizes GROUP BY event_type"""))
 
+  /** Exact equi-depth histogram of line prices in 16 buckets: every
+    * bucket holds the same row count (±1), boundaries fall where the
+    * data says, not on a fixed grid — the complement of
+    * `value_histogram`'s equi-width buckets and the exact version of
+    * what `agg_quantile_sketch` approximates.
+    *
+    * Scale: bucket membership is a pure closed form of the exact
+    * global rank — ⌊(rank−1)·16/n⌋ — and the rank comes from the
+    * distributed kernel (`Ranks.withGlobalRank`: range shuffle +
+    * per-partition sort + zipWithIndex), so NOTHING is
+    * single-partition even though the oracle's ROW_NUMBER is a
+    * global sort. Prices rank as exact integer cents with a unique
+    * (orderkey, linenumber) tie-break; per-bucket money sums
+    * accumulate in decimal(38,0) (12-digit cell sums diverge in
+    * double — the sf10 lesson). */
+  val equiDepthHist = Op(
+    "equi_depth_hist",
+    (s, d) => {
+      val cents = Tables(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+      val n = cents.agg(count(lit(1)).as("__n"))
+      Ranks.withGlobalRank(cents, "__rnk",
+          col("cents"), col("l_orderkey"), col("l_linenumber"))
+        .crossJoin(broadcast(n))
+        .withColumn("bucket", expr("((__rnk - 1) * 16) div __n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cents").cast("decimal(38,0)")).cast("long")
+            .as("total_cents"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+      r AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, l_orderkey,
+                 l_linenumber) AS rn,
+               COUNT(*) OVER () AS n
+        FROM c)
+      SELECT ((rn - 1) * 16) // n AS bucket,
+             COUNT(*) AS n_rows,
+             MIN(cents) AS lo_cents,
+             MAX(cents) AS hi_cents,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM r GROUP BY bucket"""))
+
   override def ops: Seq[Op] =
     Seq(pricingAgg, aggDistinct, aggRollup, aggStats, udafGeomean, aggHll,
       aggCube, aggStrings, aggQuantileSketch, kmvBound, hllBound,
       quantileBound, aggSalted, heavyHitters, aggGroupingSets, quantileExact,
       winsorize, giniConcentration, valueHistogram, madOutliers,
-      orderLinesHist, keySkew)
+      orderLinesHist, keySkew, equiDepthHist)
 }

@@ -225,7 +225,134 @@ object Scans extends OpModule {
              COUNT(DISTINCT val) AS n_distinct
       FROM u GROUP BY col_name"""))
 
+  /** One referential-integrity relationship for `fk_orphans`:
+    * child rows are counted once into a skinny (key, cnt) rollup
+    * before ANY join — every subsequent stage shuffles key sets, not
+    * fact rows. Orphans = keyed child rollup anti parent keys;
+    * childless = parent keys anti child keys; the final crossJoins
+    * glue three 1-row aggregates (bounded at any SF, plan-guard
+    * whitelisted). */
+  private def fkRel(name: String, child: org.apache.spark.sql.DataFrame,
+      ck: String, parent: org.apache.spark.sql.DataFrame,
+      pk: String): org.apache.spark.sql.DataFrame = {
+    val keyed = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+    val pkeys = parent.select(col(pk).as("p")).distinct()
+    val joined = keyed.join(pkeys, col("k") === col("p"), "left")
+    val childStats = joined.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("child_rows"),
+      count(lit(1)).as("child_keys"),
+      coalesce(sum(when(col("p").isNull, col("cnt")).otherwise(0L)), lit(0L))
+        .as("orphan_rows"),
+      count(when(col("p").isNull, 1)).as("orphan_keys"))
+    val parentCount = pkeys.agg(count(lit(1)).as("parent_keys"))
+    val childless = pkeys.join(keyed, col("p") === col("k"), "left_anti")
+      .agg(count(lit(1)).as("childless_parents"))
+    childStats.crossJoin(parentCount).crossJoin(childless)
+      .select(lit(name).as("relationship"), col("child_rows"),
+        col("child_keys"), col("parent_keys"), col("orphan_rows"),
+        col("orphan_keys"), col("childless_parents"))
+  }
+
+  /** Warehouse referential-integrity audit (the data-quality pass a
+    * 100 TB lake runs nightly): for every declared FK relationship,
+    * total/distinct child keys, parent keys, orphan child rows/keys
+    * (child references with no parent) and childless parents. All
+    * counts are exact integers; an intact warehouse reports zero
+    * orphans — the value is the guarantee, same as `table_diff`.
+    *
+    * Scale: per relationship, one map-side-combined groupBy on the
+    * child key collapses fact rows to distinct keys BEFORE the joins,
+    * so the anti-joins shuffle |keys|, never |rows|; the 5 audits are
+    * independent and pipeline in parallel. */
+  val fkOrphans = Op(
+    "fk_orphans",
+    (s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val orders = Tables(s, d, "orders")
+      val customer = Tables(s, d, "customer")
+      fkRel("events.user_id->customer.c_custkey",
+          Tables(s, d, "events"), "user_id", customer, "c_custkey")
+        .union(fkRel("lineitem.l_orderkey->orders.o_orderkey",
+          li, "l_orderkey", orders, "o_orderkey"))
+        .union(fkRel("lineitem.l_partkey->part.p_partkey",
+          li, "l_partkey", Tables(s, d, "part"), "p_partkey"))
+        .union(fkRel("lineitem.l_suppkey->supplier.s_suppkey",
+          li, "l_suppkey", Tables(s, d, "supplier"), "s_suppkey"))
+        .union(fkRel("orders.o_custkey->customer.c_custkey",
+          orders, "o_custkey", customer, "c_custkey"))
+    },
+    Some("""
+      WITH r1c AS (SELECT user_id AS k FROM events),
+      r1p AS (SELECT DISTINCT c_custkey AS p FROM customer),
+      r2c AS (SELECT l_orderkey AS k FROM lineitem),
+      r2p AS (SELECT DISTINCT o_orderkey AS p FROM orders),
+      r3c AS (SELECT l_partkey AS k FROM lineitem),
+      r3p AS (SELECT DISTINCT p_partkey AS p FROM part),
+      r4c AS (SELECT l_suppkey AS k FROM lineitem),
+      r4p AS (SELECT DISTINCT s_suppkey AS p FROM supplier),
+      r5c AS (SELECT o_custkey AS k FROM orders),
+      r5p AS (SELECT DISTINCT c_custkey AS p FROM customer)
+      SELECT 'events.user_id->customer.c_custkey' AS relationship,
+             (SELECT COUNT(*) FROM r1c) AS child_rows,
+             (SELECT COUNT(DISTINCT k) FROM r1c) AS child_keys,
+             (SELECT COUNT(*) FROM r1p) AS parent_keys,
+             (SELECT COUNT(*) FROM r1c LEFT JOIN r1p ON k = p
+              WHERE p IS NULL) AS orphan_rows,
+             (SELECT COUNT(DISTINCT k) FROM r1c LEFT JOIN r1p ON k = p
+              WHERE p IS NULL) AS orphan_keys,
+             (SELECT COUNT(*) FROM r1p LEFT JOIN
+                (SELECT DISTINCT k FROM r1c) ck ON ck.k = p
+              WHERE ck.k IS NULL) AS childless_parents
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+             (SELECT COUNT(*) FROM r2c),
+             (SELECT COUNT(DISTINCT k) FROM r2c),
+             (SELECT COUNT(*) FROM r2p),
+             (SELECT COUNT(*) FROM r2c LEFT JOIN r2p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(DISTINCT k) FROM r2c LEFT JOIN r2p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(*) FROM r2p LEFT JOIN
+                (SELECT DISTINCT k FROM r2c) ck ON ck.k = p
+              WHERE ck.k IS NULL)
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             (SELECT COUNT(*) FROM r3c),
+             (SELECT COUNT(DISTINCT k) FROM r3c),
+             (SELECT COUNT(*) FROM r3p),
+             (SELECT COUNT(*) FROM r3c LEFT JOIN r3p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(DISTINCT k) FROM r3c LEFT JOIN r3p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(*) FROM r3p LEFT JOIN
+                (SELECT DISTINCT k FROM r3c) ck ON ck.k = p
+              WHERE ck.k IS NULL)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+             (SELECT COUNT(*) FROM r4c),
+             (SELECT COUNT(DISTINCT k) FROM r4c),
+             (SELECT COUNT(*) FROM r4p),
+             (SELECT COUNT(*) FROM r4c LEFT JOIN r4p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(DISTINCT k) FROM r4c LEFT JOIN r4p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(*) FROM r4p LEFT JOIN
+                (SELECT DISTINCT k FROM r4c) ck ON ck.k = p
+              WHERE ck.k IS NULL)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey',
+             (SELECT COUNT(*) FROM r5c),
+             (SELECT COUNT(DISTINCT k) FROM r5c),
+             (SELECT COUNT(*) FROM r5p),
+             (SELECT COUNT(*) FROM r5c LEFT JOIN r5p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(DISTINCT k) FROM r5c LEFT JOIN r5p ON k = p
+              WHERE p IS NULL),
+             (SELECT COUNT(*) FROM r5p LEFT JOIN
+                (SELECT DISTINCT k FROM r5c) ck ON ck.k = p
+              WHERE ck.k IS NULL)"""))
+
   override def ops: Seq[Op] =
     Seq(scanProject, filterPred, scanPruned, caseExpr, topk, zorderBucket,
-      topkDiverse, dataProfile)
+      topkDiverse, dataProfile, fkOrphans)
 }

@@ -200,7 +200,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "churn_flags",   // crossJoin of the 1-row dataset-end scalar
       "rolling_wau",   // crossJoin of the 1-row day-span scalar
       "merge_upsert",  // crossJoin of the 1-row max-key scalar
-      "merge_partitioned") // crossJoin of the 1-row max-key scalar
+      "merge_partitioned", // crossJoin of the 1-row max-key scalar
+      "fk_orphans",    // crossJoins of three 1-row audit aggregates
+      "equi_depth_hist") // crossJoin of the 1-row global-count scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
