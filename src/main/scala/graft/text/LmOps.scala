@@ -149,5 +149,108 @@ object LmOps extends OpModule {
       FROM toks JOIN cu USING (w), nu
       GROUP BY doc_id"""))
 
-  override def ops: Seq[Op] = Seq(chunkDocs, pmiBigrams, unigramLogprob)
+  private val BpeRounds = 8
+
+  /** Adjacent symbol-pair counts over a segmentation table
+    * (seg = "||s1||s2||...||", c = word frequency). Splitting on the
+    * double delimiter yields ['', s1..sn, ''] in BOTH engines, so
+    * 1-based pair indices run 2..len-2; single-symbol words (len < 4)
+    * have no pairs and are filtered identically on both sides. */
+  private def bpePairs(seg: org.apache.spark.sql.DataFrame) =
+    seg.withColumn("arr", split(col("seg"), "\\|\\|"))
+      .filter(size(col("arr")) >= 4)
+      .select(col("c"), col("arr"),
+        explode(sequence(lit(2), size(col("arr")) - 2)).as("i"))
+      .select(element_at(col("arr"), col("i")).as("s1"),
+        element_at(col("arr"), col("i") + 1).as("s2"), col("c"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("c")).as("pair_count"))
+
+  /** BPE merge-rule training (the `vocab_build` companion: that op
+    * ranks unigrams, this one LEARNS the merge table): K greedy rounds
+    * of count-adjacent-symbol-pairs → argmax under a deterministic
+    * tie-break (count desc, then pair lexicographic) → re-segment.
+    *
+    * Representation: each word's segmentation is a delimiter-framed
+    * string "||s1||s2||...||" (the corpus is pipe-free — asserted in
+    * LmSpec). Merging pair (a,b) is then
+    * `replace(seg, "|a||b|", "|ab|")`: the double delimiter means
+    * consecutive merge sites do NOT share boundary characters, so
+    * leftmost-non-overlapping replace (identical semantics in Spark's
+    * StringReplace and DuckDB's replace) implements exactly BPE's
+    * greedy left-to-right merge — including the "a a a" → [aa, a]
+    * triple case.
+    *
+    * Scale shape: the corpus is read ONCE into the vocabulary-sized
+    * (word, count) rollup (token-key shuffle, map-side combine); all K
+    * rounds then operate on that bounded table. Per round the only
+    * shuffle carries (symbol-pair, count) keys — vocabulary-bounded,
+    * never corpus-sized — the argmax is a TakeOrderedAndProject (no
+    * global window), and the winning rule rejoins as a broadcast
+    * 1-row crossJoin. Identical round subtrees share their exchange
+    * via ReuseExchange. At 100 TB only the initial word rollup touches
+    * the data; the K-round loop is driver-side plan unrolling (the
+    * `pagerank` unrolled-iteration pattern) over a tiny table. */
+  val bpeMerges = Op(
+    "bpe_merges",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      var seg = words.select(
+        concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
+        col("c"))
+      var out: Option[org.apache.spark.sql.DataFrame] = None
+      for (r <- 1 to BpeRounds) {
+        val best = bpePairs(seg)
+          .orderBy(col("pair_count").desc, col("s1"), col("s2"))
+          .limit(1)
+        val row = best.select(lit(r).as("merge_rank"), col("s1"),
+          col("s2"), col("pair_count"))
+        out = Some(out.fold(row)(_.union(row)))
+        seg = seg
+          .crossJoin(broadcast(
+            best.select(col("s1").as("m1"), col("s2").as("m2"))))
+          .select(
+            expr("replace(seg, concat('|', m1, '||', m2, '|')," +
+              " concat('|', m1, m2, '|'))").as("seg"),
+            col("c"))
+      }
+      out.get
+    },
+    Some {
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""
+      p$r AS (
+        SELECT arr[i] AS s1, arr[i + 1] AS s2,
+               CAST(SUM(c) AS BIGINT) AS pair_count
+        FROM (SELECT string_split(seg, '||') AS arr, c FROM seg${r - 1}
+              WHERE len(string_split(seg, '||')) >= 4),
+             UNNEST(generate_series(2, len(arr) - 2)) AS u(i)
+        GROUP BY s1, s2),
+      m$r AS (SELECT s1, s2, pair_count FROM p$r
+              ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+      seg$r AS (
+        SELECT replace(seg, '|' || s1 || '||' || s2 || '|',
+                       '|' || s1 || s2 || '|') AS seg, c
+        FROM seg${r - 1}, m$r)"""
+      }.mkString(",")
+      val finals = (1 to BpeRounds).map { r =>
+        s"SELECT $r AS merge_rank, s1, s2, pair_count FROM m$r"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      seg0 AS (
+        SELECT '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS seg, c
+        FROM words),$rounds
+      $finals"""
+    })
+
+  override def ops: Seq[Op] =
+    Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges)
 }

@@ -82,6 +82,68 @@ class LmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_merges: corpus is pipe-free (the delimiter-framing precondition)") {
+    // bpe_merges frames segmentations with '|'; a corpus containing the
+    // delimiter would corrupt the replace-based re-segmentation. Assert
+    // the precondition mechanically at both gate SFs.
+    for (dir <- Seq(sfDir, sfDir01)) {
+      val n = Tables(spark, dir, "documents")
+        .filter(col("text").contains("|")).count()
+      assert(n == 0, s"$dir: $n documents contain the '|' delimiter")
+    }
+  }
+
+  test("bpe_merges matches an exact driver-side greedy BPE recomputation") {
+    val texts = Tables(spark, sfDir01, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1))
+    var segs: Map[Vector[String], Long] =
+      wc.map { case (w, c) => w.split("").toVector -> c }.toMap
+    def mergeWord(v: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == a && v(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    val expect = (1 to 8).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (v, c) =>
+        v.sliding(2).foreach {
+          case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _         =>
+        }
+      }
+      val ((a, b), n) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      segs = segs.groupMapReduce { case (v, _) => mergeWord(v, a, b) }(
+        _._2)(_ + _)
+      (r, a, b, n)
+    }
+    val got = q("bpe_merges", sfDir01).orderBy(col("merge_rank"))
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect)
+  }
+
+  test("bpe_merges: merge-pair counts are non-increasing across rounds") {
+    // after merging the argmax pair, every surviving pair's count only
+    // drops and every newly created pair is bounded by the merged
+    // count, so the greedy sequence is monotone — a structural check
+    // that the K unrolled rounds are actually chained, not repeated
+    val counts = q("bpe_merges").orderBy(col("merge_rank"))
+      .select(col("pair_count")).collect().map(_.getLong(0))
+    assert(counts.length == 8)
+    counts.sliding(2).foreach {
+      case Array(x, y) => assert(x >= y, s"counts increased: $x -> $y")
+      case _           =>
+    }
+  }
+
   test("unigram_logprob: all scores negative, token counts reconcile") {
     val out = q("unigram_logprob")
     assert(out.filter(col("avg_logprob") >= 0).count() == 0)

@@ -202,7 +202,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "merge_upsert",  // crossJoin of the 1-row max-key scalar
       "merge_partitioned", // crossJoin of the 1-row max-key scalar
       "fk_orphans",    // crossJoins of three 1-row audit aggregates
-      "equi_depth_hist") // crossJoin of the 1-row global-count scalar
+      "equi_depth_hist", // crossJoin of the 1-row global-count scalar
+      "bpe_merges")    // K crossJoins of the 1-row argmax merge rule
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
@@ -241,11 +242,7 @@ class PlanShapeSpec extends AnyFunSuite {
       case (name, fn) =>
         val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
-              if w.partitionSpec.isEmpty &&
-                // Ranks.withGlobalRank's offset window orders by the
-                // __pid partition id: ≤#shuffle-partitions rows by
-                // construction, allowed wherever it appears
-                !w.orderSpec.forall(_.child.toString.contains("__pid")) => w
+              if w.partitionSpec.isEmpty => w
         }
         if (globals.nonEmpty && !boundedGlobalWindow.contains(name))
           Some(s"$name: ${globals.size} global window(s)")

@@ -50,6 +50,69 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.sameElements(salted))
   }
 
+  test("AQE native skew-split fires on a skewed SMJ (OptimizeSkewedJoin)") {
+    // The first thing a 100 TB operator reaches for BEFORE hand-salting:
+    // Spark's own OptimizeSkewedJoin splits an oversized shuffle
+    // partition into parallel sub-reads at runtime. Demonstrate it
+    // firing on the classic shape — a fact table whose join key is 90%
+    // one hot value — with thresholds scaled down to test-sized data
+    // (at the defaults the same logic trips at 256 MB per partition).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // partition is "skewed" if > factor(5) * median AND > threshold;
+      // split target = advisory size
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // force SMJ: the dim side must not broadcast or there is no
+      // shuffle to split
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      val fact = spark.range(0, 2000000L)
+        .select(
+          when(col("id") % 10 === 0, pmod(col("id"), lit(1000)))
+            .otherwise(lit(0L)).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(0, 1000L)
+        .select(col("id").as("k"), (col("id") * 7).as("attr"))
+      // consumer must be partition-agnostic (global partial agg):
+      // OptimizeSkewedJoin refuses to split when a downstream operator
+      // still REQUIRES the join's hash partitioning (e.g. groupBy on
+      // the join key) — splitting would break that guarantee. That
+      // boundary is exactly when manual salting stays necessary.
+      val agg = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("attr")).as("s"))
+
+      // run it — AQE finalizes the physical plan only on execution
+      val row = agg.collect().head
+      val plan = agg.queryExecution.executedPlan.toString
+
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire; plan:\n${plan.take(2000)}")
+      // and the split join is still exactly correct: every fact row
+      // matches one dim row; attr = 7k summed over the 200k rows with
+      // id%10==0 (k = id%1000, each residue ×2000) = 7·49500·2000
+      assert(row.getLong(0) == 2000000L, s"row count ${row.getLong(0)}")
+      assert(row.getLong(1) == 693000000L, s"attr sum ${row.getLong(1)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("salt is deterministic: same input twice -> same salted assignment") {
     val s1 = skewed.withColumn("salt", pmod(hash(col("v")), lit(16)))
       .collect().map(r => (r.getDouble(1), r.getInt(2))).toMap
