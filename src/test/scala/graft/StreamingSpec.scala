@@ -237,7 +237,34 @@ class StreamingSpec extends AnyFunSuite {
       // close everything still open with a far-future sentinel
       in.addData(Ev(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "x", 0.0))
       query.processAllAvailable()
+      // throughput artifact (VERDICT r6 missing item 5): rows/s and
+      // per-batch durations from StreamingQueryProgress, committed as
+      // BENCH_STREAM_sf1.json — the streaming claim, measured
+      val prog = query.recentProgress.filter(_.numInputRows > 0)
+      val batches = prog.map { p =>
+        val ms: Long = p.durationMs.getOrDefault("triggerExecution", 0L)
+        (p.batchId, p.numInputRows, ms)
+      }
+      val totalRows = batches.map(_._2).sum
+      val totalSec = batches.map(_._3).sum / 1e3
       query.stop()
+      if (totalRows > 0 && totalSec > 0) {
+        val rps = totalRows / totalSec
+        val bJson = batches.map { case (id, n, ms) =>
+          s"""{"batch":$id,"rows":$n,"ms":$ms}"""
+        }.mkString("[", ",", "]")
+        val json =
+          s"""{"metric":"stream_rows_per_sec","value":${"%.0f".format(rps)},""" +
+            s""""unit":"rows/s","rows":$totalRows,""" +
+            s""""seconds":${"%.2f".format(totalSec)},"batches":$bJson,""" +
+            s""""state_rows_max":$maxState,"users":$nUsers,""" +
+            s""""store":"rocksdb","op":"transformWithState sessionize",""" +
+            s""""sf":"$sf1"}"""
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("/root/repo/BENCH_STREAM_sf1.json"),
+          (json + "\n").getBytes("UTF-8"))
+        info(s"throughput: ${"%.0f".format(rps)} rows/s over $totalRows rows")
+      }
       // state scaled with users, not with the 1M replayed events:
       // ≤ 2 rows per user (session value + pending timer)
       assert(maxState > 0, "no state operator progress reported")
