@@ -277,6 +277,130 @@ object MultimodalOps extends OpModule {
                AS BIGINT) AS sum_b
       FROM px GROUP BY doc_id"""))
 
+  /** Declared query: decode + nearest-neighbor resize (8×8 → 4×4,
+    * source pixel (2y, 2x) for output pixel (y, x)) + per-channel
+    * sums of the RESIZED raster. The thumbnail shape: decode and
+    * resize happen in one narrow pass, and only (doc_id, 5 ints)
+    * leaves the stage — at 100 TB neither the full nor the resized
+    * raster ever reaches a shuffle. Integer sums of integer bytes:
+    * exact in both engines (oracle picks the same strided pixels via
+    * ord/substr arithmetic; ASCII fixture asserted in MultimodalSpec). */
+  val mediaResize = Op(
+    "media_resize",
+    (s, d) => {
+      import s.implicits._
+      ppmTable(s, d)
+        .select(col("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (w, h, px) = parsePpm(bytes)
+            val ow = w / 2
+            val oh = h / 2
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                val i = (2 * y) * w + 2 * x
+                sr += px(3 * i) & 0xff
+                sg += px(3 * i + 1) & 0xff
+                sb += px(3 * i + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (id, ow, oh, sr, sg, sb)
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+    },
+    Some("""
+      WITH rp AS (
+        SELECT doc_id, n_chars, text,
+               16 * (j // 4) + 2 * (j % 4) AS i
+        FROM documents, UNNEST(generate_series(0, 15)) AS u(j)),
+      px AS (
+        SELECT doc_id,
+               CASE WHEN 3 * i < n_chars
+                    THEN ord(substr(text, CAST(3 * i + 1 AS INT), 1))
+                    ELSE 0 END AS r,
+               CASE WHEN 3 * i + 1 < n_chars
+                    THEN ord(substr(text, CAST(3 * i + 2 AS INT), 1))
+                    ELSE 0 END AS g,
+               CASE WHEN 3 * i + 2 < n_chars
+                    THEN ord(substr(text, CAST(3 * i + 3 AS INT), 1))
+                    ELSE 0 END AS b
+        FROM rp)
+      SELECT doc_id, 4 AS width, 4 AS height,
+             CAST(SUM(r) AS BIGINT) AS sum_r,
+             CAST(SUM(g) AS BIGINT) AS sum_g,
+             CAST(SUM(b) AS BIGINT) AS sum_b
+      FROM px GROUP BY doc_id"""))
+
+  /** Declared query: strided frame sampling over the raw payload —
+    * every 2nd aligned 64-byte frame, digested. The video-frame-
+    * subsample shape (`sampleFrames`): frames stay distributed via
+    * explode, and only (doc_id, frame_id, md5) rows move downstream,
+    * never the frame bytes. Oracle frames over characters of the
+    * source text (1 char = 1 byte under the asserted ASCII fixture). */
+  val mediaFrames = Op(
+    "media_frames",
+    (s, d) =>
+      sampleFrames(mediaTable(s, d), chunkBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_id"),
+          md5(col("frame")).as("frame_md5")),
+    Some("""
+      SELECT doc_id, CAST(f.frame_id AS INT) AS frame_id,
+             md5(substr(text, CAST(f.frame_id * 64 + 1 AS INT), 64))
+               AS frame_md5
+      FROM documents,
+           UNNEST(generate_series(0, (n_chars + 63) // 64 - 1, 2))
+             AS f(frame_id)
+      WHERE n_chars > 0"""))
+
+  /** Declared query: the decoded-pixel histogram behind
+    * `decodeFeatures`, in exact integer form — 16 equal-width bins
+    * over decoded byte values (bin = b // 16), one (doc_id, bin,
+    * count) row per NON-EMPTY bin. Declaring the un-normalized
+    * counts (rather than the L1-normalized Float vector) keeps the
+    * oracle exact; `decodeFeatures` divides these same counts by the
+    * raster size. */
+  val mediaFeatures = Op(
+    "media_features",
+    (s, d) => {
+      import s.implicits._
+      ppmTable(s, d)
+        .select(col("doc_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val (_, _, px) = parsePpm(bytes)
+            val hist = new Array[Long](FeatureDim)
+            var i = 0
+            while (i < px.length) {
+              hist(((px(i) & 0xff) * FeatureDim) >> 8) += 1L
+              i += 1
+            }
+            (0 until FeatureDim).iterator
+              .filter(b => hist(b) > 0)
+              .map(b => (id, b, hist(b)))
+          }
+        }
+        .toDF("doc_id", "bin", "n_px")
+    },
+    Some("""
+      WITH px AS (
+        SELECT doc_id,
+               CASE WHEN off < n_chars
+                    THEN ord(substr(text, CAST(off + 1 AS INT), 1))
+                    ELSE 0 END AS b
+        FROM documents, UNNEST(generate_series(0, 191)) AS u(off))
+      SELECT doc_id, CAST(b // 16 AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_px
+      FROM px GROUP BY doc_id, b // 16"""))
+
   override def ops: Seq[Op] =
-    Seq(mediaMeta, mediaStats, mediaDedup, mediaDecode)
+    Seq(mediaMeta, mediaStats, mediaDedup, mediaDecode,
+      mediaResize, mediaFrames, mediaFeatures)
 }

@@ -142,4 +142,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(0) == 2L))
     assert(frames.length == 2) // ceil(150/100) = 2 frames, stride 1
   }
+
+  test("media_resize: strided sums match an independent decode") {
+    val got = MultimodalOps.mediaResize.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val rows = ppm.select("doc_id", "content").collect()
+    assert(got.size == rows.length)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = MultimodalOps.parsePpm(r.getAs[Array[Byte]](1))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h / 2; x <- 0 until w / 2) {
+        val i = 2 * y * w + 2 * x
+        sr += px(3 * i) & 0xff
+        sg += px(3 * i + 1) & 0xff
+        sb += px(3 * i + 2) & 0xff
+      }
+      assert(got(id) == ((4, 4, sr, sg, sb)),
+        s"doc $id resize sums diverge from independent decode")
+    }
+  }
+
+  test("media_frames: stride-2 64-byte frame count is exact") {
+    val counts = MultimodalOps.mediaFrames.run(spark, sfDir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = media.select("doc_id", "n_bytes").collect()
+      .filter(_.getLong(1) > 0)
+    assert(counts.size == docs.length)
+    docs.take(100).foreach { r =>
+      val nFrames = (r.getLong(1) + 63) / 64
+      val expected = (nFrames + 1) / 2 // ceil(nFrames / stride), stride=2
+      assert(counts(r.getLong(0)) == expected)
+    }
+  }
+
+  test("media_features: per-doc bin counts sum to the raster size") {
+    val df = MultimodalOps.mediaFeatures.run(spark, sfDir)
+    df.groupBy("doc_id").agg(sum("n_px").as("total")).collect()
+      .foreach(r => assert(r.getLong(1) == 192L,
+        s"doc ${r.getLong(0)}: bins sum to ${r.getLong(1)}, not 192"))
+    assert(df.filter(col("bin") < 0 || col("bin") > 15).count() == 0)
+    assert(df.filter(col("n_px") <= 0).count() == 0)
+  }
 }
