@@ -6,13 +6,21 @@ import org.apache.spark.sql.functions._
 /** Fixture table readers (TESTDATA.md, FIXTURES.md).
   *
   * All tables are parquet at `<sfDir>/<name>.parquet`. The only
-  * normalization the engine applies is to `events.ts`, which the
-  * generator wrote as Parquet TIMESTAMP(NANOS): Spark 4 refuses to
-  * read it unless `spark.sql.legacy.parquet.nanosAsLong=true`, after
-  * which it arrives as LongType nanoseconds (FIXTURES.md:85-91). We
-  * convert to a microsecond TimestampType with exact integer division
-  * (`div`, not `/` — double division of ~1.7e18 ns loses µs
-  * precision), matching DuckDB's truncating CAST(ts AS TIMESTAMP).
+  * normalization the engine applies is to `events.ts`, whose physical
+  * encoding has varied across driver-generated fixture vintages:
+  *  - Parquet TIMESTAMP(NANOS) (pre-round-8): Spark 4 refuses to read
+  *    it unless `spark.sql.legacy.parquet.nanosAsLong=true`, after
+  *    which it arrives as LongType nanoseconds; we convert to µs with
+  *    exact integer division (`div`, not `/` — double division of
+  *    ~1.7e18 ns loses µs precision), matching DuckDB's truncating
+  *    CAST(ts AS TIMESTAMP).
+  *  - Parquet TIMESTAMP(MICROS) without tz (round-8 regeneration):
+  *    Spark reads it as TIMESTAMP_NTZ; we reinterpret in the
+  *    session's UTC zone (`cast(TimestampType)`) — the naive-
+  *    timestamp semantics DuckDB applies to the same file.
+  * `normalizeTs` dispatches on the observed dtype so the engine is
+  * correct against either vintage (and a plain TIMESTAMP column
+  * passes through untouched).
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -24,7 +32,20 @@ object Tables {
   /** events with ts normalized to TimestampType(µs). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(apply(spark, sfDir, "events"))
   }
+
+  /** Normalize a `ts` column to TimestampType(µs) from any fixture
+    * vintage: LongType = nanos under nanosAsLong (exact integer
+    * div), TIMESTAMP_NTZ = µs naive (reinterpret in session UTC),
+    * TimestampType = already right. */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 }

@@ -226,7 +226,47 @@ object SourceOps extends OpModule {
       FROM customer JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment"""))
 
+  /** Small-file compaction planner — the table-maintenance step a
+    * 100 TB lakehouse runs nightly (the OPTIMIZE/rewrite planning
+    * pass): per ship-month partition, estimate payload bytes (96 B
+    * per encoded row across the 11 fixed-width columns), then plan
+    * the output layout against a 64 KiB target file size in exact
+    * integer arithmetic (`ceil` via `(x + t - 1) div t` — no
+    * doubles). The
+    * emitted plan (partition, rows, bytes, file count, rows/file) is
+    * exactly what drives a `repartitionByRange(n_files)` rewrite of
+    * that partition.
+    *
+    * Scale: one scan, metadata-sized map-side-combined rollup on the
+    * month key; output ∝ partition count, not data. The planner is
+    * the cheap half of compaction — the rewrite it drives is
+    * per-partition-parallel and touches only partitions whose
+    * n_files differs from the current layout. */
+  val compactionPlan = Op(
+    "compaction_plan",
+    (s, d) =>
+      Tables(s, d, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM")
+          .as("part_month"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) * lit(96L)).as("est_bytes"))
+        .withColumn("n_files",
+          expr("(est_bytes + 65535) div 65536"))
+        .withColumn("rows_per_file",
+          expr("(n_rows + n_files - 1) div n_files")),
+    Some("""
+      WITH p AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+               COUNT(*) AS n_rows,
+               COUNT(*) * 96 AS est_bytes
+        FROM lineitem GROUP BY 1)
+      SELECT part_month, n_rows, est_bytes,
+             (est_bytes + 65535) // 65536 AS n_files,
+             (n_rows + (est_bytes + 65535) // 65536 - 1)
+               // ((est_bytes + 65535) // 65536) AS rows_per_file
+      FROM p"""))
+
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
-      orcRoundtrip, bucketJoin)
+      orcRoundtrip, bucketJoin, compactionPlan)
 }

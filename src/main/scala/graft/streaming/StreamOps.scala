@@ -38,7 +38,7 @@ object StreamOps {
     val stream =
       if (new java.io.File(path).isDirectory) reader.parquet(path)
       else reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(stream)
   }
 
   /** Tumbling 1-hour counts per event_type, 10-minute watermark —

@@ -251,6 +251,50 @@ object LmOps extends OpModule {
       $finals"""
     })
 
+  /** Skip-gram co-occurrence mining (the word2vec/GloVe count matrix
+    * build): ordered token pairs (w_i, w_{i+k}) within a ±3 window,
+    * counted over the corpus, top 20 by (count desc, w1, w2). The
+    * `pmi_bigrams` upgrade from adjacency to windowed context.
+    *
+    * Scale: pair generation is positional per-row expression work
+    * (two nested sequence explodes — never a self-join on token
+    * position), so the corpus is read once and never shuffled; the
+    * only exchange carries (w1, w2, partial count) keys, map-side
+    * combined and bounded by context-vocabulary², and the top-20 is
+    * TakeOrderedAndProject (no global sort materialization). */
+  val cooccurTopk = Op(
+    "cooccur_topk",
+    (s, d) => {
+      val toks = Tables(s, d, "documents")
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+      toks
+        .select(col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("toks"), col("i"),
+          explode(sequence(lit(1),
+            least(lit(3), size(col("toks")) - col("i")))).as("k"))
+        .select(element_at(col("toks"), col("i")).as("w1"),
+          element_at(col("toks"), col("i") + col("k")).as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_cooccur"))
+        .orderBy(col("n_cooccur").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents),
+      p AS (
+        SELECT toks[i] AS w1, toks[i + k] AS w2
+        FROM t,
+             UNNEST(generate_series(1, len(toks) - 1)) AS u(i),
+             UNNEST(generate_series(1, LEAST(3, len(toks) - i))) AS v(k)
+        WHERE len(toks) >= 2)
+      SELECT w1, w2, COUNT(*) AS n_cooccur
+      FROM p GROUP BY 1, 2
+      ORDER BY n_cooccur DESC, w1, w2
+      LIMIT 20"""))
+
   override def ops: Seq[Op] =
-    Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges)
+    Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges, cooccurTopk)
 }

@@ -362,7 +362,56 @@ object TextOps extends OpModule {
       ORDER BY score DESC, tf.doc_id, tf.w
       LIMIT 20"""))
 
+  /** Character-entropy quality filter — the cheap "is this text or
+    * garbage" gate a corpus pipeline runs before any model-based
+    * scoring: Shannon entropy (nats) of the per-doc character
+    * distribution, keep = entropy ≥ 2.0 (natural-language prose sits
+    * near ~2.9 nats/char; base64 blobs higher, repeated-char spam far
+    * lower — the filter kills the degenerate tail). Entropy
+    * −Σ (c/L)·ln(c/L) is computed from exact integer counts and
+    * rounded to 4dp before the threshold compare so both engines
+    * make the identical keep decision.
+    *
+    * Scale: positions explode per row, then the only shuffle carries
+    * (doc_id, char) keys — ≤ alphabet-size rows per doc, map-side
+    * combined, bytes ∝ rows·|Σ|, never corpus text bytes. The final
+    * per-doc rollup shuffles (doc_id, 2 doubles). Nothing global. */
+  val entropyFilter = Op(
+    "entropy_filter",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(1), col("n_chars").cast("int"))).as("i"),
+          col("text"))
+        .select(col("doc_id"), col("n_chars"),
+          expr("substring(text, i, 1)").as("ch"))
+        .groupBy(col("doc_id"), col("n_chars"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(round(-sum(col("c") / col("n_chars") *
+          log(col("c") / col("n_chars"))), 4).as("entropy"))
+        .select(col("doc_id"), col("entropy"),
+          when(col("entropy") >= 2.0, lit(1)).otherwise(lit(0))
+            .as("keep")),
+    Some("""
+      WITH ch AS (
+        SELECT doc_id, n_chars, substr(text, i, 1) AS ch
+        FROM documents,
+             UNNEST(generate_series(1, CAST(n_chars AS INT))) AS u(i)
+        WHERE n_chars > 0),
+      cc AS (
+        SELECT doc_id, n_chars, ch, COUNT(*) AS c
+        FROM ch GROUP BY 1, 2, 3),
+      e AS (
+        SELECT doc_id,
+               ROUND(-SUM(c / n_chars * LN(c / n_chars)), 4) AS entropy
+        FROM cc GROUP BY doc_id, n_chars)
+      SELECT doc_id, entropy,
+             CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS keep
+      FROM e"""))
+
   override def ops: Seq[Op] = Seq(dedupExact, splitHash, textStats,
     tfidfTop, tokenCount, qualityScore, docFingerprint, dedupMinhash,
-    vocabBuild, bm25Top)
+    vocabBuild, bm25Top, entropyFilter)
 }
