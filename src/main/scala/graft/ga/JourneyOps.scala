@@ -246,6 +246,177 @@ object JourneyOps extends OpModule {
       FROM gaps WHERE gap_s IS NOT NULL
       GROUP BY event_type, bucket"""))
 
+  /** Position-based (U-shaped) multi-touch attribution — the GA4
+    * model that rewards discovery and closing: the FIRST and LAST
+    * touch before a purchase each take 40% of its revenue, the
+    * middle touches split the remaining 20%. All splits are exact
+    * integer cents (SURVEY §2 determinism rule 3):
+    *   n = 1 → all cents; n = 2 → half each, odd cent to the first;
+    *   n ≥ 3 → ends get (cents·2) div 5 each, the middle pool is
+    *   the exact remainder, distributed div/mod across the n−2
+    *   middles in hit order. Revenue conserves to the cent by
+    *   construction — no engine ever multiplies a double by 0.4.
+    * Purchases with no prior touch credit the 'direct' bucket (-1),
+    * riding the n = 1 arm of the same formula.
+    *
+    * Scale: identical exchange structure to `attribution_linear` —
+    * one user_id equi-join, one purchase-keyed window, a
+    * campaign-sized rollup. The position arithmetic adds zero
+    * shuffles. */
+  val attributionPosition = Op(
+    "attribution_position",
+    (s, d) => {
+      val e = ev(s, d)
+      val touches = e
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"),
+          (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .as("campaign"),
+          col("us").as("t_us"), col("event_id").as("t_id"))
+      val purchases = e
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("p_id"), col("us").as("p_us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val wP = Window.partitionBy(col("p_id"))
+      purchases
+        .join(touches,
+          col("p_user") === col("t_user") && col("t_us") < col("p_us"),
+          "left")
+        .withColumn("n", count(lit(1)).over(wP))
+        .withColumn("rn", row_number().over(
+          wP.orderBy(col("t_us").asc_nulls_first,
+            col("t_id").asc_nulls_first)))
+        .withColumn("credit", expr("""
+          CASE
+            WHEN n = 1 THEN cents
+            WHEN n = 2 THEN
+              CASE WHEN rn = 1 THEN cents - cents div 2
+                   ELSE cents div 2 END
+            WHEN rn = 1 OR rn = n THEN (cents * 2) div 5
+            ELSE (cents - 2 * ((cents * 2) div 5)) div (n - 2)
+                 + CASE WHEN rn - 1 <=
+                     (cents - 2 * ((cents * 2) div 5)) % (n - 2)
+                   THEN 1 ELSE 0 END
+          END"""))
+        .withColumn("campaign", coalesce(col("campaign"), lit(-1)))
+        .groupBy(col("campaign"))
+        .agg(count(lit(1)).as("n_credits"),
+          round(sum(col("credit")) / 100.0, 2).as("revenue"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(json_extract_string(props, '$.k') AS INT) % 5
+                 AS campaign
+        FROM events),
+      t AS (
+        SELECT user_id AS t_user, campaign, us AS t_us,
+               event_id AS t_id
+        FROM ev WHERE event_type IN ('click', 'view')),
+      p AS (
+        SELECT user_id AS p_user, event_id AS p_id, us AS p_us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM ev WHERE event_type = 'purchase'),
+      paired AS (
+        SELECT p.p_id, p.cents, t.campaign, t.t_us, t.t_id
+        FROM p LEFT JOIN t
+          ON p.p_user = t.t_user AND t.t_us < p.p_us),
+      pos AS (
+        SELECT COALESCE(campaign, -1) AS campaign, cents,
+               COUNT(*) OVER (PARTITION BY p_id) AS n,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                 ORDER BY t_us ASC NULLS FIRST, t_id ASC NULLS FIRST)
+                 AS rn
+        FROM paired),
+      credited AS (
+        SELECT campaign,
+               CASE
+                 WHEN n = 1 THEN cents
+                 WHEN n = 2 THEN
+                   CASE WHEN rn = 1 THEN cents - cents // 2
+                        ELSE cents // 2 END
+                 WHEN rn = 1 OR rn = n THEN (cents * 2) // 5
+                 ELSE (cents - 2 * ((cents * 2) // 5)) // (n - 2)
+                      + CASE WHEN rn - 1 <=
+                          (cents - 2 * ((cents * 2) // 5)) % (n - 2)
+                        THEN 1 ELSE 0 END
+               END AS credit
+        FROM pos)
+      SELECT campaign, COUNT(*) AS n_credits,
+             ROUND(SUM(credit) / 100.0, 2) AS revenue
+      FROM credited GROUP BY campaign"""))
+
+  /** Cart abandonment per session-start day — the GA e-commerce
+    * funnel-health metric: among gap-sessions that contain a `click`
+    * (the add-to-cart proxy), the share that end without a
+    * `purchase`. Reported in integer basis points (no double
+    * division — exact at any SF, same policy as `bounce_rate`).
+    *
+    * Scale: the one sessionize exchange (user_id shuffle, bounded
+    * per-user partitions), a per-session bool rollup that collapses
+    * the stream to one row per session BEFORE the day rollup, then a
+    * day-sized result. Nothing global. */
+  val cartAbandonment = Op(
+    "cart_abandonment",
+    (s, d) => {
+      val sessions = ev(s, d)
+        .withColumn("prev_us", lag(col("us"), 1).over(perUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn("sid",
+          sum(col("new_s")).over(
+            perUser.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("start_us"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("has_cart"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("has_purchase"))
+      sessions
+        .filter(col("has_cart") === 1L)
+        .groupBy(to_date(timestamp_micros(col("start_us"))).as("day"))
+        .agg(count(lit(1)).as("n_cart_sessions"),
+          sum(when(col("has_purchase") === 0L, 1L).otherwise(0L))
+            .as("n_abandoned"))
+        .withColumn("abandon_bp",
+          expr("n_abandoned * 10000 div n_cart_sessions"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, sid, MIN(us) AS start_us,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS has_cart,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS has_purchase
+        FROM sess GROUP BY user_id, sid)
+      SELECT CAST(make_timestamp(start_us) AS DATE) AS day,
+             COUNT(*) AS n_cart_sessions,
+             CAST(SUM(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_abandoned,
+             CAST(SUM(CASE WHEN has_purchase = 0 THEN 1 ELSE 0 END)
+               * 10000 // COUNT(*) AS BIGINT) AS abandon_bp
+      FROM sessions WHERE has_cart = 1 GROUP BY 1"""))
+
   override def ops: Seq[Op] =
-    Seq(attributionTimeDecay, sessionPaths, interEventHist)
+    Seq(attributionTimeDecay, sessionPaths, interEventHist,
+      attributionPosition, cartAbandonment)
 }

@@ -45,6 +45,65 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  test("attribution_position conserves revenue to the cent") {
+    // the U-shape is still an exact partition of each purchase's
+    // cents: across campaigns (incl. direct -1) attributed revenue
+    // equals total purchase revenue exactly, like attribution_linear
+    for (dir <- Seq(sfDir, sfDir01)) {
+      val out = q("attribution_position", dir)
+      val attributed = out.agg(sum(col("revenue"))).first().getDouble(0)
+      val totalCents = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .agg(sum(floor(col("value") * 100).cast("long")))
+        .first().getLong(0)
+      assert(math.abs(attributed - totalCents / 100.0) < 1e-9,
+        s"$dir: attributed $attributed != purchases ${totalCents / 100.0}")
+    }
+  }
+
+  test("attribution_position credit rows match attribution_linear's") {
+    // same pairing (every purchase × its prior touches + direct):
+    // only the split differs, so n_credits per campaign must agree
+    val pos = q("attribution_position").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lin = q("attribution_linear").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pos == lin)
+  }
+
+  test("cart_abandonment matches a direct Scala sessionization") {
+    val out = q("cart_abandonment").collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gap = 1800L * 1000000L
+    val byDay = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    for ((_, hits) <- evs.groupBy(_._1)) {
+      val sorted = hits.sortBy(h => (h._2, h._3))
+      var sess = Vector.empty[Vector[(Long, String)]]
+      for (h <- sorted) {
+        if (sess.isEmpty || h._2 - sess.last.last._1 > gap)
+          sess :+= Vector(h._2 -> h._4)
+        else sess = sess.init :+ (sess.last :+ (h._2 -> h._4))
+      }
+      for (ss <- sess if ss.exists(_._2 == "click")) {
+        val day = java.time.Instant.ofEpochSecond(ss.head._1 / 1000000L)
+          .toString.take(10)
+        val (n, a) = byDay(day)
+        byDay(day) =
+          (n + 1, a + (if (ss.exists(_._2 == "purchase")) 0L else 1L))
+      }
+    }
+    assert(out.keySet == byDay.keySet)
+    for ((day, (n, a)) <- byDay)
+      assert(out(day) == ((n, a, a * 10000L / n)), s"day $day")
+  }
+
   test("compaction_plan conserves rows and sizes files to the target") {
     val rows = q("compaction_plan").collect()
     val total = Tables(spark, sfDir, "lineitem").count()
