@@ -411,7 +411,170 @@ object VectorOps extends OpModule {
       SELECT c_id, COUNT(*) AS n_vecs, ROUND(AVG(score), 4) AS avg_sim
       FROM a2 GROUP BY c_id"""))
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space
+    * (k=8 deterministic seed centroids, MIPS assignment like
+    * `kmeans_assign`/`ivf_topk`), then drop any vector that has a
+    * LOWER-id in-cluster neighbor with rounded cosine ≥ 0.3 — the
+    * "semantic near-duplicate pruning" step of a training-data
+    * pipeline (cf. SemDeDup, Abbas et al. 2023: clustering bounds
+    * the quadratic pair work to within-cluster candidates). The
+    * keep/drop rule is the EXISTS-lower-id variant (not transitive
+    * closure — `neardup_cluster` owns that kernel), so keeps are a
+    * pure function of the pair set.
+    *
+    * Scale: the assignment is a broadcast cross (k rows); the only
+    * wide exchange is the pair equi-join ON THE CLUSTER ID —
+    * quadratic only within a cluster, the whole point of clustering
+    * first. At 100 TB k grows ∝ data (k ≈ √N keeps clusters
+    * bounded), cluster id becomes the shuffle/partition key, and
+    * per-cluster candidate scoring stays memory-local. */
+  val semdedup = Op(
+    "semdedup",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val seeds = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_score").desc, col("c_id"))
+      val assigned = emb.crossJoin(broadcast(seeds))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .withColumn("c_rn", row_number().over(wAssign))
+        .filter(col("c_rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("c_id"))
+      val lower = assigned.select(col("c_id").as("a_c"),
+        col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val dropped = assigned
+        .join(lower, col("c_id") === col("a_c") &&
+          col("a_id") < col("vec_id"))
+        .withColumn("score", round(dot("embedding", "a_emb"), 4))
+        .filter(col("score") >= 0.3)
+        .select(col("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1))
+      assigned
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("c_id"),
+          when(col("is_dropped").isNull, lit(1)).otherwise(lit(0))
+            .as("kept"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 8),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS c_rn
+          FROM embeddings e, c)
+        WHERE c_rn = 1),
+      d AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.3)
+      SELECT vec_id, c_id,
+             CASE WHEN vec_id IN (SELECT vec_id FROM d) THEN 0 ELSE 1 END
+               AS kept
+      FROM assigned"""))
+
+  /** Product-quantization ANN (the memory-scaling step past
+    * `embed_quantize`'s int8): split each 64-dim vector into m=8
+    * 8-dim subvectors, quantize each against a 16-entry per-subspace
+    * codebook (subvectors of the first 16 vecs — deterministic, like
+    * `ivf_topk`'s centroids), so a vector stores as 8 code bytes
+    * (32× smaller than float32). Query scoring is ADC: a per-
+    * (subspace, code) dot-product table against the target, summed
+    * over the 8 codes. Sub-distances use the exact identity
+    * ‖a−b‖² = a·a + b·b − 2a·b (three dot_f calls — no new kernel),
+    * rounded to 4dp before the argmin with a code-id tie-break; ADC
+    * table entries are scaled to integer ten-thousandths so the
+    * 8-term sum is EXACT integer arithmetic in both engines — no
+    * accumulation-order drift can flip the top-k.
+    *
+    * Scale: codebook + ADC table are k·m-sized broadcasts; encoding
+    * is one broadcast join per vector row (the one-off index build);
+    * query-time scoring reads only the 8-byte codes — the plan that
+    * makes a 100 TB vector store scannable at memory-bandwidth
+    * speed, with exact re-ranking available via `vector_topk` on the
+    * ADC top candidates. */
+  val pqTopk = Op(
+    "pq_topk",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val sub = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .select(col("vec_id"), col("s"), col("sv"))
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .select(col("code"), col("s"), col("c_sv"))
+      val wCode = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d2").asc, col("code"))
+      val codes = sub.join(broadcast(cb), "s")
+        .withColumn("d2",
+          round(dot("sv", "sv") + dot("c_sv", "c_sv") -
+            lit(2.0) * dot("sv", "c_sv"), 4))
+        .withColumn("rn", row_number().over(wCode))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("s"), col("code"))
+      val adcTable = sub.filter(col("vec_id") === 0)
+        .select(col("s"), col("sv").as("q_sv"))
+        .join(broadcast(cb), "s")
+        .withColumn("qdot_i",
+          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("s"), col("code"), col("qdot_i"))
+      codes
+        .join(broadcast(adcTable), Seq("s", "code"))
+        .groupBy(col("vec_id"))
+        .agg((sum(col("qdot_i")) / 10000.0).as("adc_score"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH sub AS (
+        SELECT vec_id, s,
+               CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
+      cb AS (
+        SELECT vec_id AS code, s, sv AS c_sv
+        FROM sub WHERE vec_id < 16),
+      codes AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN cb USING (s))
+        WHERE rn = 1),
+      adc AS (
+        SELECT cb.s, cb.code,
+               CAST(ROUND(list_dot_product(q.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT s, sv FROM sub WHERE vec_id = 0) q
+        JOIN cb USING (s))
+      SELECT codes.vec_id,
+             SUM(qdot_i) / 10000.0 AS adc_score
+      FROM codes JOIN adc USING (s, code)
+      GROUP BY codes.vec_id
+      HAVING codes.vec_id <> 0
+      ORDER BY adc_score DESC, codes.vec_id
+      LIMIT 10"""))
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
-      embedQuantize, kmeansAssign)
+      embedQuantize, kmeansAssign, semdedup, pqTopk)
 }
