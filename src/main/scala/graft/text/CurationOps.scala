@@ -428,7 +428,75 @@ object CurationOps extends OpModule {
       FROM b JOIN counts USING (source), m
       GROUP BY b.source"""))
 
+  /** DSIR-style importance weighting (cf. Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its word-bigram distribution
+    * is. The target slice is hash-held-out (the `split_hash` Knuth
+    * bucket < 10 — a pure function of doc_id, so the weights are
+    * reproducible across re-runs/appends); the weight is the per-doc
+    * mean add-one-smoothed log-likelihood ratio
+    * ln((tgt_c+1)/(T+V)) − ln((all_c+1)/(N+V)) over the doc's bigram
+    * instances. Downstream, `sample_budget`-style selection keeps
+    * the top-weight tail — importance resampling without training a
+    * model.
+    *
+    * Scale: bigram generation is positional per-row work (no
+    * position join); the (bigram, counts) table shuffles once on the
+    * skinny gram key with map-side combine, the 3 scalar totals
+    * broadcast, and the per-doc rollup shuffles (doc_id, 2 cols).
+    * Corpus text is read once and never re-shuffled. */
+  val dsirWeights = Op(
+    "dsir_weights",
+    (s, d) => {
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("is_tgt",
+          expr("CASE WHEN (doc_id % 100000) * 2654435761 % 100 < 10" +
+            " THEN 1 ELSE 0 END"))
+        .filter(size(col("toks")) >= 2)
+      val bg = t
+        .select(col("doc_id"), col("is_tgt"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(col("doc_id"), col("is_tgt"),
+          concat(element_at(col("toks"), col("i")), lit(" "),
+            element_at(col("toks"), col("i") + 1)).as("g"))
+      val cnt = bg.groupBy(col("g"))
+        .agg(count(lit(1)).as("all_c"), sum(col("is_tgt")).as("tgt_c"))
+      val tot = bg.agg(count(lit(1)).as("tn"),
+        sum(col("is_tgt")).as("tt"), countDistinct(col("g")).as("tv"))
+      bg.join(cnt, "g")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(
+            log((col("tgt_c") + lit(1.0)) / (col("tt") + col("tv"))) -
+              log((col("all_c") + lit(1.0)) / (col("tn") + col("tv")))),
+            4).as("dsir_w"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CASE WHEN (doc_id % 100000) * 2654435761 % 100 < 10
+                    THEN 1 ELSE 0 END AS is_tgt
+        FROM documents),
+      bg AS (
+        SELECT doc_id, is_tgt, toks[i] || ' ' || toks[i + 1] AS g
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+      cnt AS (
+        SELECT g, COUNT(*) AS all_c, CAST(SUM(is_tgt) AS BIGINT) AS tgt_c
+        FROM bg GROUP BY g),
+      tot AS (
+        SELECT COUNT(*) AS tn, CAST(SUM(is_tgt) AS BIGINT) AS tt,
+               COUNT(DISTINCT g) AS tv
+        FROM bg)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(LN((tgt_c + 1.0) / (tt + tv))
+                     - LN((all_c + 1.0) / (tn + tv))), 4) AS dsir_w
+      FROM bg JOIN cnt USING (g), tot
+      GROUP BY doc_id"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
-    contaminationBloom, sampleBudget, mixUniform)
+    contaminationBloom, sampleBudget, mixUniform, dsirWeights)
 }

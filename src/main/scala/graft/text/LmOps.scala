@@ -295,6 +295,94 @@ object LmOps extends OpModule {
       ORDER BY n_cooccur DESC, w1, w2
       LIMIT 20"""))
 
+  /** BPE tokenizer APPLICATION (`bpe_merges` learns the merge table;
+    * this op runs the tokenizer): re-learn the same 8 merge rules,
+    * apply them in rank order to the distinct-word table, and report
+    * per-document word and BPE-token counts — the "how many tokens
+    * is my corpus under this tokenizer" question every training-data
+    * budget starts from. A word's token count is its symbol count in
+    * the final segmentation (split on the '||' delimiter frame, the
+    * same convention as `bpePairs`).
+    *
+    * Scale: the merge learning is `bpe_merges`' plan (corpus read
+    * once into the vocab-sized (word, count) rollup; per-round
+    * shuffles carry only symbol-pair keys). Encoding touches ONLY
+    * the distinct-word table — the corpus is never re-segmented
+    * row by row; the doc rollup is one equi-join of (doc_id, word)
+    * tokens against the vocab-sized encode table, then a
+    * map-side-combined per-doc sum. */
+  val bpeEncode = Op(
+    "bpe_encode",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      var seg = words.select(col("w"),
+        concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
+        col("c"))
+      for (_ <- 1 to BpeRounds) {
+        val best = bpePairs(seg)
+          .orderBy(col("pair_count").desc, col("s1"), col("s2"))
+          .limit(1)
+        seg = seg
+          .crossJoin(broadcast(
+            best.select(col("s1").as("m1"), col("s2").as("m2"))))
+          .select(col("w"),
+            expr("replace(seg, concat('|', m1, '||', m2, '|')," +
+              " concat('|', m1, m2, '|'))").as("seg"),
+            col("c"))
+      }
+      val enc = seg.select(col("w"),
+        (size(split(col("seg"), "\\|\\|")) - 2).as("n_sym"))
+      docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(enc, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym")).as("n_bpe_tokens"))
+    },
+    Some {
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""
+      p$r AS (
+        SELECT arr[i] AS s1, arr[i + 1] AS s2,
+               CAST(SUM(c) AS BIGINT) AS pair_count
+        FROM (SELECT string_split(seg, '||') AS arr, c FROM seg${r - 1}
+              WHERE len(string_split(seg, '||')) >= 4),
+             UNNEST(generate_series(2, len(arr) - 2)) AS u(i)
+        GROUP BY s1, s2),
+      m$r AS (SELECT s1, s2 FROM p$r
+              ORDER BY pair_count DESC, s1, s2 LIMIT 1),
+      seg$r AS (
+        SELECT w, replace(seg, '|' || s1 || '||' || s2 || '|',
+                          '|' || s1 || s2 || '|') AS seg, c
+        FROM seg${r - 1}, m$r)"""
+      }.mkString(",")
+      s"""
+      WITH words AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      seg0 AS (
+        SELECT w, '||' || regexp_replace(w, '(.)', '\\1||', 'g') AS seg, c
+        FROM words),$rounds,
+      enc AS (
+        SELECT w, len(string_split(seg, '||')) - 2 AS n_sym
+        FROM seg$BpeRounds),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+      FROM tok JOIN enc USING (w)
+      WHERE w <> ''
+      GROUP BY doc_id"""
+    })
+
   override def ops: Seq[Op] =
-    Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges, cooccurTopk)
+    Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges, cooccurTopk,
+      bpeEncode)
 }

@@ -174,6 +174,64 @@ class Round8OpsSpec extends AnyFunSuite {
       s"recall ${(approx & exact).size}/10 fell below floor")
   }
 
+  test("dsir_weights matches a direct Scala recomputation") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def tgt(id: Long) = (id % 100000L) * 2654435761L % 100L < 10L
+    val bgs = docs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      w.indices.dropRight(1).map(i => (id, w(i) + " " + w(i + 1)))
+    }
+    val allC = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tgtC = bgs.filter(p => tgt(p._1)).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val (tn, tt, tv) =
+      (bgs.length.toLong, bgs.count(p => tgt(p._1)).toLong,
+        allC.size.toLong)
+    val out = q("dsir_weights").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val byDoc = bgs.groupBy(_._1)
+    assert(out.keySet == byDoc.keySet)
+    for ((id, gs) <- byDoc) {
+      val terms = gs.map { case (_, g) =>
+        math.log((tgtC(g) + 1.0) / (tt + tv)) -
+          math.log((allC(g) + 1.0) / (tn + tv))
+      }
+      val w = r4(terms.sum / terms.length)
+      assert(out(id)._1 == gs.length.toLong, s"doc $id n_bigrams")
+      assert(math.abs(out(id)._2 - w) < 1e-9, s"doc $id weight")
+    }
+    // the defining property: the hash-held-out target slice scores
+    // higher on average than the rest (its bigrams ARE the target)
+    val (t_, o) = out.partition(p => tgt(p._1))
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
+    assert(mean(t_.values.map(_._2)) > mean(o.values.map(_._2)))
+  }
+
+  test("bpe_encode agrees with applying bpe_merges' learned rules") {
+    val merges = q("bpe_merges").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def encode(w: String): Int = {
+      var seg = "||" + w.map(c => s"$c||").mkString
+      for ((a, b) <- merges)
+        seg = seg.replace(s"|$a||$b|", s"|$a$b|")
+      seg.split("\\|\\|", -1).length - 2
+    }
+    val out = q("bpe_encode").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    for ((id, text) <- docs) {
+      val words = text.split(" ", -1).filter(_.nonEmpty)
+      if (words.isEmpty) assert(!out.contains(id))
+      else assert(out(id) ==
+        ((words.length.toLong, words.map(encode(_).toLong).sum)),
+        s"doc $id")
+    }
+  }
+
   test("compaction_plan conserves rows and sizes files to the target") {
     val rows = q("compaction_plan").collect()
     val total = Tables(spark, sfDir, "lineitem").count()
