@@ -416,7 +416,158 @@ object JourneyOps extends OpModule {
                * 10000 // COUNT(*) AS BIGINT) AS abandon_bp
       FROM sessions WHERE has_cart = 1 GROUP BY 1"""))
 
+  /** Markov removal-effect attribution — the data-driven GA model
+    * (vs the heuristic linear/time-decay/position splits): build the
+    * user-journey channel transition graph (START → touches → CONV
+    * if the user ever purchases, else NULL), then value each channel
+    * by how much the START→CONV absorption probability drops when
+    * that channel is removed (its transitions become dead ends) —
+    * removal_effect = (p_base − p_removed) / p_base.
+    *
+    * Absorption probabilities come from K=8 unrolled fixed-point
+    * iterations p(s) ← P(s→CONV) + Σ_ch P(s→ch)·p(ch) (the
+    * `pagerank` unrolled-CTE oracle pattern), all 6 scenarios
+    * (base + 5 removals) carried as one keyed table so the rounds
+    * are joins, not per-scenario reruns. Probabilities are rounded
+    * to 6dp each round so both engines iterate identically; journeys
+    * are 1-2 hops deep in the fixture so K=8 is converged.
+    *
+    * Scale: the DATA-sized work is the transition extraction — one
+    * user_id window shuffle, then a channel²-sized count rollup
+    * (map-side combined). Everything after operates on the
+    * channel-sized graph: 6·|states| rows through 8 small joins —
+    * driver-coordinated but executor-executed, nothing ∝ events. */
+  val markovRemoval = Op(
+    "markov_removal",
+    (s, d) => {
+      val e = ev(s, d)
+      val hits = e
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          (get_json_object(col("props"), "$.k").cast("int") % 5)
+            .as("campaign"),
+          col("us"), col("event_id"))
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val seq = hits
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("nx", lead(col("campaign"), 1).over(wSeq))
+      val convU = e.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .withColumn("has_c", lit(1))
+      val trans = seq.filter(col("rn") === 1)
+        .select(lit(100).as("from_s"), col("campaign").as("to_s"))
+        .union(seq.filter(col("nx").isNotNull)
+          .select(col("campaign").as("from_s"), col("nx").as("to_s")))
+        .union(seq.filter(col("nx").isNull)
+          .join(convU, Seq("user_id"), "left")
+          .select(col("campaign").as("from_s"),
+            when(col("has_c").isNotNull, lit(101)).otherwise(lit(102))
+              .as("to_s")))
+      val wFrom = Window.partitionBy(col("from_s"))
+      val probs = trans.groupBy(col("from_s"), col("to_s"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n") * lit(1.0) / sum(col("n")).over(wFrom), 6))
+        .select(col("from_s"), col("to_s"), col("p"))
+      val rmDf = probs.sparkSession.range(-1, 5)
+        .select(col("id").cast("int").as("rm"))
+      var p = rmDf.crossJoin(
+        probs.select(col("from_s").as("st")).distinct())
+        .withColumn("p", lit(0.0))
+        .select(col("rm"), col("st"), col("p"))
+      for (_ <- 1 to 8) {
+        val prev = p.select(col("rm").as("q_rm"), col("st").as("q_s"),
+          col("p").as("q_p"))
+        p = probs.crossJoin(rmDf)
+          .join(prev,
+            col("q_rm") === col("rm") && col("q_s") === col("to_s"),
+            "left")
+          .groupBy(col("rm"), col("from_s"))
+          .agg(round(sum(
+            when(col("to_s") === 101, col("p"))
+              .when(col("to_s").between(0, 4),
+                col("p") * coalesce(col("q_p"), lit(0.0)))
+              .otherwise(lit(0.0))), 6).as("psum"))
+          .select(col("rm"),
+            col("from_s").as("st"),
+            when(col("from_s") === col("rm"), lit(0.0))
+              .otherwise(col("psum")).as("p"))
+      }
+      val base = p.filter(col("rm") === -1 && col("st") === 100)
+        .select(col("p").as("base_cvr"))
+      p.filter(col("rm") >= 0 && col("st") === 100)
+        .select(col("rm").as("campaign"), col("p").as("removed_cvr"))
+        .crossJoin(broadcast(base))
+        .withColumn("removal_effect",
+          round((col("base_cvr") - col("removed_cvr")) / col("base_cvr"),
+            4))
+        .select(col("campaign"), col("base_cvr"), col("removed_cvr"),
+          col("removal_effect"))
+    },
+    Some {
+      val iters = (1 to 8).map { k =>
+        s"""
+      p$k AS (
+        SELECT r.rm, pr.from_s AS st,
+               CASE WHEN pr.from_s = r.rm THEN 0 ELSE
+                 ROUND(SUM(CASE WHEN pr.to_s = 101 THEN pr.p
+                                WHEN pr.to_s BETWEEN 0 AND 4
+                                  THEN pr.p * COALESCE(q.p, 0)
+                                ELSE 0 END), 6) END AS p
+        FROM probs pr
+        CROSS JOIN (VALUES (-1), (0), (1), (2), (3), (4)) r(rm)
+        LEFT JOIN p${k - 1} q ON q.rm = r.rm AND q.st = pr.to_s
+        GROUP BY r.rm, pr.from_s)"""
+      }.mkString(",")
+      s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(json_extract_string(props, '$$.k') AS INT) % 5
+                 AS campaign
+        FROM events),
+      hits AS (
+        SELECT user_id, campaign, us, event_id
+        FROM ev WHERE event_type IN ('click', 'view')),
+      seq AS (
+        SELECT user_id, campaign,
+               ROW_NUMBER() OVER w AS rn,
+               LEAD(campaign, 1) OVER w AS nx
+        FROM hits
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      conv AS (
+        SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+      trans AS (
+        SELECT 100 AS from_s, campaign AS to_s FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT campaign, nx FROM seq WHERE nx IS NOT NULL
+        UNION ALL
+        SELECT s.campaign,
+               CASE WHEN c.user_id IS NOT NULL THEN 101 ELSE 102 END
+        FROM seq s LEFT JOIN conv c USING (user_id)
+        WHERE s.nx IS NULL),
+      tc AS (
+        SELECT from_s, to_s, COUNT(*) AS n FROM trans GROUP BY 1, 2),
+      probs AS (
+        SELECT from_s, to_s,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_s), 6)
+                 AS p
+        FROM tc),
+      p0 AS (
+        SELECT r.rm, st.st, CAST(0 AS DOUBLE) AS p
+        FROM (VALUES (-1), (0), (1), (2), (3), (4)) r(rm),
+             (SELECT DISTINCT from_s AS st FROM probs) st),$iters,
+      base AS (SELECT p AS base_cvr FROM p8 WHERE rm = -1 AND st = 100)
+      SELECT scen.rm AS campaign, base.base_cvr,
+             scen.p AS removed_cvr,
+             ROUND((base.base_cvr - scen.p) / base.base_cvr, 4)
+               AS removal_effect
+      FROM p8 scen, base
+      WHERE scen.rm >= 0 AND scen.st = 100"""
+    })
+
   override def ops: Seq[Op] =
     Seq(attributionTimeDecay, sessionPaths, interEventHist,
-      attributionPosition, cartAbandonment)
+      attributionPosition, cartAbandonment, markovRemoval)
 }

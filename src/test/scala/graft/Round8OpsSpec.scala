@@ -232,6 +232,63 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("markov_removal matches a full Scala mirror of the chain") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 5)
+          .as("campaign"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), if (r.isNullAt(4)) -99 else r.getInt(4)))
+    val conv = evs.filter(_._4 == "purchase").map(_._1).toSet
+    val trans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    for ((u, hits0) <- evs.filter(e => e._4 == "click" || e._4 == "view")
+           .groupBy(_._1)) {
+      val hits = hits0.sortBy(h => (h._2, h._3)).map(_._5)
+      trans += ((100, hits.head))
+      if (hits.length > 1)
+        for (pair <- hits.sliding(2)) trans += ((pair(0), pair(1)))
+      trans += ((hits.last, if (conv(u)) 101 else 102))
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.size).toMap
+    val outTotals = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val probs = counts.map { case ((f, t), n) =>
+      (f, t) -> r6(n.toDouble / outTotals(f))
+    }
+    val states = probs.keys.map(_._1).toSet
+    def absorb(rm: Int): Double = {
+      var p = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to 8) {
+        p = states.map { s =>
+          s -> (if (s == rm) 0.0
+          else r6(probs.collect {
+            case ((f, t), pr) if f == s =>
+              if (t == 101) pr
+              else if (t >= 0 && t <= 4) pr * p.getOrElse(t, 0.0)
+              else 0.0
+          }.sum))
+        }.toMap
+      }
+      p(100)
+    }
+    val base = absorb(-1)
+    val out = q("markov_removal").collect()
+      .map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0, 1, 2, 3, 4))
+    for (c <- 0 to 4) {
+      val rc = absorb(c)
+      val eff = r4((base - rc) / base)
+      assert(math.abs(out(c)._1 - base) < 1e-9, s"ch $c base")
+      assert(math.abs(out(c)._2 - rc) < 1e-9, s"ch $c removed")
+      assert(math.abs(out(c)._3 - eff) < 1e-9, s"ch $c effect")
+    }
+  }
+
   test("compaction_plan conserves rows and sizes files to the target") {
     val rows = q("compaction_plan").collect()
     val total = Tables(spark, sfDir, "lineitem").count()
