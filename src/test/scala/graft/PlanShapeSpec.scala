@@ -203,7 +203,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "merge_partitioned", // crossJoin of the 1-row max-key scalar
       "fk_orphans",    // crossJoins of three 1-row audit aggregates
       "equi_depth_hist", // crossJoin of the 1-row global-count scalar
-      "bpe_merges")    // K crossJoins of the 1-row argmax merge rule
+      "bpe_merges",    // K crossJoins of the 1-row argmax merge rule
+      "bpe_encode",    // same K 1-row argmax crossJoins as bpe_merges
+      "semdedup",      // crossJoin of the 8-row seed centroid set
+      "dsir_weights",  // crossJoin of the 1-row corpus-totals scalar
+      "markov_removal") // 6-row scenario grid × channel-sized graph
+      //                  + the 1-row base-cvr scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
