@@ -46,6 +46,16 @@ object Bench {
     "merge_upsert", "merge_partitioned", "table_diff", "fk_orphans",
     "equi_depth_hist", "key_skew", "page_transitions", "pagerank")
 
+  /** The round-8 additions, timed when SPARK_GRAFT_BENCH_SET=r8:
+    * the new curation/vector/journey ops. `semdedup` is
+    * quadratic-within-cluster by design (bounded by cluster size —
+    * see SCALE.md) and stays in the set deliberately so its growth
+    * is measured, not assumed. */
+  val r8: Seq[String] = Seq(
+    "entropy_filter", "cooccur_topk", "compaction_plan",
+    "attribution_position", "cart_abandonment", "semdedup", "pq_topk",
+    "dsir_weights", "bpe_encode", "markov_removal")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +82,7 @@ object Bench {
     val set = sys.env.get("SPARK_GRAFT_BENCH_SET") match {
       case Some("pipeline") => pipeline
       case Some("ga")       => ga
+      case Some("r8")       => r8
       case _                => headline
     }
     val queries = SparkEntry.queries

@@ -465,11 +465,16 @@ object JourneyOps extends OpModule {
             when(col("has_c").isNotNull, lit(101)).otherwise(lit(102))
               .as("to_s")))
       val wFrom = Window.partitionBy(col("from_s"))
+      // materialize the channel²-sized graph once: each of the 8
+      // fixed-point rounds would otherwise re-run the data-sized
+      // windowed transition extraction behind it (pagerank's
+      // localCheckpoint lineage-truncation pattern)
       val probs = trans.groupBy(col("from_s"), col("to_s"))
         .agg(count(lit(1)).as("n"))
         .withColumn("p",
           round(col("n") * lit(1.0) / sum(col("n")).over(wFrom), 6))
         .select(col("from_s"), col("to_s"), col("p"))
+        .localCheckpoint()
       val rmDf = probs.sparkSession.range(-1, 5)
         .select(col("id").cast("int").as("rm"))
       var p = rmDf.crossJoin(

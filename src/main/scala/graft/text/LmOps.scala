@@ -166,6 +166,37 @@ object LmOps extends OpModule {
       .groupBy(col("s1"), col("s2"))
       .agg(sum(col("c")).as("pair_count"))
 
+  /** K greedy BPE merge rounds over a delimiter-framed segmentation
+    * table (columns: `seg`, weight `c`, plus any carried columns,
+    * preserved through re-segmentation). Returns the ranked merges
+    * (s1, s2, weighted pair count) and the final re-segmented table.
+    * The per-round argmax is a 1-row scalar materialized on the
+    * driver — see `bpeMerges` scaladoc for why that collapse is
+    * load-bearing. */
+  private def learnMerges(seg0: org.apache.spark.sql.DataFrame)
+      : (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    // materialize the vocab-sized rollup once: every round's argmax
+    // job would otherwise re-run the corpus scan + token explode
+    // behind it (measured ~2x the whole op's cost at sf0.1)
+    var seg = seg0.localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    for (_ <- 1 to BpeRounds) {
+      val row = bpePairs(seg)
+        .orderBy(col("pair_count").desc, col("s1"), col("s2"))
+        .limit(1).collect()(0)
+      val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
+      merges += ((a, b, n))
+      seg = seg
+        .withColumn("m1", lit(a)).withColumn("m2", lit(b))
+        .withColumn("seg",
+          expr("replace(seg, concat('|', m1, '||', m2, '|')," +
+            " concat('|', m1, m2, '|'))"))
+        .drop("m1", "m2")
+    }
+    (merges.toSeq, seg)
+  }
+
   /** BPE merge-rule training (the `vocab_build` companion: that op
     * ranks unigrams, this one LEARNS the merge table): K greedy rounds
     * of count-adjacent-symbol-pairs → argmax under a deterministic
@@ -186,39 +217,29 @@ object LmOps extends OpModule {
     * rounds then operate on that bounded table. Per round the only
     * shuffle carries (symbol-pair, count) keys — vocabulary-bounded,
     * never corpus-sized — the argmax is a TakeOrderedAndProject (no
-    * global window), and the winning rule rejoins as a broadcast
-    * 1-row crossJoin. Identical round subtrees share their exchange
-    * via ReuseExchange. At 100 TB only the initial word rollup touches
-    * the data; the K-round loop is driver-side plan unrolling (the
-    * `pagerank` unrolled-iteration pattern) over a tiny table. */
+    * global window), and the winning rule is a 1-row scalar the
+    * driver materializes per round (the same collapse AQE applies to
+    * scalar subqueries) — materializing it keeps the K-round lineage
+    * LINEAR: leaving the argmax lazy makes round k's re-segmentation
+    * AND round k+1's pair count each re-evaluate the whole prior
+    * chain, i.e. 2^K re-runs of the base rollup (measured 10× op
+    * cost at sf0.1 before the collapse). At 100 TB only the initial
+    * word rollup touches the data; the K-round loop operates on the
+    * vocabulary-sized table. */
   val bpeMerges = Op(
     "bpe_merges",
     (s, d) => {
-      val docs = Tables(s, d, "documents")
-      val words = docs
+      val words = Tables(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      var seg = words.select(
+      val merges = learnMerges(words.select(
         concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
-        col("c"))
-      var out: Option[org.apache.spark.sql.DataFrame] = None
-      for (r <- 1 to BpeRounds) {
-        val best = bpePairs(seg)
-          .orderBy(col("pair_count").desc, col("s1"), col("s2"))
-          .limit(1)
-        val row = best.select(lit(r).as("merge_rank"), col("s1"),
-          col("s2"), col("pair_count"))
-        out = Some(out.fold(row)(_.union(row)))
-        seg = seg
-          .crossJoin(broadcast(
-            best.select(col("s1").as("m1"), col("s2").as("m2"))))
-          .select(
-            expr("replace(seg, concat('|', m1, '||', m2, '|')," +
-              " concat('|', m1, m2, '|'))").as("seg"),
-            col("c"))
-      }
-      out.get
+        col("c")))._1
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((s1, s2, n), i) => (i + 1, s1, s2, n) }
+        .toDF("merge_rank", "s1", "s2", "pair_count")
     },
     Some {
       val rounds = (1 to BpeRounds).map { r =>
@@ -319,21 +340,9 @@ object LmOps extends OpModule {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      var seg = words.select(col("w"),
+      val seg = learnMerges(words.select(col("w"),
         concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
-        col("c"))
-      for (_ <- 1 to BpeRounds) {
-        val best = bpePairs(seg)
-          .orderBy(col("pair_count").desc, col("s1"), col("s2"))
-          .limit(1)
-        seg = seg
-          .crossJoin(broadcast(
-            best.select(col("s1").as("m1"), col("s2").as("m2"))))
-          .select(col("w"),
-            expr("replace(seg, concat('|', m1, '||', m2, '|')," +
-              " concat('|', m1, m2, '|'))").as("seg"),
-            col("c"))
-      }
+        col("c")))._2
       val enc = seg.select(col("w"),
         (size(split(col("seg"), "\\|\\|")) - 2).as("n_sym"))
       docs
