@@ -572,7 +572,172 @@ object JourneyOps extends OpModule {
       WHERE scen.rm >= 0 AND scen.st = 100"""
     })
 
+  /** Cohort LTV curve (the revenue twin of `cohort_retention`):
+    * users cohorted by first-activity epoch-week, purchase revenue
+    * accumulated per (cohort, weeks-since-cohort) cell, reported as
+    * exact cumulative cents and integer cents-per-user — the curve a
+    * growth team reads LTV payback off. Week indexing is pure
+    * integer arithmetic on the epoch-day grid (d div 7), so both
+    * engines bucket identically with no timezone/week-start
+    * ambiguity.
+    *
+    * Scale: one user_id shuffle for the first-activity rollup, a
+    * broadcast-sized join back to purchases, a cohort×week rollup
+    * (calendar²-bounded output), and the running sum windows over
+    * that bounded rollup — never over events. */
+  val cohortLtv = Op(
+    "cohort_ltv",
+    (s, d) => {
+      val e = ev(s, d).withColumn("day", expr("us div 86400000000"))
+      val firstW = e.groupBy(col("user_id"))
+        .agg(expr("min(day) div 7").as("cohort_week"))
+      val cohortSize = firstW.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_users"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("day div 7").as("w"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val cells = purch.join(firstW, "user_id")
+        .withColumn("week_idx", (col("w") - col("cohort_week")).cast("int"))
+        .groupBy(col("cohort_week"), col("week_idx"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val wCum = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cum_cents", sum(col("rev_cents")).over(wCum))
+        .join(broadcast(cohortSize), "cohort_week")
+        .select(col("cohort_week"), col("week_idx"), col("rev_cents"),
+          col("cum_cents"), col("n_users"),
+          expr("cum_cents div n_users").as("cum_cents_per_user"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      fw AS (
+        SELECT user_id, MIN(day) // 7 AS cohort_week
+        FROM ev GROUP BY user_id),
+      cs AS (
+        SELECT cohort_week, COUNT(*) AS n_users
+        FROM fw GROUP BY cohort_week),
+      cells AS (
+        SELECT f.cohort_week,
+               CAST(e.day // 7 - f.cohort_week AS INT) AS week_idx,
+               CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+        FROM ev e JOIN fw f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cohort_week, week_idx, rev_cents,
+               CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+                 ORDER BY week_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_cents
+        FROM cells)
+      SELECT cohort_week, week_idx, rev_cents, cum_cents, n_users,
+             cum_cents // n_users AS cum_cents_per_user
+      FROM cum JOIN cs USING (cohort_week)"""))
+
+  /** A/B experiment readout with a deterministic assignment — the
+    * product-analytics op downstream of every GA integration: variant
+    * = Knuth-multiplicative hash of user_id (pure function — the same
+    * stability contract as `split_hash`: re-runs and appends never
+    * reassign), per-variant user/conversion/revenue rollups in exact
+    * integers, conversion lift in basis points, and the two-proportion
+    * z-score computed from the integer counts in one fixed formula
+    * order (rounded 4dp) so both engines agree.
+    *
+    * Scale: one user_id-keyed rollup (map-side combined), then a
+    * 2-row conditional aggregation — nothing after the first shuffle
+    * is data-sized. */
+  val abLift = Op(
+    "ab_lift",
+    (s, d) => {
+      val users = ev(s, d)
+        .withColumn("variant",
+          expr("(user_id % 100000) * 2654435761 % 2"))
+        .groupBy(col("user_id"), col("variant"))
+        .agg(
+          // conversion = a HIGH-VALUE purchase (> $150): in a fixture
+          // where nearly every user purchases something, raw
+          // any-purchase saturates both arms at 100% and the z-score
+          // degenerates; the thresholded event keeps the readout a
+          // real two-proportion comparison
+          max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1L).otherwise(0L))
+            .as("converted"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L))
+            .as("cents"))
+      users
+        .groupBy()
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === 0, col("converted"))
+            .otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === 1, col("converted"))
+            .otherwise(0L)).as("conv_b"),
+          sum(when(col("variant") === 0, col("cents")).otherwise(0L))
+            .as("cents_a"),
+          sum(when(col("variant") === 1, col("cents")).otherwise(0L))
+            .as("cents_b"))
+        .withColumn("conv_a_bp", expr("conv_a * 10000 div n_a"))
+        .withColumn("conv_b_bp", expr("conv_b * 10000 div n_b"))
+        .withColumn("lift_bp",
+          expr("(conv_b * 10000 div n_b - conv_a * 10000 div n_a)" +
+            " * 10000 div (conv_a * 10000 div n_a)"))
+        .withColumn("z_score", round(expr(
+          // degenerate pools (0% or 100% both arms) have zero
+          // variance: report z = 0 instead of dividing by it
+          "CASE WHEN conv_a + conv_b = 0" +
+            " OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE " +
+            "(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) / " +
+            "sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b) * " +
+            "(1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) * " +
+            "(1.0 / n_a + 1.0 / n_b)) END"), 4))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               (user_id % 100000) * 2654435761 % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                   THEN 1 ELSE 0 END) AS converted,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END)
+                 AS cents
+        FROM events GROUP BY 1, 2),
+      agg AS (
+        SELECT
+          CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b,
+          CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+            AS BIGINT) AS conv_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+            AS BIGINT) AS conv_b,
+          CAST(SUM(CASE WHEN variant = 0 THEN cents ELSE 0 END)
+            AS BIGINT) AS cents_a,
+          CAST(SUM(CASE WHEN variant = 1 THEN cents ELSE 0 END)
+            AS BIGINT) AS cents_b
+        FROM u)
+      SELECT n_a, n_b, conv_a, conv_b, cents_a, cents_b,
+             conv_a * 10000 // n_a AS conv_a_bp,
+             conv_b * 10000 // n_b AS conv_b_bp,
+             (conv_b * 10000 // n_b - conv_a * 10000 // n_a)
+               * 10000 // (conv_a * 10000 // n_a) AS lift_bp,
+             ROUND(CASE WHEN conv_a + conv_b = 0
+                     OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE
+               (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) /
+               SQRT((conv_a + conv_b) * 1.0 / (n_a + n_b) *
+                    (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+                    (1.0 / n_a + 1.0 / n_b)) END, 4) AS z_score
+      FROM agg"""))
+
   override def ops: Seq[Op] =
     Seq(attributionTimeDecay, sessionPaths, interEventHist,
-      attributionPosition, cartAbandonment, markovRemoval)
+      attributionPosition, cartAbandonment, markovRemoval, cohortLtv,
+      abLift)
 }

@@ -460,10 +460,15 @@ object CurationOps extends OpModule {
         .select(col("doc_id"), col("is_tgt"),
           concat(element_at(col("toks"), col("i")), lit(" "),
             element_at(col("toks"), col("i") + 1)).as("g"))
+      // the vocab-sized count table materializes once (localCheckpoint)
+      // so the totals rollup and the scoring join both read IT, not a
+      // fresh corpus scan each — the corpus is read exactly twice:
+      // once to build the dictionary, once to score against it
       val cnt = bg.groupBy(col("g"))
         .agg(count(lit(1)).as("all_c"), sum(col("is_tgt")).as("tgt_c"))
-      val tot = bg.agg(count(lit(1)).as("tn"),
-        sum(col("is_tgt")).as("tt"), countDistinct(col("g")).as("tv"))
+        .localCheckpoint()
+      val tot = cnt.agg(sum(col("all_c")).as("tn"),
+        sum(col("tgt_c")).as("tt"), count(lit(1)).as("tv"))
       bg.join(cnt, "g")
         .crossJoin(broadcast(tot))
         .groupBy(col("doc_id"))

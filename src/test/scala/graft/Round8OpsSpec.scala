@@ -289,6 +289,56 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort_ltv conserves revenue and cohort sizes") {
+    val out = q("cohort_ltv").collect()
+    val ev = Tables.events(spark, sfDir)
+    val totalCents = ev.filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long")))
+      .first().getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalCents, "revenue conservation")
+    // per cohort: the last cumulative cell equals the cohort's total
+    for ((cw, rows) <- out.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.last.getLong(3) == rows.map(_.getLong(2)).sum,
+        s"cohort $cw cum")
+      assert(sorted.forall(_.getInt(1) >= 0), s"cohort $cw week_idx")
+    }
+    // cohort sizes cover every active user exactly once
+    val nUsers = out.groupBy(_.getLong(0)).map(_._2.head.getLong(4)).sum
+    assert(nUsers == ev.select(col("user_id")).distinct().count())
+  }
+
+  test("ab_lift matches a direct Scala recomputation") {
+    val r = q("ab_lift").first()
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+    val byUser = evs.groupBy(_._1)
+    def variant(u: Long) = (u % 100000L) * 2654435761L % 2L
+    val stats = byUser.map { case (u, es) =>
+      val purch = es.filter(_._2 == "purchase")
+      (variant(u), if (purch.exists(_._3 > 150)) 1L else 0L,
+        purch.map(p => math.floor(p._3 * 100).toLong).sum)
+    }.toSeq
+    val (a, b) = stats.partition(_._1 == 0L)
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    val (ca, cb) = (a.map(_._2).sum, b.map(_._2).sum)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((na, nb, ca, cb)))
+    assert((r.getLong(4), r.getLong(5)) ==
+      ((a.map(_._3).sum, b.map(_._3).sum)))
+    assert(r.getLong(6) == ca * 10000 / na)
+    assert(r.getLong(7) == cb * 10000 / nb)
+    val (bpA, bpB) = (ca * 10000 / na, cb * 10000 / nb)
+    assert(r.getLong(8) == (bpB - bpA) * 10000 / bpA)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z =
+      if (ca + cb == 0 || ca + cb == na + nb) 0.0
+      else (cb.toDouble / nb - ca.toDouble / na) /
+        math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(9) - r4(z)) < 1e-9)
+  }
+
   test("compaction_plan conserves rows and sizes files to the target") {
     val rows = q("compaction_plan").collect()
     val total = Tables(spark, sfDir, "lineitem").count()
