@@ -182,9 +182,14 @@ object LmOps extends OpModule {
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long)]
     for (_ <- 1 to BpeRounds) {
-      val row = bpePairs(seg)
+      val rows = bpePairs(seg)
         .orderBy(col("pair_count").desc, col("s1"), col("s2"))
-        .limit(1).collect()(0)
+        .limit(1).collect()
+      // empty corpus / nothing left to merge: stop early rather than
+      // dereference a missing argmax (the lazy pre-r8 form silently
+      // produced empty rounds here)
+      if (rows.isEmpty) return (merges.toSeq, seg)
+      val row = rows(0)
       val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
       merges += ((a, b, n))
       seg = seg

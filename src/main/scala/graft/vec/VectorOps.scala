@@ -442,10 +442,24 @@ object VectorOps extends OpModule {
         .withColumn("c_rn", row_number().over(wAssign))
         .filter(col("c_rn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
+      // the pair join's natural key is c_id alone — k partitions of
+      // work no matter how many cores (measured: 8-way parallelism
+      // for ~2.5B pairs at sf10 = ~25 min). Salt the self-join with a
+      // 16-way id-bucket: the probe side carries its natural bucket,
+      // the build side replicates across all 16, the joined pair set
+      // is IDENTICAL, and the shuffle key (c_id, bkt) gives k·16-way
+      // parallelism. (The structural fix at 100 TB is still k ∝ √N —
+      // SCALE.md — salting just decouples core count from k.)
+      val SaltB = 16
       val lower = assigned.select(col("c_id").as("a_c"),
         col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val dropped = assigned
+        .withColumn("a_bkt", (col("a_id") % SaltB).cast("int"))
+      val upper = assigned.select(col("vec_id"), col("embedding"),
+        col("c_id"),
+        explode(sequence(lit(0), lit(SaltB - 1))).as("bkt"))
+      val dropped = upper
         .join(lower, col("c_id") === col("a_c") &&
+          col("bkt") === col("a_bkt") &&
           col("a_id") < col("vec_id"))
         .withColumn("score", round(dot("embedding", "a_emb"), 4))
         .filter(col("score") >= 0.3)

@@ -163,6 +163,16 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out == expected.toSeq)
   }
 
+  test("semdedup's pair join shuffles on the salted (c_id, bkt) key") {
+    // the unsalted join's parallelism equals k (8) no matter the core
+    // count — measured ~25 min for 2.5B pairs at sf10. This guard
+    // pins the 16-way id-bucket salt in the exchange key.
+    val plan = q("semdedup").queryExecution.executedPlan.toString
+    val salted = plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning(c_id") && l.contains("bkt"))
+    assert(salted, plan.take(2000))
+  }
+
   test("pq_topk recall@10 against exact top-k stays above its floor") {
     // measured 0.2 at sf0.01 (deterministic fixtures): raw 16-code
     // ADC on near-random unit vectors is a candidate generator, not
@@ -337,6 +347,23 @@ class Round8OpsSpec extends AnyFunSuite {
       else (cb.toDouble / nb - ca.toDouble / na) /
         math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
     assert(math.abs(r.getDouble(9) - r4(z)) < 1e-9)
+  }
+
+  test("bpe ops return empty on an empty corpus instead of throwing") {
+    // the merge loop's driver-side argmax must survive zero pairs
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("emptydocs")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("bpe_merges")(spark, dir.toString)
+      .count() == 0)
+    assert(SparkEntry.queries("bpe_encode")(spark, dir.toString)
+      .count() == 0)
   }
 
   test("compaction_plan conserves rows and sizes files to the target") {
