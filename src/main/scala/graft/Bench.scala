@@ -54,7 +54,8 @@ object Bench {
   val r8: Seq[String] = Seq(
     "entropy_filter", "cooccur_topk", "compaction_plan",
     "attribution_position", "cart_abandonment", "semdedup", "pq_topk",
-    "dsir_weights", "bpe_encode", "markov_removal")
+    "dsir_weights", "bpe_encode", "markov_removal", "cohort_ltv",
+    "ab_lift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -690,13 +690,19 @@ object JourneyOps extends OpModule {
             " * 10000 div (conv_a * 10000 div n_a)"))
         .withColumn("z_score", round(expr(
           // degenerate pools (0% or 100% both arms) have zero
-          // variance: report z = 0 instead of dividing by it
+          // variance: report z = 0 instead of dividing by it.
+          // CAST AS DOUBLE everywhere: a bare `x * 1.0` literal is
+          // DECIMAL in Spark SQL and the whole chain then runs in
+          // truncating decimal arithmetic — last-digit-wrong z at
+          // sf10 vs DuckDB's double path (caught by the sf10 gate)
           "CASE WHEN conv_a + conv_b = 0" +
             " OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE " +
-            "(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) / " +
-            "sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b) * " +
-            "(1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) * " +
-            "(1.0 / n_a + 1.0 / n_b)) END"), 4))
+            "(CAST(conv_b AS DOUBLE) / n_b" +
+            " - CAST(conv_a AS DOUBLE) / n_a) / " +
+            "sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) * " +
+            "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+            "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))" +
+            " END"), 4))
     },
     Some("""
       WITH u AS (
@@ -730,10 +736,12 @@ object JourneyOps extends OpModule {
                * 10000 // (conv_a * 10000 // n_a) AS lift_bp,
              ROUND(CASE WHEN conv_a + conv_b = 0
                      OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE
-               (conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) /
-               SQRT((conv_a + conv_b) * 1.0 / (n_a + n_b) *
-                    (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
-                    (1.0 / n_a + 1.0 / n_b)) END, 4) AS z_score
+               (CAST(conv_b AS DOUBLE) / n_b
+                - CAST(conv_a AS DOUBLE) / n_a) /
+               SQRT(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) *
+                    (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+                    (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+               END, 4) AS z_score
       FROM agg"""))
 
   override def ops: Seq[Op] =
