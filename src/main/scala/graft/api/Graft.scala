@@ -572,4 +572,178 @@ object Graft {
       .groupBy(col("day"))
       .agg(max(col("run") + col("carry")).as("peak_concurrency"))
   }
+
+  // ---- round-8 curation / vector / experiment transforms ----
+
+  /** Character-entropy quality gate (generalizes `entropy_filter`):
+    * appends `entropy` (nats, 4dp) and `keep` (1/0 at `threshold`).
+    * Rows with empty text are dropped (entropy undefined). Shuffles
+    * (id, char) keys only — ≤ alphabet rows per doc. */
+  def entropyFilter(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 2.0): DataFrame = {
+    val len = fresh("_len", df.columns.toSet)
+    df.select(col(idCol), length(col(textCol)).as(len), col(textCol))
+      .filter(col(len) > 0)
+      .select(col(idCol), col(len),
+        explode(sequence(lit(1), col(len).cast("int"))).as("_i"),
+        col(textCol))
+      .select(col(idCol), col(len),
+        expr(s"substring($textCol, _i, 1)").as("_ch"))
+      .groupBy(col(idCol), col(len), col("_ch"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol), col(len))
+      .agg(round(-sum(col("_c") / col(len) *
+        log(col("_c") / col(len))), 4).as("entropy"))
+      .select(col(idCol), col("entropy"),
+        when(col("entropy") >= threshold, lit(1)).otherwise(lit(0))
+          .as("keep"))
+  }
+
+  /** Windowed skip-gram co-occurrence counts (generalizes
+    * `cooccur_topk`): ordered token pairs within ±`window`, top
+    * `topK` by (count desc, pair). Never joins on token position. */
+  def cooccurTopK(df: DataFrame, textCol: String, window: Int = 3,
+      topK: Int = 20): DataFrame = {
+    val toks = df.select(split(col(textCol), " ").as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+    toks
+      .select(col("_toks"),
+        explode(sequence(lit(1), size(col("_toks")) - 1)).as("_i"))
+      .select(col("_toks"), col("_i"),
+        explode(sequence(lit(1),
+          least(lit(window), size(col("_toks")) - col("_i")))).as("_k"))
+      .select(element_at(col("_toks"), col("_i")).as("w1"),
+        element_at(col("_toks"), col("_i") + col("_k")).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_cooccur"))
+      .orderBy(col("n_cooccur").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** DSIR-style importance weights (generalizes `dsir_weights`): the
+    * per-row mean add-one-smoothed log-likelihood ratio of word
+    * bigrams between the `isTarget` slice and the whole corpus.
+    * `isTarget` is any deterministic boolean Column (a lang match, a
+    * hash slice, a source filter) — weights stay reproducible iff it
+    * is. Output: (idCol, n_bigrams, dsir_w). */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column): DataFrame = {
+    val t = df
+      .select(col(idCol), split(col(textCol), " ").as("_toks"),
+        when(isTarget, 1).otherwise(0).as("_tgt"))
+      .filter(size(col("_toks")) >= 2)
+    val bg = t
+      .select(col(idCol), col("_tgt"), col("_toks"),
+        explode(sequence(lit(1), size(col("_toks")) - 1)).as("_i"))
+      .select(col(idCol), col("_tgt"),
+        concat(element_at(col("_toks"), col("_i")), lit(" "),
+          element_at(col("_toks"), col("_i") + 1)).as("_g"))
+    val cnt = bg.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_all"), sum(col("_tgt")).as("_tc"))
+      .localCheckpoint()
+    val tot = cnt.agg(sum(col("_all")).as("_tn"),
+      sum(col("_tc")).as("_tt"), count(lit(1)).as("_tv"))
+    bg.join(cnt, "_g")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(
+          log((col("_tc") + lit(1.0)) / (col("_tt") + col("_tv"))) -
+            log((col("_all") + lit(1.0)) / (col("_tn") + col("_tv")))),
+          4).as("dsir_w"))
+  }
+
+  /** SemDeDup-style semantic dedup (generalizes `semdedup`): assign
+    * every vector to its nearest `centroids` row (MIPS, 4dp-rounded
+    * `dot_f`, tie → lowest centroid id), then drop any vector with a
+    * lower-id same-cluster neighbor at rounded cosine ≥ `threshold`.
+    * The pair self-join is salted `saltB` ways so parallelism is
+    * k·saltB, not k. `centroids` must be broadcast-sized (k rows:
+    * (cIdCol, cVecCol)); requires `Graft.register(spark)` for dot_f.
+    * Output: (idCol, cluster, kept). */
+  def semdedup(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      threshold: Double = 0.3, saltB: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAssign = Window.partitionBy(col(idCol))
+      .orderBy(col("_cs").desc, col(cIdCol))
+    val assigned = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(
+        centroids.select(col(cIdCol), col(cVecCol).as("_cemb"))))
+      .withColumn("_cs", round(expr(s"dot_f($vecCol, _cemb)"), 4))
+      .withColumn("_rn", row_number().over(wAssign))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col(cIdCol).as("cluster"))
+    val lower = assigned.select(col("cluster").as("_ac"),
+      col(idCol).as("_aid"), col(vecCol).as("_aemb"))
+      .withColumn("_abkt", (col("_aid") % saltB).cast("int"))
+    val upper = assigned.select(col(idCol), col(vecCol), col("cluster"),
+      explode(sequence(lit(0), lit(saltB - 1))).as("_bkt"))
+    val dropped = upper
+      .join(lower, col("cluster") === col("_ac") &&
+        col("_bkt") === col("_abkt") && col("_aid") < col(idCol))
+      .withColumn("_s", round(expr(s"dot_f($vecCol, _aemb)"), 4))
+      .filter(col("_s") >= threshold)
+      .select(col(idCol)).distinct()
+      .withColumn("_dropped", lit(1))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        when(col("_dropped").isNull, lit(1)).otherwise(lit(0))
+          .as("kept"))
+  }
+
+  /** A/B experiment readout (generalizes `ab_lift`): deterministic
+    * Knuth-hash variant from `userCol`, conversion = `isConversion`,
+    * revenue = `valueCol` cents over rows matching `isRevenue` (both
+    * arbitrary boolean Columns — conversion is often a stricter
+    * predicate than revenue, e.g. high-value purchases vs all
+    * purchases). One-row output with counts, rates (bp), lift (bp)
+    * and the two-proportion z-score (zero-variance pools → z = 0). */
+  def abLift(events: DataFrame, userCol: String, valueCol: String,
+      isConversion: Column, isRevenue: Column): DataFrame = {
+    val users = events
+      .withColumn("_v", expr(s"($userCol % 100000) * 2654435761 % 2"))
+      .groupBy(col(userCol), col("_v"))
+      .agg(
+        max(when(isConversion, 1L).otherwise(0L)).as("_conv"),
+        sum(when(isRevenue,
+          floor(col(valueCol) * 100).cast("long")).otherwise(0L))
+          .as("_cents"))
+    // empty/one-sided inputs: counts coalesce to 0, the rate/lift
+    // columns go NULL instead of dividing by zero (ANSI mode throws),
+    // and the z-score CASE treats an empty arm as zero variance
+    users.groupBy()
+      .agg(
+        coalesce(sum(when(col("_v") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("_v") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_b"),
+        coalesce(sum(when(col("_v") === 0, col("_conv"))
+          .otherwise(0L)), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("_v") === 1, col("_conv"))
+          .otherwise(0L)), lit(0L)).as("conv_b"),
+        coalesce(sum(when(col("_v") === 0, col("_cents"))
+          .otherwise(0L)), lit(0L)).as("cents_a"),
+        coalesce(sum(when(col("_v") === 1, col("_cents"))
+          .otherwise(0L)), lit(0L)).as("cents_b"))
+      .withColumn("conv_a_bp",
+        expr("CASE WHEN n_a = 0 THEN NULL" +
+          " ELSE conv_a * 10000 div n_a END"))
+      .withColumn("conv_b_bp",
+        expr("CASE WHEN n_b = 0 THEN NULL" +
+          " ELSE conv_b * 10000 div n_b END"))
+      .withColumn("lift_bp",
+        expr("CASE WHEN n_a = 0 OR n_b = 0 OR conv_a = 0 THEN NULL" +
+          " ELSE (conv_b * 10000 div n_b - conv_a * 10000 div n_a)" +
+          " * 10000 div (conv_a * 10000 div n_a) END"))
+      .withColumn("z_score", round(expr(
+        "CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0" +
+          " OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE " +
+          "(CAST(conv_b AS DOUBLE) / n_b" +
+          " - CAST(conv_a AS DOUBLE) / n_a) / " +
+          "sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) * " +
+          "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+          "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))" +
+          " END"), 4))
+  }
 }

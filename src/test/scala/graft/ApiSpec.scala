@@ -433,4 +433,46 @@ class ApiSpec extends AnyFunSuite {
     assert(out.filter(col("bucket") < 0 || col("bucket") > 9 ||
       col("lo") > col("hi")).count() == 0)
   }
+
+  // ---- round-8 facade transforms vs their declared queries ----
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("Graft.entropyFilter matches the declared entropy_filter") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows(Graft.entropyFilter(docs, "text", "doc_id")) ==
+      rows(q("entropy_filter")))
+  }
+
+  test("Graft.cooccurTopK matches the declared cooccur_topk") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(Graft.cooccurTopK(docs, "text").collect().toSeq ==
+      q("cooccur_topk").collect().toSeq)
+  }
+
+  test("Graft.importanceWeights matches the declared dsir_weights") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Graft.importanceWeights(docs, "text", "doc_id",
+      expr("(doc_id % 100000) * 2654435761 % 100 < 10"))
+    assert(rows(out) == rows(q("dsir_weights")))
+  }
+
+  test("Graft.semdedup matches the declared semdedup") {
+    Graft.register(spark)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = Graft.semdedup(emb, "embedding", "vec_id",
+      seeds, "cid", "cvec")
+    assert(rows(out) == rows(q("semdedup")))
+  }
+
+  test("Graft.abLift matches the declared ab_lift") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.abLift(ev, "user_id", "value",
+      col("event_type") === "purchase" && col("value") > 150,
+      col("event_type") === "purchase")
+    assert(out.collect().toSeq == q("ab_lift").collect().toSeq)
+  }
 }

@@ -95,6 +95,26 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Graft.userStreaks(emptyEvents, "user_id", "ts").count() == 0)
   }
 
+  test("round-8 facade transforms on zero rows") {
+    Graft.register(spark)
+    assert(Graft.entropyFilter(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Graft.cooccurTopK(emptyDocs, "text").count() == 0)
+    assert(Graft.importanceWeights(emptyDocs, "text", "doc_id",
+      expr("doc_id % 2 = 0")).count() == 0)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Graft.semdedup(emptyVecs, "embedding", "vec_id",
+      emptyVecs.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec")), "cid", "cvec").count() == 0)
+    // zero users: the 1-row grand-total shape still returns one row
+    // of zero counts rather than throwing on 0/0
+    val ab = Graft.abLift(emptyEvents, "user_id", "value",
+      col("event_type") === "purchase", col("event_type") === "purchase")
+    assert(ab.count() == 1 && ab.first().getLong(0) == 0L)
+  }
+
   test("chunkDocs skips empty-string documents instead of throwing") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "abcd")).toDF("doc_id", "text")
