@@ -55,7 +55,7 @@ object Bench {
     "entropy_filter", "cooccur_topk", "compaction_plan",
     "attribution_position", "cart_abandonment", "semdedup", "pq_topk",
     "dsir_weights", "bpe_encode", "markov_removal", "cohort_ltv",
-    "ab_lift")
+    "ab_lift", "shingle_containment", "winnowing_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,11 +150,13 @@ object SimilarityOps extends OpModule {
     * observed to go quadratic at sf0.1 on the 31-word fixture vocab. */
   val MaxDf = 50
 
-  /** Shared candidate-pair kernel: (doc_a, doc_b, jaccard) with
-    * jaccard >= 0.2 over rare trigram shingles — used by both the
-    * declared `ngram_jaccard` query and as the edge set of
-    * `neardup_cluster`. */
-  private[text] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** Shared rare-shingle pair statistics: (doc_a, doc_b, n_inter,
+    * n_a, n_b) for every ordered pair (doc_a < doc_b) sharing at
+    * least one rare trigram — the candidate kernel under both
+    * `ngram_jaccard` (symmetric overlap) and `shingle_containment`
+    * (asymmetric overlap). One gram-keyed shuffle, one pair-keyed
+    * map-side-combined count, two size joins; never all pairs. */
+  private[text] def rareGramStats(s: SparkSession, d: String): DataFrame = {
     graft.ext.GraftFunctions.register(s)
     // trigrams via the native ngrams Generator: the token array is
     // evaluated once per row — the explode(transform(sequence...))
@@ -181,12 +183,19 @@ object SimilarityOps extends OpModule {
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+  }
+
+  /** Candidate-pair kernel: (doc_a, doc_b, jaccard) with
+    * jaccard >= 0.2 over rare trigram shingles — used by both the
+    * declared `ngram_jaccard` query and as the edge set of
+    * `neardup_cluster`. */
+  private[text] def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    rareGramStats(s, d)
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.2)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** The ngram_jaccard oracle text, shared with neardup_cluster's
     * recursive-CTE oracle (edges must be the identical pair set). */
@@ -222,6 +231,58 @@ object SimilarityOps extends OpModule {
     "ngram_jaccard",
     (s, d) => jaccardPairs(s, d),
     Some(ngramJaccardSql))
+
+  /** Asymmetric containment near-dup (Broder's containment measure):
+    * C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|. Jaccard
+    * misses the length-skewed duplication a crawl corpus is full of —
+    * a 50-token quote verbatim inside a 5 000-token page scores
+    * Jaccard ≈ 0.01 but containment 1.0. A pair is reported when
+    * either direction's containment ≥ 0.6, with both directions
+    * emitted so the pipeline can keep the superset doc.
+    *
+    * Scale shape: identical to `ngram_jaccard` — the df-capped
+    * rare-shingle candidate join bounds fan-out per gram at MaxDf²;
+    * only the final projection differs. Filter applies to the
+    * 4dp-rounded values on both engines (same tie discipline as
+    * `ngram_jaccard`). */
+  val shingleContainment = Op(
+    "shingle_containment",
+    (s, d) =>
+      rareGramStats(s, d)
+        .withColumn("contain_a",
+          round(col("n_inter").cast("double") / col("n_a"), 4))
+        .withColumn("contain_b",
+          round(col("n_inter").cast("double") / col("n_b"), 4))
+        .filter(col("contain_a") >= 0.6 || col("contain_b") >= 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          col("contain_a"), col("contain_b")),
+    Some(s"""
+      WITH allgrams AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+          SELECT doc_id,
+                 unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                         FOR i IN range(0, len(toks) - 2)]) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3)),
+      grams AS (
+        SELECT doc_id, g FROM allgrams
+        WHERE g IN (SELECT g FROM allgrams GROUP BY g
+                    HAVING COUNT(*) <= $MaxDf)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / sa.n, 4) AS contain_a,
+             ROUND(CAST(n_inter AS DOUBLE) / sb.n, 4) AS contain_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / sa.n, 4) >= 0.6
+         OR ROUND(CAST(n_inter AS DOUBLE) / sb.n, 4) >= 0.6"""))
 
   /** Near-duplicate *clustering*: connected components over the
     * jaccard>=0.2 pair graph via hash-to-min label propagation —
@@ -624,7 +685,7 @@ object SimilarityOps extends OpModule {
       HAVING COUNT(*) > 1"""))
 
   override def ops: Seq[Op] =
-    Seq(simhashPairs, simhashMultiprobe, ngramJaccard, neardupCluster,
-      minhashDet, langId, dupSpanFrac, editDistPairs, sourceOverlap,
-      nameClusters)
+    Seq(simhashPairs, simhashMultiprobe, ngramJaccard, shingleContainment,
+      neardupCluster, minhashDet, langId, dupSpanFrac, editDistPairs,
+      sourceOverlap, nameClusters)
 }

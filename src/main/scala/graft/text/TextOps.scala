@@ -231,6 +231,95 @@ object TextOps extends OpModule {
                (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
       FROM documents"""))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm [L]): hash every token 4-gram,
+    * slide a 4-hash window, keep each window's minimum. The kept set
+    * is a position-robust sample with the winnowing guarantee: any
+    * shared token run of ≥ 7 tokens (w + k - 1) between two docs
+    * yields at least one shared fingerprint, at ~1/w the index size
+    * of the full gram set. Emits the per-doc fingerprint-set summary
+    * (count, min, xor) — the selected hashes are exactly what a
+    * plagiarism/overlap index shuffles on at scale.
+    *
+    * Scale shape: pure per-row array arithmetic inside
+    * WholeStageCodegen — token hashes, gram hashes, window minima and
+    * the distinct fold never leave the row; zero shuffle, zero UDF.
+    * All hashing is the engine-neutral polynomial fold (tokHash's
+    * char fold, then a 1000003 fold over the gram's 4 token hashes),
+    * so the oracle is exact. */
+  val winnowingFingerprint = Op(
+    "winnowing_fingerprint",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("ths",
+          expr("""transform(split(text, ' '),
+                    tk -> aggregate(
+                            transform(split(tk, ''),
+                                      c -> CAST(ascii(c) AS BIGINT)),
+                            CAST(7 AS BIGINT),
+                            (acc, x) -> (acc * 31 + x) % 1073741824))"""))
+        .withColumn("gh",
+          expr("""CASE WHEN size(ths) >= 4 THEN
+                    transform(sequence(1, size(ths) - 3),
+                      i -> aggregate(slice(ths, i, 4),
+                             CAST(7 AS BIGINT),
+                             (acc, x) -> (acc * 1000003 + x) % 1073741824))
+                  ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+        .withColumn("nw",
+          expr("""CASE WHEN size(gh) = 0 THEN 0
+                       WHEN size(gh) <= 4 THEN 1
+                       ELSE size(gh) - 3 END"""))
+        .withColumn("sel",
+          expr("""array_distinct(
+                    CASE WHEN nw = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                         ELSE transform(sequence(1, nw),
+                                j -> array_min(slice(gh, j,
+                                       least(4, size(gh) - j + 1))))
+                    END)"""))
+        .select(
+          col("doc_id"),
+          expr("CAST(size(gh) AS BIGINT)").as("n_grams"),
+          expr("CAST(size(sel) AS BIGINT)").as("n_fp"),
+          expr("COALESCE(array_min(sel), CAST(0 AS BIGINT))").as("fp_min"),
+          expr("""aggregate(sel, CAST(0 AS BIGINT),
+                            (acc, x) -> acc ^ x)""").as("fp_xor")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 tk -> list_reduce(
+                         list_prepend(CAST(7 AS BIGINT),
+                           list_transform(string_split(tk, ''),
+                             c -> CAST(ascii(c) AS BIGINT))),
+                         (acc, x) -> (acc * 31 + x) % 1073741824)) AS ths
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(ths) >= 4 THEN
+                 [list_reduce(list_prepend(CAST(7 AS BIGINT), ths[i:i+3]),
+                              (acc, x) -> (acc * 1000003 + x) % 1073741824)
+                  FOR i IN range(1, len(ths) - 2)]
+               ELSE CAST([] AS BIGINT[]) END AS gh
+        FROM t),
+      w AS (
+        SELECT doc_id, gh,
+               CASE WHEN len(gh) = 0 THEN 0
+                    WHEN len(gh) <= 4 THEN 1
+                    ELSE len(gh) - 3 END AS nw
+        FROM g),
+      s AS (
+        SELECT doc_id, gh,
+               list_distinct([list_min(gh[j:least(j + 3, len(gh))])
+                              FOR j IN range(1, nw + 1)]) AS sel
+        FROM w)
+      SELECT doc_id,
+             CAST(len(gh) AS BIGINT) AS n_grams,
+             CAST(len(sel) AS BIGINT) AS n_fp,
+             COALESCE(list_min(sel), 0) AS fp_min,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), sel),
+                         (acc, x) -> xor(acc, x)) AS fp_xor
+      FROM s"""))
+
   /** Near-dup detection via MinHash-LSH banding (no oracle —
     * randomized hash family; seed fixed so output is deterministic).
     * At 100 TB this is the standard shape: shingle → minhash → band →
@@ -412,6 +501,7 @@ object TextOps extends OpModule {
       FROM e"""))
 
   override def ops: Seq[Op] = Seq(dedupExact, splitHash, textStats,
-    tfidfTop, tokenCount, qualityScore, docFingerprint, dedupMinhash,
-    vocabBuild, bm25Top, entropyFilter)
+    tfidfTop, tokenCount, qualityScore, docFingerprint,
+    winnowingFingerprint, dedupMinhash, vocabBuild, bm25Top,
+    entropyFilter)
 }
