@@ -746,4 +746,90 @@ object Graft {
           "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))" +
           " END"), 4))
   }
+
+  /** Asymmetric containment near-dup pairs (generalizes
+    * `shingle_containment`): C(A→B) = |∩| / |shingles(A)| over rare
+    * `gramN`-gram shingles (doc frequency ≤ `maxDf`); a pair is
+    * reported when either direction's 4dp-rounded containment ≥
+    * `threshold`. The df cap bounds candidate fan-out per gram at
+    * maxDf² — the same guard that keeps `ngram_jaccard` linear.
+    * Output: (doc_a, doc_b, contain_a, contain_b). */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      gramN: Int = 3, maxDf: Int = 50,
+      threshold: Double = 0.6): DataFrame = {
+    graft.ext.GraftFunctions.register(df.sparkSession)
+    val allGrams = df
+      .withColumn("_toks", split(col(textCol), " "))
+      .select(col(idCol), expr(s"ngrams(_toks, $gramN)"))
+      .select(col(idCol), col("ngram").as("_g"))
+      .distinct()
+    val rare = allGrams.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("_g"))
+    val grams = allGrams.join(rare, "_g")
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val a = grams.select(col(idCol).as("doc_a"), col("_g"))
+    val b = grams.select(col(idCol).as("doc_b"), col("_g"))
+    a.join(b, "_g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("_inter"))
+      .join(sizes.select(col(idCol).as("doc_a"), col("_n").as("_na")),
+        "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("_n").as("_nb")),
+        "doc_b")
+      .withColumn("contain_a",
+        round(col("_inter").cast("double") / col("_na"), 4))
+      .withColumn("contain_b",
+        round(col("_inter").cast("double") / col("_nb"), 4))
+      .filter(col("contain_a") >= threshold ||
+        col("contain_b") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("contain_a"), col("contain_b"))
+  }
+
+  /** Winnowing fingerprint selection (generalizes
+    * `winnowing_fingerprint`; Schleimer–Wilkerson–Aiken): hash token
+    * `k`-grams, keep each `w`-window's minimum. Returns the declared
+    * op's summary columns PLUS the selected `fingerprints` array —
+    * the set a pair-matching stage explodes and shuffles on. Pure
+    * per-row array arithmetic; zero shuffle. */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 4): DataFrame =
+    df
+      .withColumn("_ths",
+        expr(s"""transform(split($textCol, ' '),
+                   tk -> aggregate(
+                           transform(split(tk, ''),
+                                     c -> CAST(ascii(c) AS BIGINT)),
+                           CAST(7 AS BIGINT),
+                           (acc, x) -> (acc * 31 + x) % 1073741824))"""))
+      .withColumn("_gh",
+        expr(s"""CASE WHEN size(_ths) >= $k THEN
+                   transform(sequence(1, size(_ths) - ${k - 1}),
+                     i -> aggregate(slice(_ths, i, $k),
+                            CAST(7 AS BIGINT),
+                            (acc, x) -> (acc * 1000003 + x) % 1073741824))
+                 ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .withColumn("_nw",
+        expr(s"""CASE WHEN size(_gh) = 0 THEN 0
+                      WHEN size(_gh) <= $w THEN 1
+                      ELSE size(_gh) - ${w - 1} END"""))
+      .withColumn("fingerprints",
+        expr(s"""array_distinct(
+                   CASE WHEN _nw = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                        ELSE transform(sequence(1, _nw),
+                               j -> array_min(slice(_gh, j,
+                                      least($w, size(_gh) - j + 1))))
+                   END)"""))
+      .select(
+        col(idCol),
+        expr("CAST(size(_gh) AS BIGINT)").as("n_grams"),
+        expr("CAST(size(fingerprints) AS BIGINT)").as("n_fp"),
+        expr("COALESCE(array_min(fingerprints), CAST(0 AS BIGINT))")
+          .as("fp_min"),
+        expr("""aggregate(fingerprints, CAST(0 AS BIGINT),
+                          (acc, x) -> acc ^ x)""").as("fp_xor"),
+        col("fingerprints"))
 }

@@ -475,4 +475,23 @@ class ApiSpec extends AnyFunSuite {
       col("event_type") === "purchase")
     assert(out.collect().toSeq == q("ab_lift").collect().toSeq)
   }
+
+  test("Graft.containmentPairs matches the declared shingle_containment") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows(Graft.containmentPairs(docs, "text", "doc_id")) ==
+      rows(q("shingle_containment")))
+  }
+
+  test("Graft.winnowFingerprints matches the declared winnowing_fingerprint") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows(Graft.winnowFingerprints(docs, "text", "doc_id")
+        .drop("fingerprints")) ==
+      rows(q("winnowing_fingerprint")))
+    // the exposed fingerprint array is consistent with its summary
+    val r = Graft.winnowFingerprints(docs, "text", "doc_id")
+      .select(col("n_fp"),
+        expr("CAST(size(fingerprints) AS BIGINT)").as("sz"))
+      .collect()
+    assert(r.forall(x => x.getLong(0) == x.getLong(1)))
+  }
 }

@@ -113,6 +113,10 @@ class EmptyInputSpec extends AnyFunSuite {
     val ab = Graft.abLift(emptyEvents, "user_id", "value",
       col("event_type") === "purchase", col("event_type") === "purchase")
     assert(ab.count() == 1 && ab.first().getLong(0) == 0L)
+    assert(Graft.containmentPairs(emptyDocs, "text", "doc_id")
+      .count() == 0)
+    assert(Graft.winnowFingerprints(emptyDocs, "text", "doc_id")
+      .count() == 0)
   }
 
   test("chunkDocs skips empty-string documents instead of throwing") {
