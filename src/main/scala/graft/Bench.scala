@@ -55,7 +55,8 @@ object Bench {
     "entropy_filter", "cooccur_topk", "compaction_plan",
     "attribution_position", "cart_abandonment", "semdedup", "pq_topk",
     "dsir_weights", "bpe_encode", "markov_removal", "cohort_ltv",
-    "ab_lift", "shingle_containment", "winnowing_fingerprint")
+    "ab_lift", "shingle_containment", "winnowing_fingerprint",
+    "ewma_smooth", "zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

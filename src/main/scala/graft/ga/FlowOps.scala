@@ -906,9 +906,63 @@ object FlowOps extends OpModule {
              ROUND(SUM(credit) / 100.0, 2) AS revenue
       FROM credited GROUP BY campaign"""))
 
+  /** EWMA smoothing of the per-type daily event series (the GA
+    * "smoothed trend" line): half-life-1-day exponential weights over
+    * the trailing 14 calendar days, α = 0.5, so weight(lag j) = 2^(13−j)
+    * — EXACT integer numerator/denominator (the `trend_slope`
+    * discipline: one double division at the end, then round 4dp;
+    * summation order can never drift the answer). Calendar gaps
+    * renormalize automatically because the weight sum only covers
+    * days that exist.
+    *
+    * Scale shape: the daily rollup is calendar-bounded (days ×
+    * event types — metadata-sized at any corpus size), so the
+    * trailing-window pair join joins two tiny rollups on
+    * event_type; the only data-sized work is the first map-side-
+    * combined day rollup, the same exchange `anomaly_zscore` does. */
+  val ewmaSmooth = Op(
+    "ewma_smooth",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val hist = daily.select(
+        col("event_type"), col("day").as("day2"), col("n").as("n2"))
+      daily.join(hist, "event_type")
+        .withColumn("dd", datediff(col("day"), col("day2")))
+        .filter(col("dd").between(0, 13))
+        .withColumn("w",
+          expr("CAST(POWER(2.0, 13 - dd) AS BIGINT)"))
+        .groupBy(col("event_type"), col("day"), col("n"))
+        .agg(
+          round(sum(col("w") * col("n2")).cast("double") /
+            sum(col("w")), 4).as("ewma"),
+          count(lit(1)).as("n_days_in_window"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("ewma"), col("n_days_in_window"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type, a.day, a.n, b.n AS n2,
+               date_diff('day', b.day, a.day) AS dd
+        FROM daily a JOIN daily b ON a.event_type = b.event_type
+        WHERE date_diff('day', b.day, a.day) BETWEEN 0 AND 13)
+      SELECT event_type, day, n,
+             ROUND(CAST(SUM(CAST(POWER(2.0, 13 - dd) AS BIGINT) * n2)
+                     AS DOUBLE) /
+                   SUM(CAST(POWER(2.0, 13 - dd) AS BIGINT)), 4) AS ewma,
+             COUNT(*) AS n_days_in_window
+      FROM pairs GROUP BY 1, 2, 3"""))
+
   override def ops: Seq[Op] =
     Seq(pageTransitions, pagerank, scd2Track, sessionConcurrency,
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
       markovTransitions, firstTouch, conversionLag, trendSlope,
-      seasonalityDow, funnelSteps, rollingWau, attributionLinear)
+      seasonalityDow, funnelSteps, rollingWau, attributionLinear,
+      ewmaSmooth)
 }

@@ -396,7 +396,77 @@ object LmOps extends OpModule {
       GROUP BY doc_id"""
     })
 
+  /** Zipf-law fit over the corpus token-frequency distribution: OLS
+    * slope/intercept of ln(count) on ln(rank) for the top-1000 tokens
+    * (rank by count desc, token asc). A healthy natural-language
+    * corpus fits slope ≈ −1; templated/spammy corpora flatten or
+    * steepen it — the one-row corpus-health diagnostic an LM data
+    * pipeline tracks per snapshot.
+    *
+    * Determinism: both lns are rounded to 6dp BEFORE the moment sums
+    * (the shared double basis), the regression runs in one fixed
+    * association order, and the outputs round to 4dp — the
+    * `trend_slope` guard pattern, including the NULL-on-zero-variance
+    * behavior encoded on both engines.
+    *
+    * Scale shape: corpus read once into the map-side-combined token
+    * rollup; ranking via the distributed exact-rank kernel
+    * (`Ranks.withGlobalRank` — the `vocab_build` precedent: a web
+    * vocabulary grows with the corpus, so no single-task global
+    * window) and the final agg is top-K-sized. */
+  val zipfFit = Op(
+    "zipf_fit",
+    (s, d) => {
+      val counts = Tables(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+      val ranked = graft.ops.Ranks
+        .withGlobalRank(counts, "r", col("c").desc, col("w"))
+        .filter(col("r") <= 1000)
+        .withColumn("x", round(log(col("r").cast("double")), 6))
+        .withColumn("y", round(log(col("c").cast("double")), 6))
+      ranked.agg(
+        count(lit(1)).as("n_tokens"),
+        round(
+          (count(lit(1)) * sum(col("x") * col("y")) -
+            sum(col("x")) * sum(col("y"))) /
+            nullif(count(lit(1)) * sum(col("x") * col("x")) -
+              sum(col("x")) * sum(col("x")), lit(0.0)), 4)
+          .as("slope"),
+        round(
+          (sum(col("y")) -
+            (count(lit(1)) * sum(col("x") * col("y")) -
+              sum(col("x")) * sum(col("y"))) /
+              nullif(count(lit(1)) * sum(col("x") * col("x")) -
+                sum(col("x")) * sum(col("x")), lit(0.0)) *
+              sum(col("x"))) / count(lit(1)), 4)
+          .as("intercept"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY w),
+      ranked AS (
+        SELECT ROUND(LN(CAST(r AS DOUBLE)), 6) AS x,
+               ROUND(LN(CAST(c AS DOUBLE)), 6) AS y
+        FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+              FROM counts)
+        WHERE r <= 1000)
+      SELECT COUNT(*) AS n_tokens,
+             ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                   NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0),
+                   4) AS slope,
+             ROUND((SUM(y) -
+                    (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+                    NULLIF(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x), 0)
+                    * SUM(x)) / COUNT(*), 4) AS intercept
+      FROM ranked"""))
+
   override def ops: Seq[Op] =
     Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges, cooccurTopk,
-      bpeEncode)
+      bpeEncode, zipfFit)
 }

@@ -442,6 +442,57 @@ class Round8OpsSpec extends AnyFunSuite {
         sel(docs.collect()(1).getString(1)).size.toLong).sorted)
   }
 
+  test("ewma_smooth matches an exact integer-weight recomputation") {
+    val out = q("ewma_smooth").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2))
+      .toMap
+    assert(out.size == daily.size)
+    for (((et, day), n) <- daily) {
+      val window = (0 to 13).flatMap { j =>
+        daily.get((et, day.minusDays(j))).map(n2 => (1L << (13 - j)) -> n2)
+      }
+      val ewma = window.map { case (w, n2) => w * n2 }.sum.toDouble /
+        window.map(_._1).sum
+      val er = BigDecimal(ewma).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      val got = out((et, day.toString))
+      assert(got._1 == n && got._3 == window.size, s"($et,$day) counts")
+      assert(math.abs(got._2 - er) < 1e-9, s"($et,$day) ewma")
+    }
+  }
+
+  test("zipf_fit matches a brute-force OLS over the ranked vocabulary") {
+    val r = q("zipf_fit").first()
+    val texts = Tables(spark, sfDir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = texts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(1000)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = ranked.indices.map(i => r6(math.log(i + 1.0)))
+    val ys = ranked.map { case (_, c) => r6(math.log(c.toDouble)) }
+    val n = ranked.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == ranked.size)
+    assert(math.abs(r.getDouble(1) - r4(slope)) < 2e-4, "slope")
+    assert(math.abs(r.getDouble(2) - r4(intercept)) < 2e-4, "intercept")
+    // a natural-ish corpus slopes downward
+    assert(r.getDouble(1) < 0, "Zipf slope must be negative")
+  }
+
   test("shingle_containment matches a brute-force rare-shingle recompute") {
     val out = q("shingle_containment").collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
