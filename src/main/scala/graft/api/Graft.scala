@@ -789,6 +789,66 @@ object Graft {
         col("contain_a"), col("contain_b"))
   }
 
+  /** EWMA smoothing of a keyed daily count series (generalizes
+    * `ewma_smooth`): α = 0.5 exponential weights over the trailing
+    * `windowDays` calendar days — exact integer weights 2^(windowDays−1−j),
+    * one final double division, 4dp round. Calendar gaps renormalize
+    * via the weight sum. Output: (groupCol, day, n, ewma,
+    * n_days_in_window). */
+  def ewmaSmooth(events: DataFrame, groupCol: String, tsCol: String,
+      windowDays: Int = 14): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(col(tsCol)))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val hist = daily.select(
+      col(groupCol), col("day").as("_day2"), col("n").as("_n2"))
+    daily.join(hist, groupCol)
+      .withColumn("_dd", datediff(col("day"), col("_day2")))
+      .filter(col("_dd").between(0, windowDays - 1))
+      .withColumn("_w",
+        expr(s"CAST(POWER(2.0, ${windowDays - 1} - _dd) AS BIGINT)"))
+      .groupBy(col(groupCol), col("day"), col("n"))
+      .agg(
+        round(sum(col("_w") * col("_n2")).cast("double") /
+          sum(col("_w")), 4).as("ewma"),
+        count(lit(1)).as("n_days_in_window"))
+  }
+
+  /** Zipf-law OLS fit over a text column's token-frequency
+    * distribution (generalizes `zipf_fit`): slope/intercept of
+    * ln(count) on ln(rank) for the top `topK` tokens, ranked through
+    * the distributed exact-rank kernel. One row out. */
+  def zipfFit(df: DataFrame, textCol: String,
+      topK: Int = 1000): DataFrame = {
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    graft.ops.Ranks
+      .withGlobalRank(counts, "_r", col("_c").desc, col("_w"))
+      .filter(col("_r") <= topK)
+      .withColumn("_x", round(log(col("_r").cast("double")), 6))
+      .withColumn("_y", round(log(col("_c").cast("double")), 6))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(
+          (count(lit(1)) * sum(col("_x") * col("_y")) -
+            sum(col("_x")) * sum(col("_y"))) /
+            nullif(count(lit(1)) * sum(col("_x") * col("_x")) -
+              sum(col("_x")) * sum(col("_x")), lit(0.0)), 4)
+          .as("slope"),
+        round(
+          (sum(col("_y")) -
+            (count(lit(1)) * sum(col("_x") * col("_y")) -
+              sum(col("_x")) * sum(col("_y"))) /
+              nullif(count(lit(1)) * sum(col("_x") * col("_x")) -
+                sum(col("_x")) * sum(col("_x")), lit(0.0)) *
+              sum(col("_x"))) / count(lit(1)), 4)
+          .as("intercept"))
+  }
+
   /** Winnowing fingerprint selection (generalizes
     * `winnowing_fingerprint`; Schleimer–Wilkerson–Aiken): hash token
     * `k`-grams, keep each `w`-window's minimum. Returns the declared

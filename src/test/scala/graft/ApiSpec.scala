@@ -476,6 +476,18 @@ class ApiSpec extends AnyFunSuite {
     assert(out.collect().toSeq == q("ab_lift").collect().toSeq)
   }
 
+  test("Graft.ewmaSmooth matches the declared ewma_smooth") {
+    val ev = Tables.events(spark, sfDir)
+    assert(rows(Graft.ewmaSmooth(ev, "event_type", "ts")) ==
+      rows(q("ewma_smooth")))
+  }
+
+  test("Graft.zipfFit matches the declared zipf_fit") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(Graft.zipfFit(docs, "text").collect().toSeq ==
+      q("zipf_fit").collect().toSeq)
+  }
+
   test("Graft.containmentPairs matches the declared shingle_containment") {
     val docs = Tables(spark, sfDir, "documents")
     assert(rows(Graft.containmentPairs(docs, "text", "doc_id")) ==

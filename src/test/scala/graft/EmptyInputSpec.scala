@@ -117,6 +117,12 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     assert(Graft.winnowFingerprints(emptyDocs, "text", "doc_id")
       .count() == 0)
+    assert(Graft.ewmaSmooth(emptyEvents, "event_type", "ts")
+      .count() == 0)
+    // zero tokens: the 1-row grand-total shape keeps NULL slope
+    val zf = Graft.zipfFit(emptyDocs, "text")
+    assert(zf.count() == 1 && zf.first().getLong(0) == 0L &&
+      zf.first().isNullAt(1))
   }
 
   test("chunkDocs skips empty-string documents instead of throwing") {
