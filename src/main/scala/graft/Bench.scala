@@ -56,7 +56,7 @@ object Bench {
     "attribution_position", "cart_abandonment", "semdedup", "pq_topk",
     "dsir_weights", "bpe_encode", "markov_removal", "cohort_ltv",
     "ab_lift", "shingle_containment", "winnowing_fingerprint",
-    "ewma_smooth", "zipf_fit")
+    "ewma_smooth", "zipf_fit", "dau_mau")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -906,6 +906,73 @@ object FlowOps extends OpModule {
              ROUND(SUM(credit) / 100.0, 2) AS revenue
       FROM credited GROUP BY campaign"""))
 
+  /** DAU/MAU stickiness (the GA engagement ratio): per calendar day,
+    * distinct active users that day vs distinct active users over the
+    * trailing 30 days, ratio in exact integer basis points. The MAU
+    * side uses the same window-cover explode as `rolling_wau` (each
+    * (user, active-day) row covers the ≤30 report days it counts
+    * toward) — at 100 TB the fan-out is the calendar-bounded 30× of
+    * the (user, day) ROLLUP, never of raw events, and the exactness
+    * alternative to a sliding HLL. Dense calendar: inactive days in
+    * the span report 0/0 with NULL stickiness.
+    */
+  val dauMau = Op(
+    "dau_mau",
+    (s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("dno"))
+        .distinct()
+      val span = days.agg(min(col("dno")).as("d0"), max(col("dno")).as("d1"))
+      val mau = days
+        .crossJoin(broadcast(span))
+        .select(col("user_id"),
+          explode(sequence(col("dno"),
+            least(col("dno") + 29, col("d1")))).as("report_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      val dau = days
+        .groupBy(col("dno").as("report_day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      span.select(explode(sequence(col("d0"), col("d1"))).as("report_day"))
+        .join(dau, Seq("report_day"), "left")
+        .join(mau, Seq("report_day"), "left")
+        .select(col("report_day"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+        .withColumn("stickiness_bp",
+          expr("CASE WHEN mau = 0 THEN NULL" +
+            " ELSE dau * 10000 div mau END"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS INT) AS dno
+        FROM events),
+      span AS (SELECT MIN(dno) AS d0, MAX(dno) AS d1 FROM days),
+      cover AS (
+        SELECT user_id, CAST(rd AS INT) AS report_day
+        FROM days, span,
+             UNNEST(generate_series(dno, LEAST(dno + 29, d1))) AS u(rd)),
+      mau AS (
+        SELECT report_day, COUNT(DISTINCT user_id) AS mau
+        FROM cover GROUP BY report_day),
+      dau AS (
+        SELECT dno AS report_day, COUNT(DISTINCT user_id) AS dau
+        FROM days GROUP BY dno),
+      cal AS (
+        SELECT CAST(rd AS INT) AS report_day
+        FROM span, UNNEST(generate_series(d0, d1)) AS u(rd))
+      SELECT report_day,
+             COALESCE(dau, 0) AS dau,
+             COALESCE(mau, 0) AS mau,
+             CASE WHEN COALESCE(mau, 0) = 0 THEN NULL
+                  ELSE COALESCE(dau, 0) * 10000 // mau END
+               AS stickiness_bp
+      FROM cal LEFT JOIN dau USING (report_day)
+               LEFT JOIN mau USING (report_day)"""))
+
   /** EWMA smoothing of the per-type daily event series (the GA
     * "smoothed trend" line): half-life-1-day exponential weights over
     * the trailing 14 calendar days, α = 0.5, so weight(lag j) = 2^(13−j)
@@ -964,5 +1031,5 @@ object FlowOps extends OpModule {
       periodCompare, anomalyZscore, graphTriangles, userStreaks,
       markovTransitions, firstTouch, conversionLag, trendSlope,
       seasonalityDow, funnelSteps, rollingWau, attributionLinear,
-      ewmaSmooth)
+      ewmaSmooth, dauMau)
 }

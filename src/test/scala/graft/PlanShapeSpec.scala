@@ -199,6 +199,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "rfm_segments",  // crossJoin of the 1-row global max-day scalar
       "churn_flags",   // crossJoin of the 1-row dataset-end scalar
       "rolling_wau",   // crossJoin of the 1-row day-span scalar
+      "dau_mau",       // crossJoin of the 1-row day-span scalar
       "merge_upsert",  // crossJoin of the 1-row max-key scalar
       "merge_partitioned", // crossJoin of the 1-row max-key scalar
       "fk_orphans",    // crossJoins of three 1-row audit aggregates

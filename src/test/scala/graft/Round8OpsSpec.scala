@@ -493,6 +493,28 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(r.getDouble(1) < 0, "Zipf slope must be negative")
   }
 
+  test("dau_mau matches a brute-force trailing-30-day recomputation") {
+    val out = q("dau_mau").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("dno"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val (d0, d1) = (active.map(_._2).min, active.map(_._2).max)
+    assert(out.keySet == (d0 to d1).toSet, "dense calendar span")
+    for (day <- d0 to d1) {
+      val dau = active.collect { case (u, d) if d == day => u }.toSet.size
+      val mau = active.collect {
+        case (u, d) if d <= day && d >= day - 29 => u
+      }.toSet.size
+      val bp = if (mau == 0) None else Some(dau.toLong * 10000 / mau)
+      assert(out(day) == ((dau.toLong, mau.toLong, bp)), s"day $day")
+    }
+  }
+
   test("shingle_containment matches a brute-force rare-shingle recompute") {
     val out = q("shingle_containment").collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
