@@ -815,6 +815,39 @@ object Graft {
         count(lit(1)).as("n_days_in_window"))
   }
 
+  /** DAU/MAU stickiness (generalizes `dau_mau`): per calendar day,
+    * distinct daily actives vs distinct trailing-`windowDays`
+    * actives, exact integer basis points; dense day span, inactive
+    * days report 0/0 with NULL stickiness. The MAU side is the
+    * `rolling_wau` window-cover explode of the (user, day) rollup. */
+  def dauMau(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 30): DataFrame = {
+    val days = events
+      .select(col(userCol),
+        datediff(to_date(col(tsCol)), lit("2024-01-01")).as("_dno"))
+      .distinct()
+    val span = days.agg(min(col("_dno")).as("_d0"), max(col("_dno")).as("_d1"))
+    val mau = days
+      .crossJoin(broadcast(span))
+      .select(col(userCol),
+        explode(sequence(col("_dno"),
+          least(col("_dno") + (windowDays - 1), col("_d1"))))
+          .as("report_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col(userCol)).as("mau"))
+    val dau = days
+      .groupBy(col("_dno").as("report_day"))
+      .agg(countDistinct(col(userCol)).as("dau"))
+    span.select(explode(sequence(col("_d0"), col("_d1"))).as("report_day"))
+      .join(dau, Seq("report_day"), "left")
+      .join(mau, Seq("report_day"), "left")
+      .select(col("report_day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("mau"), lit(0L)).as("mau"))
+      .withColumn("stickiness_bp",
+        expr("CASE WHEN mau = 0 THEN NULL ELSE dau * 10000 div mau END"))
+  }
+
   /** Zipf-law OLS fit over a text column's token-frequency
     * distribution (generalizes `zipf_fit`): slope/intercept of
     * ln(count) on ln(rank) for the top `topK` tokens, ranked through

@@ -482,6 +482,12 @@ class ApiSpec extends AnyFunSuite {
       rows(q("ewma_smooth")))
   }
 
+  test("Graft.dauMau matches the declared dau_mau") {
+    val ev = Tables.events(spark, sfDir)
+    assert(rows(Graft.dauMau(ev, "user_id", "ts")) ==
+      rows(q("dau_mau")))
+  }
+
   test("Graft.zipfFit matches the declared zipf_fit") {
     val docs = Tables(spark, sfDir, "documents")
     assert(Graft.zipfFit(docs, "text").collect().toSeq ==

@@ -119,6 +119,7 @@ class EmptyInputSpec extends AnyFunSuite {
       .count() == 0)
     assert(Graft.ewmaSmooth(emptyEvents, "event_type", "ts")
       .count() == 0)
+    assert(Graft.dauMau(emptyEvents, "user_id", "ts").count() == 0)
     // zero tokens: the 1-row grand-total shape keeps NULL slope
     val zf = Graft.zipfFit(emptyDocs, "text")
     assert(zf.count() == 1 && zf.first().getLong(0) == 0L &&
