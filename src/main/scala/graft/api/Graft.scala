@@ -676,7 +676,7 @@ object Graft {
       .select(col(idCol), col(vecCol), col(cIdCol).as("cluster"))
     val lower = assigned.select(col("cluster").as("_ac"),
       col(idCol).as("_aid"), col(vecCol).as("_aemb"))
-      .withColumn("_abkt", (col("_aid") % saltB).cast("int"))
+      .withColumn("_abkt", pmod(col("_aid"), lit(saltB)).cast("int"))
     val upper = assigned.select(col(idCol), col(vecCol), col("cluster"),
       explode(sequence(lit(0), lit(saltB - 1))).as("_bkt"))
     val dropped = upper
@@ -733,7 +733,12 @@ object Graft {
         expr("CASE WHEN n_b = 0 THEN NULL" +
           " ELSE conv_b * 10000 div n_b END"))
       .withColumn("lift_bp",
-        expr("CASE WHEN n_a = 0 OR n_b = 0 OR conv_a = 0 THEN NULL" +
+        // sequential WHEN branches: n_a/n_b = 0 is excluded before
+        // the rate is evaluated, and a 0-bp rate (0 < rate < 1 bp,
+        // e.g. 1 conversion in 20k users) goes NULL instead of
+        // dividing by zero under ANSI mode
+        expr("CASE WHEN n_a = 0 OR n_b = 0 THEN NULL" +
+          " WHEN conv_a * 10000 div n_a = 0 THEN NULL" +
           " ELSE (conv_b * 10000 div n_b - conv_a * 10000 div n_a)" +
           " * 10000 div (conv_a * 10000 div n_a) END"))
       .withColumn("z_score", round(expr(
@@ -797,6 +802,10 @@ object Graft {
     * n_days_in_window). */
   def ewmaSmooth(events: DataFrame, groupCol: String, tsCol: String,
       windowDays: Int = 14): DataFrame = {
+    // weights are exact BIGINT powers 2^(windowDays-1-j); 2^63
+    // overflows the cast (ANSI throws, legacy silently saturates)
+    require(windowDays >= 1 && windowDays <= 63,
+      s"windowDays must be in [1, 63], got $windowDays")
     val daily = events
       .withColumn("day", to_date(col(tsCol)))
       .groupBy(col(groupCol), col("day"))

@@ -504,9 +504,11 @@ object JourneyOps extends OpModule {
       p.filter(col("rm") >= 0 && col("st") === 100)
         .select(col("rm").as("campaign"), col("p").as("removed_cvr"))
         .crossJoin(broadcast(base))
+        // NULLIF: a zero-conversion corpus has base_cvr = 0.0 — DuckDB
+        // yields NULL on /0 where ANSI Spark throws; align on NULL
         .withColumn("removal_effect",
-          round((col("base_cvr") - col("removed_cvr")) / col("base_cvr"),
-            4))
+          round((col("base_cvr") - col("removed_cvr")) /
+            nullif(col("base_cvr"), lit(0.0)), 4))
         .select(col("campaign"), col("base_cvr"), col("removed_cvr"),
           col("removal_effect"))
     },
@@ -566,7 +568,7 @@ object JourneyOps extends OpModule {
       base AS (SELECT p AS base_cvr FROM p8 WHERE rm = -1 AND st = 100)
       SELECT scen.rm AS campaign, base.base_cvr,
              scen.p AS removed_cvr,
-             ROUND((base.base_cvr - scen.p) / base.base_cvr, 4)
+             ROUND((base.base_cvr - scen.p) / NULLIF(base.base_cvr, 0), 4)
                AS removal_effect
       FROM p8 scen, base
       WHERE scen.rm >= 0 AND scen.st = 100"""
@@ -683,11 +685,22 @@ object JourneyOps extends OpModule {
             .as("cents_a"),
           sum(when(col("variant") === 1, col("cents")).otherwise(0L))
             .as("cents_b"))
-        .withColumn("conv_a_bp", expr("conv_a * 10000 div n_a"))
-        .withColumn("conv_b_bp", expr("conv_b * 10000 div n_b"))
-        .withColumn("lift_bp",
-          expr("(conv_b * 10000 div n_b - conv_a * 10000 div n_a)" +
-            " * 10000 div (conv_a * 10000 div n_a)"))
+        // guards: an empty arm (n=0) or a sub-basis-point conversion
+        // rate (0 < rate < 1 bp rounds to 0) would divide by zero —
+        // ANSI Spark throws where DuckDB yields NULL; make both NULL.
+        // Sequential WHEN branches keep the n=0 case from ever
+        // evaluating the div.
+        .withColumn("conv_a_bp", expr(
+          "CASE WHEN n_a = 0 THEN NULL" +
+            " ELSE conv_a * 10000 div n_a END"))
+        .withColumn("conv_b_bp", expr(
+          "CASE WHEN n_b = 0 THEN NULL" +
+            " ELSE conv_b * 10000 div n_b END"))
+        .withColumn("lift_bp", expr(
+          "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL" +
+            " WHEN conv_a * 10000 div n_a = 0 THEN NULL" +
+            " ELSE (conv_b * 10000 div n_b - conv_a * 10000 div n_a)" +
+            " * 10000 div (conv_a * 10000 div n_a) END"))
         .withColumn("z_score", round(expr(
           // degenerate pools (0% or 100% both arms) have zero
           // variance: report z = 0 instead of dividing by it.
@@ -730,10 +743,14 @@ object JourneyOps extends OpModule {
             AS BIGINT) AS cents_b
         FROM u)
       SELECT n_a, n_b, conv_a, conv_b, cents_a, cents_b,
-             conv_a * 10000 // n_a AS conv_a_bp,
-             conv_b * 10000 // n_b AS conv_b_bp,
-             (conv_b * 10000 // n_b - conv_a * 10000 // n_a)
-               * 10000 // (conv_a * 10000 // n_a) AS lift_bp,
+             CASE WHEN n_a = 0 THEN NULL
+                  ELSE conv_a * 10000 // n_a END AS conv_a_bp,
+             CASE WHEN n_b = 0 THEN NULL
+                  ELSE conv_b * 10000 // n_b END AS conv_b_bp,
+             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                  WHEN conv_a * 10000 // n_a = 0 THEN NULL
+                  ELSE (conv_b * 10000 // n_b - conv_a * 10000 // n_a)
+                    * 10000 // (conv_a * 10000 // n_a) END AS lift_bp,
              ROUND(CASE WHEN conv_a + conv_b = 0
                      OR conv_a + conv_b = n_a + n_b THEN 0.0 ELSE
                (CAST(conv_b AS DOUBLE) / n_b

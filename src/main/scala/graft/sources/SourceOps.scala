@@ -266,7 +266,71 @@ object SourceOps extends OpModule {
                // ((est_bytes + 65535) // 65536) AS rows_per_file
       FROM p"""))
 
+  /** Dynamic partition pruning — the single biggest scan lever on a
+    * date-partitioned 100 TB star schema: events land day-partitioned
+    * (the standard event-store layout), a calendar dim is filtered on
+    * a NON-partition attribute (every 7th day), and the fact⋈dim join
+    * prunes the fact scan to the dim's surviving days AT RUNTIME via
+    * `DynamicPruningExpression` in the scan's PartitionFilters — a
+    * static filter can't do this because the day set is only known
+    * after the dim filter runs. 30 day-partitions → 5 read.
+    *
+    * The fixture is KB-sized, so Spark's benefit heuristic would
+    * (correctly) reject DPP here; the op pins the decision on a
+    * CLONED session (`newSession` — own SQLConf, shared context, the
+    * driver's session untouched) the way a real 100 TB fact table
+    * wins it on stats. PlanShapeSpec asserts the
+    * dynamicpruningexpression is in the scan. Pruning changes I/O,
+    * never results: the oracle computes the identical join from the
+    * unpartitioned events table. */
+  val dppJoin = Op(
+    "dpp_join",
+    (s0, d) => {
+      val s = s0.newSession()
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+        "10000")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
+      val path = tmp("dpp", d)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          to_date(col("ts")).as("day"))
+      ev.write.mode("overwrite").partitionBy("day")
+        .parquet(s"$path/fact")
+      // calendar dim: (day, day-number) — dim must be file-backed, a
+      // LocalRelation filter constant-folds before PartitionPruning
+      ev.select(col("day")).distinct()
+        .withColumn("dno",
+          datediff(col("day"), lit("2024-01-01")).cast("int"))
+        .write.mode("overwrite").parquet(s"$path/dim")
+      val fact = s.read.parquet(s"$path/fact")
+      val dim = s.read.parquet(s"$path/dim")
+        .filter(pmod(col("dno"), lit(7)) === 0)
+        .select(col("day"))
+      fact.join(dim, Seq("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+        FROM events),
+      dim AS (
+        SELECT DISTINCT day,
+               date_diff('day', DATE '2024-01-01', day) AS dno
+        FROM e),
+      sel AS (SELECT day FROM dim WHERE dno % 7 = 0)
+      SELECT e.day, COUNT(*) AS n_events,
+             ROUND(SUM(e.value), 2) AS total_value
+      FROM e JOIN sel USING (day)
+      GROUP BY e.day"""))
+
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
-      orcRoundtrip, bucketJoin, compactionPlan)
+      orcRoundtrip, bucketJoin, compactionPlan, dppJoin)
 }

@@ -412,28 +412,37 @@ object VectorOps extends OpModule {
       FROM a2 GROUP BY c_id"""))
 
   /** SemDeDup-style semantic dedup: cluster the embedding space
-    * (k=8 deterministic seed centroids, MIPS assignment like
-    * `kmeans_assign`/`ivf_topk`), then drop any vector that has a
-    * LOWER-id in-cluster neighbor with rounded cosine ≥ 0.3 — the
-    * "semantic near-duplicate pruning" step of a training-data
-    * pipeline (cf. SemDeDup, Abbas et al. 2023: clustering bounds
-    * the quadratic pair work to within-cluster candidates). The
+    * (k = max(8, ⌈√(N/100)⌉) deterministic seed centroids — the
+    * lowest-k vec_ids — MIPS assignment like `kmeans_assign`/
+    * `ivf_topk`), then drop any vector that has a LOWER-id
+    * in-cluster neighbor with rounded cosine ≥ 0.3 — the "semantic
+    * near-duplicate pruning" step of a training-data pipeline
+    * (cf. SemDeDup, Abbas et al. 2023: clustering bounds the
+    * quadratic pair work to within-cluster candidates). The
     * keep/drop rule is the EXISTS-lower-id variant (not transitive
     * closure — `neardup_cluster` owns that kernel), so keeps are a
     * pure function of the pair set.
     *
-    * Scale: the assignment is a broadcast cross (k rows); the only
-    * wide exchange is the pair equi-join ON THE CLUSTER ID —
-    * quadratic only within a cluster, the whole point of clustering
-    * first. At 100 TB k grows ∝ data (k ≈ √N keeps clusters
-    * bounded), cluster id becomes the shuffle/partition key, and
-    * per-cluster candidate scoring stays memory-local. */
+    * Scale: k ∝ √N is the structural bound — expected cluster size
+    * N/k ≈ √(100·N), so within-cluster pair work is Σ(N/k)² ≈ 100·N,
+    * LINEAR in the corpus, not N²/k as any fixed k degenerates to
+    * (k=8 at sf10 scored 2.5 B pairs / 288 s; k=45 scores ~N·τ).
+    * N comes from one count() — a parquet metadata read, not a data
+    * scan. The assignment is a broadcast cross (k rows ≪ executor
+    * memory at any N: k = √(N/100) is ~32k centroids at 100 G rows);
+    * the only wide exchange is the pair equi-join on the salted
+    * (cluster, bucket) key, so parallelism is k·16 and per-cluster
+    * candidate scoring stays memory-local. */
   val semdedup = Op(
     "semdedup",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 8)
+      // one-row action: parquet row count from footer metadata.
+      // τ = 100 target cluster size; identical formula in the oracle.
+      val k = math.max(8L,
+        math.ceil(math.sqrt(emb.count() / 100.0)).toLong)
+      val seeds = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_score").desc, col("c_id"))
@@ -443,17 +452,16 @@ object VectorOps extends OpModule {
         .filter(col("c_rn") === 1)
         .select(col("vec_id"), col("embedding"), col("c_id"))
       // the pair join's natural key is c_id alone — k partitions of
-      // work no matter how many cores (measured: 8-way parallelism
-      // for ~2.5B pairs at sf10 = ~25 min). Salt the self-join with a
+      // work no matter how many cores. Salt the self-join with a
       // 16-way id-bucket: the probe side carries its natural bucket,
       // the build side replicates across all 16, the joined pair set
       // is IDENTICAL, and the shuffle key (c_id, bkt) gives k·16-way
-      // parallelism. (The structural fix at 100 TB is still k ∝ √N —
-      // SCALE.md — salting just decouples core count from k.)
+      // parallelism. With k ∝ √N bounding per-cluster size, salting
+      // decouples core count from k at small N.
       val SaltB = 16
       val lower = assigned.select(col("c_id").as("a_c"),
         col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-        .withColumn("a_bkt", (col("a_id") % SaltB).cast("int"))
+        .withColumn("a_bkt", pmod(col("a_id"), lit(SaltB)).cast("int"))
       val upper = assigned.select(col("vec_id"), col("embedding"),
         col("c_id"),
         explode(sequence(lit(0), lit(SaltB - 1))).as("bkt"))
@@ -472,9 +480,13 @@ object VectorOps extends OpModule {
             .as("kept"))
     },
     Some("""
-      WITH c AS (
+      WITH kk AS (
+        SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*) / 100.0)) AS BIGINT))
+          AS k
+        FROM embeddings),
+      c AS (
         SELECT vec_id AS c_id, embedding AS c_emb
-        FROM embeddings WHERE vec_id < 8),
+        FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
       assigned AS (
         SELECT vec_id, embedding, c_id FROM (
           SELECT e.vec_id, e.embedding, c.c_id,

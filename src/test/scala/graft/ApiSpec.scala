@@ -436,8 +436,10 @@ class ApiSpec extends AnyFunSuite {
 
   // ---- round-8 facade transforms vs their declared queries ----
 
-  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
-    df.collect().map(_.toString).toSet
+  // sorted Seq, not Set: a Set comparison would hide multiplicity
+  // differences (a row emitted twice on one side would still pass)
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
 
   test("Graft.entropyFilter matches the declared entropy_filter") {
     val docs = Tables(spark, sfDir, "documents")
@@ -461,7 +463,9 @@ class ApiSpec extends AnyFunSuite {
   test("Graft.semdedup matches the declared semdedup") {
     Graft.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val seeds = emb.filter(col("vec_id") < 8)
+    val k = math.max(8L,
+      math.ceil(math.sqrt(emb.count() / 100.0)).toLong)
+    val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val out = Graft.semdedup(emb, "embedding", "vec_id",
       seeds, "cid", "cvec")

@@ -87,6 +87,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "partition predicate re-evaluated per row")
   }
 
+  test("dpp_join prunes the fact scan with a DynamicPruningExpression") {
+    // join-driven runtime pruning: the fact side's PartitionFilters
+    // must carry a dynamicpruning subquery on the day partition key —
+    // a static filter can't know the dim's surviving days
+    val df = q("dpp_join")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no DynamicPruningExpression in fact scan:\n${plan.take(1500)}")
+    val part = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(part.contains("day"),
+      s"day partition key missing from PartitionFilters: $part")
+  }
+
   test("agg_salted shuffles on (key, salt) before the merge exchange") {
     val plan = executedPlan(q("agg_salted"))
     val exchanges = plan.linesIterator

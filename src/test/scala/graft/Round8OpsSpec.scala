@@ -121,7 +121,9 @@ class Round8OpsSpec extends AnyFunSuite {
 
   test("semdedup matches brute-force assignment + lower-id drop rule") {
     val emb = loadEmb(sfDir)
-    val seeds = emb.filter(_._1 < 8)
+    val k = math.max(8L,
+      math.ceil(math.sqrt(emb.length / 100.0)).toLong)
+    val seeds = emb.filter(_._1 < k)
     val assign = emb.map { case (id, v) =>
       id -> seeds.map { case (c, cv) => (-r4(fdot(v, cv)), c) }.min._2
     }.toMap

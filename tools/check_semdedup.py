@@ -8,8 +8,9 @@ where the SQL join grinds for tens of minutes. This checker verifies
 the same contract from the raw parquet with BLAS-blocked matrix
 products instead:
 
-  assignment = argmax over the vec_id<8 seed centroids of the
-               4dp-rounded dot (tie -> lowest centroid id)
+  assignment = argmax over the k = max(8, ceil(sqrt(N/100)))
+               lowest-vec_id seed centroids of the 4dp-rounded dot
+               (tie -> lowest centroid id)
   dropped    = exists a LOWER-id same-cluster vector with
                4dp-rounded dot >= 0.3
 
@@ -30,8 +31,15 @@ import duckdb
 import numpy as np
 
 THRESH = 0.3
-SEEDS = 8
 BLOCK = 2048
+
+
+def n_seeds(n):
+    # k = max(8, ceil(sqrt(N / 100))) — the engines' data-driven k
+    # (tau = 100 target cluster size); IEEE-double sqrt/ceil matches
+    # Spark's math.* and DuckDB's SQRT/CEIL bit-for-bit
+    import math
+    return max(8, int(math.ceil(math.sqrt(n / 100.0))))
 
 
 def r4(x):
@@ -62,10 +70,10 @@ def main(sf_dir, out_dir):
         ).fetchall())
     assert len(got) == len(ids), (len(got), len(ids))
 
-    seed_mask = ids < SEEDS
+    seed_mask = ids < n_seeds(len(ids))
     seed_ids = ids[seed_mask]
     S = V[seed_mask]
-    scores = r4(V @ S.T)  # (n, 8); columns already ordered by seed id
+    scores = r4(V @ S.T)  # (n, k); columns already ordered by seed id
     # argmax with tie -> lowest c_id: argmax returns first occurrence
     assign = seed_ids[np.argmax(scores, axis=1)]
 
