@@ -85,6 +85,10 @@ object Bench {
       case Some("pipeline") => pipeline
       case Some("ga")       => ga
       case Some("r8")       => r8
+      // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
+      case Some(s) if s.startsWith("custom:") =>
+        s.stripPrefix("custom:").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
       case _                => headline
     }
     val queries = SparkEntry.queries

@@ -80,18 +80,29 @@ object FlowOps extends OpModule {
     "pagerank",
     (s, d) => {
       val D = 0.85
-      val edges = pageTransitions.run(s, d)
+      // ONE events pass feeds both the edge list and the node set:
+      // the lagged sequence collapses to (prev_page, page) cells
+      // catalog²-bounded BEFORE the checkpoint, and nodes reuse the
+      // same materialization instead of a second scan + exchange
+      val cells = hits(s, d)
+        .withColumn("prev_page", lag(col("page"), 1).over(perUser))
+        .groupBy(col("prev_page"), col("page"))
+        .agg(count(lit(1)).as("n_trans"))
+        .localCheckpoint()
+      val edges = cells.filter(col("prev_page").isNotNull)
         .select(col("prev_page").as("src"), col("page").as("dst"),
           col("n_trans").cast("double").as("w"))
       val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       // normalized transition weight: evaluated once, pre-partitioned
-      // on src (the per-iteration join key) and checkpointed, so each
-      // iteration shuffles only the |nodes|-sized rank vector
+      // on src (the per-iteration join key), so each iteration
+      // shuffles only the |nodes|-sized rank vector
       val norm = edges.join(outW.hint("shuffle_hash"), "src")
         .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
         .repartition(col("src"))
         .localCheckpoint()
-      val nodes = hits(s, d).select(col("page")).distinct()
+      // every page in the stream appears in a cell (first hits land
+      // in the prev_page IS NULL row), so nodes = distinct dst pages
+      val nodes = cells.select(col("page")).distinct()
         .localCheckpoint()
       val n = nodes.count()
       var ranks = nodes.withColumn("r", lit(1.0 / n))

@@ -168,38 +168,60 @@ object LmOps extends OpModule {
 
   /** K greedy BPE merge rounds over a delimiter-framed segmentation
     * table (columns: `seg`, weight `c`, plus any carried columns,
-    * preserved through re-segmentation). Returns the ranked merges
-    * (s1, s2, weighted pair count) and the final re-segmented table.
-    * The per-round argmax is a 1-row scalar materialized on the
-    * driver — see `bpeMerges` scaladoc for why that collapse is
-    * load-bearing. */
+    * preserved through re-segmentation). Returns the ranked merge
+    * table (merge_rank, s1, s2, pair_count) and the final
+    * re-segmented table — both DataFrames: the per-round argmax is a
+    * 1-row `limit(1)` (TakeOrderedAndProject) materialized
+    * EXECUTOR-side via `localCheckpoint` and broadcast back into the
+    * next round's re-segmentation join, so no row ever lands on the
+    * driver (the unrolled-join shape of the op's own oracle CTEs).
+    * Checkpointing the 1-row winner is what keeps the K-round
+    * lineage LINEAR — an untruncated argmax branch re-evaluates the
+    * entire prior chain twice per round, i.e. 2^K runs of the base
+    * rollup (measured 10× op cost at sf0.1). An empty argmax
+    * (nothing left to merge) contributes zero rows and the LEFT
+    * join leaves the segmentation untouched, so later rounds are
+    * no-ops — the same early-stop the oracle's empty m_r CTE
+    * implies. */
   private def learnMerges(seg0: org.apache.spark.sql.DataFrame)
-      : (Seq[(String, String, Long)], org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     // materialize the vocab-sized rollup once: every round's argmax
     // job would otherwise re-run the corpus scan + token explode
-    // behind it (measured ~2x the whole op's cost at sf0.1)
-    var seg = seg0.localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Long)]
-    for (_ <- 1 to BpeRounds) {
-      val rows = bpePairs(seg)
+    // behind it (measured ~2x the whole op's cost at sf0.1). The
+    // rollup is vocabulary-sized, so 8 partitions keep the K rounds'
+    // per-task scheduling overhead bounded without starving them —
+    // resize upward with vocab bytes, not corpus bytes, at scale.
+    var seg = seg0.coalesce(8).localCheckpoint()
+    var merges: Option[org.apache.spark.sql.DataFrame] = None
+    for (r <- 1 to BpeRounds) {
+      // lazy 1-row argmax: deterministic under the total order, so
+      // the seg-join evaluation (inside this round's checkpoint job)
+      // and a later merges-output evaluation compute the same winner
+      // from the CHECKPOINTED prior segmentation — no extra eager job
+      val m = bpePairs(seg)
         .orderBy(col("pair_count").desc, col("s1"), col("s2"))
-        .limit(1).collect()
-      // empty corpus / nothing left to merge: stop early rather than
-      // dereference a missing argmax (the lazy pre-r8 form silently
-      // produced empty rounds here)
-      if (rows.isEmpty) return (merges.toSeq, seg)
-      val row = rows(0)
-      val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
-      merges += ((a, b, n))
+        .limit(1)
+      val ranked = m.select(lit(r).as("merge_rank"), col("s1"),
+        col("s2"), col("pair_count"))
+      merges = Some(merges.fold(ranked)(_.union(ranked)))
       seg = seg
-        .withColumn("m1", lit(a)).withColumn("m2", lit(b))
+        .withColumn("_one", lit(1))
+        .join(broadcast(m.select(lit(1).as("_one"),
+          col("s1").as("_m1"), col("s2").as("_m2"))), Seq("_one"),
+          "left")
         .withColumn("seg",
-          expr("replace(seg, concat('|', m1, '||', m2, '|')," +
-            " concat('|', m1, m2, '|'))"))
-        .drop("m1", "m2")
+          when(col("_m1").isNull, col("seg"))
+            .otherwise(expr(
+              "replace(seg, concat('|', _m1, '||', _m2, '|')," +
+                " concat('|', _m1, _m2, '|'))")))
+        .drop("_one", "_m1", "_m2")
+        // keep every round's plan ONE join deep: without this, round
+        // r's pair count re-executes all r-1 prior broadcast-join
+        // layers (O(K²) recompute of the vocab-sized table)
+        .localCheckpoint()
     }
-    (merges.toSeq, seg)
+    (merges.get, seg)
   }
 
   /** BPE merge-rule training (the `vocab_build` companion: that op
@@ -222,15 +244,12 @@ object LmOps extends OpModule {
     * rounds then operate on that bounded table. Per round the only
     * shuffle carries (symbol-pair, count) keys — vocabulary-bounded,
     * never corpus-sized — the argmax is a TakeOrderedAndProject (no
-    * global window), and the winning rule is a 1-row scalar the
-    * driver materializes per round (the same collapse AQE applies to
-    * scalar subqueries) — materializing it keeps the K-round lineage
-    * LINEAR: leaving the argmax lazy makes round k's re-segmentation
-    * AND round k+1's pair count each re-evaluate the whole prior
-    * chain, i.e. 2^K re-runs of the base rollup (measured 10× op
-    * cost at sf0.1 before the collapse). At 100 TB only the initial
-    * word rollup touches the data; the K-round loop operates on the
-    * vocabulary-sized table. */
+    * global window) whose 1-row winner is checkpointed on the
+    * EXECUTORS and broadcast into the next round's re-segmentation
+    * join (see `learnMerges`): the loop is driver-COORDINATED (K
+    * fixed job submissions) but no data row crosses to the driver.
+    * At 100 TB only the initial word rollup touches the data; the
+    * K-round loop operates on the vocabulary-sized table. */
   val bpeMerges = Op(
     "bpe_merges",
     (s, d) => {
@@ -238,13 +257,9 @@ object LmOps extends OpModule {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val merges = learnMerges(words.select(
+      learnMerges(words.select(
         concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
         col("c")))._1
-      import s.implicits._
-      merges.zipWithIndex
-        .map { case ((s1, s2, n), i) => (i + 1, s1, s2, n) }
-        .toDF("merge_rank", "s1", "s2", "pair_count")
     },
     Some {
       val rounds = (1 to BpeRounds).map { r =>
