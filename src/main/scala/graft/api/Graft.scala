@@ -934,4 +934,326 @@ object Graft {
         expr("""aggregate(fingerprints, CAST(0 AS BIGINT),
                           (acc, x) -> acc ^ x)""").as("fp_xor"),
         col("fingerprints"))
+
+  /** Ordered N-step funnel (generalizes `funnel_steps`): step 1 users
+    * are those with any event matching `steps(0)`; step i users are
+    * those whose first step-(i-1) completion is strictly before some
+    * event matching `steps(i)` (chained conditional mins, the GA
+    * goal-funnel definition). Output: one row of per-step user
+    * counts, consecutive conversion rates `rate_i(i+1)`, and the
+    * overall `rate_1N`.
+    *
+    * Scale: each chained step is a user-keyed aggregate re-joined on
+    * the same key (co-partitioned with the previous rollup); the
+    * final cross joins combine single-row aggregates only. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      steps: Seq[Column]): DataFrame = {
+    require(steps.size >= 2, "funnel needs at least 2 steps")
+    val ev = events
+      .withColumn("_us", unix_micros(col(tsCol)))
+      .select(Seq(col(userCol).as("_u"), col("_us")) ++
+        steps.zipWithIndex.map { case (p, i) => p.as(s"_p$i") }: _*)
+    val stepTimes = scala.collection.mutable.ArrayBuffer(
+      ev.filter(col("_p0"))
+        .groupBy(col("_u")).agg(min(col("_us")).as("_t0")))
+    for (i <- 1 until steps.size)
+      stepTimes += ev
+        .join(stepTimes.last.select(col("_u"), col(s"_t${i - 1}")), "_u")
+        .filter(col(s"_p$i") && col("_us") > col(s"_t${i - 1}"))
+        .groupBy(col("_u")).agg(min(col("_us")).as(s"_t$i"))
+    def rate(num: Column, den: Column) =
+      when(den > 0, round(num * lit(1.0) / den, 6))
+    val joined = stepTimes.zipWithIndex
+      .map { case (df, i) => df.agg(count(lit(1)).as(s"step${i + 1}_users")) }
+      .reduce(_.crossJoin(_))
+    val withConsec = (1 until steps.size).foldLeft(joined) { (df, i) =>
+      df.withColumn(s"rate_$i${i + 1}",
+        rate(col(s"step${i + 1}_users"), col(s"step${i}_users")))
+    }
+    withConsec.withColumn(s"rate_1${steps.size}",
+      rate(col(s"step${steps.size}_users"), col("step1_users")))
+  }
+
+  /** Multi-touch attribution (generalizes `attribution_linear`,
+    * `attribution_position`, `attribution_time_decay`, and the
+    * first/last-touch models): join each conversion to the user's
+    * strictly-earlier touches, split the conversion value in EXACT
+    * integer cents per `model`, and roll up credited revenue per
+    * channel. Conversions with no prior touch credit channel -1.
+    *
+    * Models: "linear" (equal split), "position" (40/20/40),
+    * "time_decay" (weight 2^(horizon - age_days), halving per day),
+    * "first" / "last" (all credit to one touch).
+    *
+    * Scale: one user-keyed equi-join (pair count bounded by per-user
+    * activity; add a lookback window in production — same shape), one
+    * conversion-keyed window, then a channel-sized rollup. */
+  def attribution(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, channel: Column, touchPred: Column,
+      convPred: Column, value: Column, model: String = "linear",
+      horizonDays: Int = 30): DataFrame = {
+    require(Set("linear", "position", "time_decay", "first", "last")(model),
+      s"unknown attribution model '$model'")
+    val e = events.withColumn("_us", unix_micros(col(tsCol)))
+    val touches = e.filter(touchPred)
+      .select(col(userCol).as("_tu"), channel.as("_ch"),
+        col("_us").as("_tus"), col(idCol).as("_tid"))
+    val conv = e.filter(convPred)
+      .select(col(userCol).as("_pu"), col(idCol).as("_pid"),
+        col("_us").as("_pus"),
+        floor(value * 100).cast("long").as("_cents"))
+    val paired = conv.join(touches,
+      col("_pu") === col("_tu") && col("_tus") < col("_pus"), "left")
+    val wP = Window.partitionBy(col("_pid"))
+    val ordAsc = wP.orderBy(col("_tus").asc_nulls_first,
+      col("_tid").asc_nulls_first)
+    val base = paired
+      .withColumn("_n", count(lit(1)).over(wP))
+      .withColumn("_rn", row_number().over(ordAsc))
+    val credited = model match {
+      case "linear" =>
+        // cents div n each; the first (cents mod n) touches get the
+        // extra cent — conserves revenue exactly (no double division)
+        base.withColumn("_credit",
+          expr("_cents div _n") +
+            when(col("_rn") <= col("_cents") % col("_n"), 1L).otherwise(0L))
+      case "position" =>
+        base.withColumn("_credit", expr("""
+          CASE
+            WHEN _n = 1 THEN _cents
+            WHEN _n = 2 THEN
+              CASE WHEN _rn = 1 THEN _cents - _cents div 2
+                   ELSE _cents div 2 END
+            WHEN _rn = 1 OR _rn = _n THEN (_cents * 2) div 5
+            ELSE (_cents - 2 * ((_cents * 2) div 5)) div (_n - 2)
+                 + CASE WHEN _rn - 1 <=
+                     (_cents - 2 * ((_cents * 2) div 5)) % (_n - 2)
+                   THEN 1 ELSE 0 END
+          END"""))
+      case "time_decay" =>
+        base
+          .withColumn("_age", expr("(_pus - _tus) div 86400000000"))
+          .withColumn("_w", coalesce(
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST($horizonDays" +
+              s" - LEAST(_age, $horizonDays) AS INT))"), lit(1L)))
+          .withColumn("_cumw", sum(col("_w")).over(ordAsc
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("_totw", sum(col("_w")).over(wP))
+          .withColumn("_credit",
+            expr("(_cents * _cumw) div _totw") -
+              expr("(_cents * (_cumw - _w)) div _totw"))
+      case "first" =>
+        base.filter(col("_rn") === 1).withColumn("_credit", col("_cents"))
+      case "last" =>
+        base.filter(col("_rn") === col("_n"))
+          .withColumn("_credit", col("_cents"))
+    }
+    credited
+      .withColumn("_ch", coalesce(col("_ch"), lit(-1)))
+      .groupBy(col("_ch"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("_credit")) / 100.0, 2).as("revenue"))
+      .withColumnRenamed("_ch", "channel")
+  }
+
+  /** Per-user state-transition probabilities (generalizes
+    * `markov_transitions`): P(next = B | current = A) over each
+    * user's ordered event sequence. `order` breaks ties
+    * deterministically (e.g. Seq(col("ts"), col("event_id"))).
+    *
+    * Scale: one user-keyed window, then a |states|^2-sized rollup —
+    * the normalizing window runs on the catalog-sized rollup, never
+    * the data. */
+  def markovTransitions(events: DataFrame, userCol: String,
+      stateCol: String, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val pairs = events
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev"), col(stateCol))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("_prev"))
+    pairs
+      .withColumn("p",
+        round(col("n") * lit(1.0) / sum(col("n")).over(wp), 6))
+      .select(col("_prev").as("prev_state"),
+        col(stateCol).as("state"), col("n"), col("p"))
+  }
+
+  /** Markov removal-effect attribution (generalizes
+    * `markov_removal`): build the touch-channel transition graph with
+    * synthetic START/CONVERT/DROP states, solve the absorption
+    * probability by `iters` rounds of fixed-point iteration (total
+    * paths are bounded by iters hops, matching the declared op), and
+    * report each channel's removal effect on the base conversion
+    * rate. `channel` must evaluate to an INT in [0, nChannels).
+    *
+    * Scale: everything after the one user-keyed window runs on the
+    * channel^2-sized transition rollup (localCheckpoint'd once), so
+    * the iteration cost is independent of data size. */
+  def markovRemoval(events: DataFrame, userCol: String, idCol: String,
+      tsCol: String, channel: Column, touchPred: Column,
+      convPred: Column, nChannels: Int, iters: Int = 8): DataFrame = {
+    val startS = nChannels      // synthetic states, disjoint from
+    val convS = nChannels + 1   // the [0, nChannels) channel ids
+    val dropS = nChannels + 2
+    val e = events.withColumn("_us", unix_micros(col(tsCol)))
+    val hits = e.filter(touchPred)
+      .select(col(userCol).as("_u"), channel.as("_ch"),
+        col("_us"), col(idCol).as("_id"))
+    val wSeq = Window.partitionBy(col("_u"))
+      .orderBy(col("_us"), col("_id"))
+    val seq = hits
+      .withColumn("_rn", row_number().over(wSeq))
+      .withColumn("_nx", lead(col("_ch"), 1).over(wSeq))
+    val convU = e.filter(convPred)
+      .select(col(userCol).as("_u")).distinct()
+      .withColumn("_has_c", lit(1))
+    val trans = seq.filter(col("_rn") === 1)
+      .select(lit(startS).as("from_s"), col("_ch").as("to_s"))
+      .union(seq.filter(col("_nx").isNotNull)
+        .select(col("_ch").as("from_s"), col("_nx").as("to_s")))
+      .union(seq.filter(col("_nx").isNull)
+        .join(convU, Seq("_u"), "left")
+        .select(col("_ch").as("from_s"),
+          when(col("_has_c").isNotNull, lit(convS))
+            .otherwise(lit(dropS)).as("to_s")))
+    val wFrom = Window.partitionBy(col("from_s"))
+    val probs = trans.groupBy(col("from_s"), col("to_s"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") * lit(1.0) / sum(col("n")).over(wFrom), 6))
+      .select(col("from_s"), col("to_s"), col("p"))
+      .localCheckpoint()
+    val rmDf = probs.sparkSession.range(-1, nChannels)
+      .select(col("id").cast("int").as("rm"))
+    var p = rmDf.crossJoin(
+      probs.select(col("from_s").as("st")).distinct())
+      .withColumn("p", lit(0.0))
+      .select(col("rm"), col("st"), col("p"))
+    for (_ <- 1 to iters) {
+      val prev = p.select(col("rm").as("q_rm"), col("st").as("q_s"),
+        col("p").as("q_p"))
+      p = probs.crossJoin(rmDf)
+        .join(prev,
+          col("q_rm") === col("rm") && col("q_s") === col("to_s"),
+          "left")
+        .groupBy(col("rm"), col("from_s"))
+        .agg(round(sum(
+          when(col("to_s") === convS, col("p"))
+            .when(col("to_s").between(0, nChannels - 1),
+              col("p") * coalesce(col("q_p"), lit(0.0)))
+            .otherwise(lit(0.0))), 6).as("psum"))
+        .select(col("rm"),
+          col("from_s").as("st"),
+          when(col("from_s") === col("rm"), lit(0.0))
+            .otherwise(col("psum")).as("p"))
+    }
+    val base = p.filter(col("rm") === -1 && col("st") === startS)
+      .select(col("p").as("base_cvr"))
+    p.filter(col("rm") >= 0 && col("st") === startS)
+      .select(col("rm").as("channel"), col("p").as("removed_cvr"))
+      .crossJoin(broadcast(base))
+      .withColumn("removal_effect",
+        round((col("base_cvr") - col("removed_cvr")) /
+          nullif(col("base_cvr"), lit(0.0)), 4))
+      .select(col("channel"), col("base_cvr"), col("removed_cvr"),
+        col("removal_effect"))
+  }
+
+  /** Deterministic train/val/test labeling (generalizes
+    * `split_hash`): a stable multiplicative hash of the id column
+    * buckets every row into [0, 100); cumulative `splits`
+    * percentages label the buckets. Row-level (adds a `split`
+    * column); aggregate downstream as needed.
+    *
+    * Scale: pure narrow projection — no shuffle, survives any data
+    * size, and the same row always lands in the same split. */
+  def splitHash(df: DataFrame, idCol: String,
+      splits: Seq[(String, Int)] =
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      "split percentages must sum to 100")
+    val bucket = (col(idCol) % 100000L) * lit(2654435761L) % 100
+    val cuts = splits.scanLeft(0) { case (a, (_, pct)) => a + pct }.tail
+    val label = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1): Column) {
+        case ((name, cut), acc) => when(bucket < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic MinHash-LSH near-duplicate pairs (generalizes
+    * `minhash_det`): trigram shingles -> 8 md5 min-signatures -> 4
+    * banded bucket keys -> equi-join on band key -> exact Jaccard
+    * verify on the candidates. Never all-pairs: the only shuffle keys
+    * are band keys and doc ids.
+    *
+    * Output: (doc_a, doc_b, jaccard) for pairs >= `threshold`. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.4): DataFrame =
+    graft.text.SimilarityOps.minhashDetPairs(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      threshold)
+
+  /** Winsorized summary per group (generalizes `winsorize`): clamp an
+    * integer-cents value to its per-group [pLo, pHi] order statistics
+    * and report raw vs winsorized means. Exact: order statistics are
+    * computed on the distinct-VALUE CDF (the ordered pass runs on the
+    * value rollup, never the fact rows) and every mean divides exact
+    * integer operands.
+    *
+    * `valueCents` must be an integral-typed column (pre-scale floats
+    * to cents with floor(x * 100) to stay exact). */
+  def winsorize(df: DataFrame, valueCents: Column, groupCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val rows = df.select(col(groupCol).as("_g"),
+      valueCents.cast("long").as("_cents"))
+    val wc = Window.partitionBy(col("_g")).orderBy(col("_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = rows.groupBy(col("_g"), col("_cents"))
+      .agg(count(lit(1)).as("_m"))
+      .withColumn("_cum", sum(col("_m")).over(wc))
+    val wn = Window.partitionBy(col("_g"))
+    val keyed = cdf
+      .withColumn("_n", max(col("_cum")).over(wn))
+      .withColumn("_klo", floor(lit(pLo) * (col("_n") - 1)) + 1)
+      .withColumn("_khi", floor(lit(pHi) * (col("_n") - 1)) + 1)
+    val bounds = keyed.groupBy(col("_g")).agg(
+      min(when(col("_cum") >= col("_klo"), col("_cents"))).as("_lo"),
+      min(when(col("_cum") >= col("_khi"), col("_cents"))).as("_hi"))
+    rows
+      .join(broadcast(bounds), "_g")
+      .withColumn("_clamped",
+        least(greatest(col("_cents"), col("_lo")), col("_hi")))
+      .groupBy(col("_g"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (max(col("_lo")) / 100.0).as("p_lo"),
+        (max(col("_hi")) / 100.0).as("p_hi"),
+        (avg(col("_cents")) / 100.0).as("mean_raw"),
+        (avg(col("_clamped")) / 100.0).as("mean_winsor"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
+  /** BPE merge-rule training (generalizes `bpe_merges`): roll the
+    * corpus up to the vocabulary-sized (word, count) table once, then
+    * run `rounds` greedy merge rounds (count desc, pair-lexicographic
+    * tie-break). Returns the ranked merge table
+    * (merge_rank, s1, s2, pair_count).
+    *
+    * Scale: only the initial word rollup touches the data; every
+    * round operates on the vocabulary-sized segmentation table with
+    * the 1-row argmax broadcast executor-side (no driver collect). */
+  def bpeMerges(df: DataFrame, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    graft.text.LmOps.learnMerges(words.select(
+      concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
+      col("c")), rounds)._1
+  }
 }

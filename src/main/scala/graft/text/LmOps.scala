@@ -183,7 +183,8 @@ object LmOps extends OpModule {
     * join leaves the segmentation untouched, so later rounds are
     * no-ops — the same early-stop the oracle's empty m_r CTE
     * implies. */
-  private def learnMerges(seg0: org.apache.spark.sql.DataFrame)
+  private[graft] def learnMerges(seg0: org.apache.spark.sql.DataFrame,
+      rounds: Int = BpeRounds)
       : (org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
     // materialize the vocab-sized rollup once: every round's argmax
@@ -194,7 +195,7 @@ object LmOps extends OpModule {
     // resize upward with vocab bytes, not corpus bytes, at scale.
     var seg = seg0.coalesce(8).localCheckpoint()
     var merges: Option[org.apache.spark.sql.DataFrame] = None
-    for (r <- 1 to BpeRounds) {
+    for (r <- 1 to rounds) {
       // lazy 1-row argmax: deterministic under the total order, so
       // the seg-join evaluation (inside this round's checkpoint job)
       // and a later merges-output evaluation compute the same winner

@@ -516,4 +516,110 @@ class ApiSpec extends AnyFunSuite {
       .collect()
     assert(r.forall(x => x.getLong(0) == x.getLong(1)))
   }
+
+  // ---- round-9 facade transforms vs their declared queries ----
+
+  test("Graft.funnel matches the declared funnel_steps") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.funnel(ev, "user_id", "ts", Seq(
+      col("event_type") === "view",
+      col("event_type") === "signup",
+      col("event_type") === "purchase"))
+    assert(rows(out) == rows(q("funnel_steps")))
+  }
+
+  private def channelOf = (get_json_object(col("props"), "$.k")
+    .cast("int") % 5)
+
+  test("Graft.attribution(linear) matches the declared attribution_linear") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.attribution(ev, "user_id", "event_id", "ts",
+      channelOf, col("event_type").isin("click", "view"),
+      col("event_type") === "purchase", col("value"), "linear")
+      .withColumnRenamed("channel", "campaign")
+    assert(rows(out) == rows(q("attribution_linear")))
+  }
+
+  test("Graft.attribution(position) matches the declared attribution_position") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.attribution(ev, "user_id", "event_id", "ts",
+      channelOf, col("event_type").isin("click", "view"),
+      col("event_type") === "purchase", col("value"), "position")
+      .withColumnRenamed("channel", "campaign")
+    assert(rows(out) == rows(q("attribution_position")))
+  }
+
+  test("Graft.attribution(time_decay) matches the declared attribution_time_decay") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.attribution(ev, "user_id", "event_id", "ts",
+      channelOf, col("event_type").isin("click", "view"),
+      col("event_type") === "purchase", col("value"), "time_decay", 30)
+      .withColumnRenamed("channel", "campaign")
+    assert(rows(out) == rows(q("attribution_time_decay")))
+  }
+
+  test("Graft.attribution(first/last) conserve revenue to the cent") {
+    val ev = Tables.events(spark, sfDir)
+    val total = ev.filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100).cast("long"))).first().getLong(0)
+    for (m <- Seq("first", "last")) {
+      val out = Graft.attribution(ev, "user_id", "event_id", "ts",
+        channelOf, col("event_type").isin("click", "view"),
+        col("event_type") === "purchase", col("value"), m)
+      val credited = out.agg(round(sum(col("revenue")), 2))
+        .first().getDouble(0)
+      assert(math.abs(credited - total / 100.0) < 1e-9,
+        s"$m: credited $credited != purchased ${total / 100.0}")
+    }
+  }
+
+  test("Graft.markovTransitions matches the declared markov_transitions") {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    val out = Graft.markovTransitions(ev, "user_id", "event_type",
+      Seq(col("us"), col("event_id")))
+      .withColumnRenamed("prev_state", "prev_type")
+      .withColumnRenamed("state", "event_type")
+    assert(rows(out) == rows(q("markov_transitions")))
+  }
+
+  test("Graft.markovRemoval matches the declared markov_removal") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.markovRemoval(ev, "user_id", "event_id", "ts",
+      channelOf, col("event_type").isin("click", "view"),
+      col("event_type") === "purchase", 5)
+      .withColumnRenamed("channel", "campaign")
+    assert(rows(out) == rows(q("markov_removal")))
+  }
+
+  test("Graft.splitHash matches the declared split_hash rollup") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Graft.splitHash(docs, "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+    assert(rows(out) == rows(q("split_hash")))
+  }
+
+  test("Graft.minhashPairs matches the declared minhash_det") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    assert(rows(Graft.minhashPairs(docs, "body", "id", 0.4)) ==
+      rows(q("minhash_det")))
+  }
+
+  test("Graft.winsorize matches the declared winsorize") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val out = Graft.winsorize(li,
+      floor(col("l_extendedprice") * 100), "l_returnflag")
+      .withColumnRenamed("p_lo", "p05")
+      .withColumnRenamed("p_hi", "p95")
+    assert(rows(out) == rows(q("winsorize")))
+  }
+
+  test("Graft.bpeMerges matches the declared bpe_merges") {
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows(Graft.bpeMerges(docs, "text", 8)) ==
+      rows(q("bpe_merges")))
+  }
 }

@@ -1,0 +1,211 @@
+package graft
+
+import graft.api.Graft
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the facade ↔ inventory mapping (VERDICT r8 item 8): every
+  * declared op key in SparkEntry.queries must be classified below —
+  * either covered by a parameterized facade transform (whose
+  * reference is compile-checked, so a rename breaks the build) or
+  * assigned to a named non-facade surface with a documented reason.
+  * A round-N addition that is not classified here fails the suite,
+  * so no new operator can silently skip the facade decision.
+  */
+class FacadeCoverageSpec extends AnyFunSuite {
+
+  /** Compile-checked facade references: if a facade method is renamed
+    * or removed, this map stops compiling and its ops go unmapped. */
+  private val facadeRefs: Map[String, Any] = Map(
+    "sessionize" -> (Graft.sessionize _),
+    "asofJoin" -> (Graft.asofJoin _),
+    "cohortRetention" -> (Graft.cohortRetention _),
+    "dedupExact" -> (Graft.dedupExact _),
+    "neardupCluster" -> (Graft.neardupCluster _),
+    "vectorTopK" -> (Graft.vectorTopK _),
+    "qualityScore" -> (Graft.qualityScore _),
+    "ngrams" -> (Graft.ngrams _),
+    "heavyHitters" -> (Graft.heavyHitters _),
+    "bloomSemiJoin" -> (Graft.bloomSemiJoin _),
+    "resampleDaily" -> (Graft.resampleDaily _),
+    "cdcLatest" -> (Graft.cdcLatest _),
+    "quantizeInt8" -> (Graft.quantizeInt8 _),
+    "pageRank" -> (Graft.pageRank _),
+    "scd2" -> (Graft.scd2 _),
+    "chunkDocs" -> (Graft.chunkDocs _),
+    "pmiBigrams" -> (Graft.pmiBigrams _),
+    "unigramLogprob" -> (Graft.unigramLogprob _),
+    "editDistPairs" -> (Graft.editDistPairs _),
+    "basketPairs" -> (Graft.basketPairs _),
+    "histogram" -> (Graft.histogram _),
+    "decileLift" -> (Graft.decileLift _),
+    "userStreaks" -> (Graft.userStreaks _),
+    "peakConcurrency" -> (Graft.peakConcurrency _),
+    "entropyFilter" -> (Graft.entropyFilter _),
+    "cooccurTopK" -> (Graft.cooccurTopK _),
+    "importanceWeights" -> (Graft.importanceWeights _),
+    "semdedup" -> (Graft.semdedup _),
+    "abLift" -> (Graft.abLift _),
+    "containmentPairs" -> (Graft.containmentPairs _),
+    "ewmaSmooth" -> (Graft.ewmaSmooth _),
+    "dauMau" -> (Graft.dauMau _),
+    "zipfFit" -> (Graft.zipfFit _),
+    "winnowFingerprints" -> (Graft.winnowFingerprints _),
+    // round 9
+    "funnel" -> (Graft.funnel _),
+    "attribution" -> (Graft.attribution _),
+    "markovTransitions" -> (Graft.markovTransitions _),
+    "markovRemoval" -> (Graft.markovRemoval _),
+    "splitHash" -> (Graft.splitHash _),
+    "minhashPairs" -> (Graft.minhashPairs _),
+    "winsorize" -> (Graft.winsorize _),
+    "bpeMerges" -> (Graft.bpeMerges _))
+
+  /** facade name -> the declared ops it generalizes (the op pins the
+    * facade to fixed parameters; ApiSpec asserts the equivalences). */
+  private val facadeCoverage: Map[String, Seq[String]] = Map(
+    "sessionize" -> Seq("sessionize", "session_window", "ga_sessions",
+      "session_metrics", "session_paths"),
+    "asofJoin" -> Seq("join_asof", "join_asof_nearest", "range_join_time"),
+    "cohortRetention" -> Seq("cohort_retention", "cohort_ltv",
+      "churn_flags"),
+    "dedupExact" -> Seq("dedup_exact"),
+    "neardupCluster" -> Seq("neardup_cluster", "name_clusters",
+      "dedup_keep_best"),
+    "vectorTopK" -> Seq("vector_topk", "knn_label", "ann_bucket_topk",
+      "ivf_topk", "kmeans_assign"),
+    "qualityScore" -> Seq("quality_score", "text_stats", "token_count",
+      "rep_ratio", "dup_span_frac", "lang_id", "redact_terms"),
+    "ngrams" -> Seq("explode_tokens", "ngram_top", "vocab_build",
+      "tfidf_top", "bm25_top"),
+    "heavyHitters" -> Seq("heavy_hitters"),
+    // membership-filter family: ngram explode + (broadcast | bloom)
+    // probe — bloomSemiJoin is the parameterized kernel
+    "bloomSemiJoin" -> Seq("bloom_semi", "contamination",
+      "contamination_bloom"),
+    "resampleDaily" -> Seq("resample_daily", "window_tumbling",
+      "window_sliding"),
+    "cdcLatest" -> Seq("cdc_latest", "merge_upsert", "table_diff"),
+    "quantizeInt8" -> Seq("embed_quantize", "pq_topk"),
+    "pageRank" -> Seq("pagerank", "graph_triangles"),
+    "scd2" -> Seq("scd2_track"),
+    "chunkDocs" -> Seq("chunk_docs", "pack_sequences"),
+    "pmiBigrams" -> Seq("pmi_bigrams"),
+    "unigramLogprob" -> Seq("unigram_logprob"),
+    "editDistPairs" -> Seq("edit_dist_pairs"),
+    "basketPairs" -> Seq("basket_pairs"),
+    "histogram" -> Seq("value_histogram", "equi_depth_hist",
+      "order_lines_hist", "inter_event_hist"),
+    "decileLift" -> Seq("decile_lift", "rfm_segments"),
+    "userStreaks" -> Seq("user_streaks"),
+    "peakConcurrency" -> Seq("session_concurrency"),
+    "entropyFilter" -> Seq("entropy_filter"),
+    "cooccurTopK" -> Seq("cooccur_topk"),
+    "importanceWeights" -> Seq("dsir_weights"),
+    "semdedup" -> Seq("semdedup", "cosine_neardup"),
+    "abLift" -> Seq("ab_lift"),
+    "containmentPairs" -> Seq("shingle_containment", "source_overlap"),
+    "ewmaSmooth" -> Seq("ewma_smooth", "trend_slope", "seasonality_dow",
+      "anomaly_zscore", "period_compare"),
+    "dauMau" -> Seq("dau_mau", "rolling_wau"),
+    "zipfFit" -> Seq("zipf_fit"),
+    "winnowFingerprints" -> Seq("winnowing_fingerprint",
+      "doc_fingerprint"),
+    "funnel" -> Seq("funnel_steps", "funnel_seq", "cart_abandonment"),
+    "attribution" -> Seq("attribution_linear", "attribution_position",
+      "attribution_time_decay", "first_touch", "conversion_lag"),
+    "markovTransitions" -> Seq("markov_transitions", "page_transitions"),
+    "markovRemoval" -> Seq("markov_removal"),
+    "splitHash" -> Seq("split_hash", "sample_stratified",
+      "sample_budget", "mix_uniform"),
+    "minhashPairs" -> Seq("minhash_det", "dedup_minhash",
+      "ngram_jaccard", "simhash_pairs", "simhash_multiprobe"),
+    "winsorize" -> Seq("winsorize", "mad_outliers"),
+    "bpeMerges" -> Seq("bpe_merges", "bpe_encode"))
+
+  /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
+    * segments/sort/paging) — these ops pin the DSL to GA-v3 report
+    * shapes; GaQuerySpec asserts the DSL equivalences. */
+  private val gaQueryDsl = Seq("ga_report", "ga_filters", "page_topk",
+    "bounce_rate", "new_vs_returning")
+
+  /** Covered by registered native extension functions / rules
+    * (graft.ext: GraftFunctions, TopKPerKey rewrite) — the extension
+    * IS the parameterized surface (ExtensionsSpec/TopKPlanSpec). */
+  private val extSurface = Seq("udaf_geomean", "kmv_bound", "topk_per_key")
+
+  /** Covered by the typed multimodal kernel (MultimodalOps.mediaTable/
+    * ppmTable/decodeFeatures/pool/sampleFrames — parameterized,
+    * Dataset-typed; MultimodalSpec). */
+  private val multimodalKernel = Seq("media_meta", "media_stats",
+    "media_dedup", "media_decode", "media_resize", "media_frames",
+    "media_features")
+  // compile-checked kernel references
+  private val multimodalRefs: Seq[Any] = Seq(
+    graft.multimodal.MultimodalOps.mediaTable _,
+    graft.multimodal.MultimodalOps.decodeFeatures _,
+    graft.multimodal.MultimodalOps.pool _,
+    graft.multimodal.MultimodalOps.sampleFrames _)
+
+  /** Native DataFrame/SQL surface demos: the parameterized form IS
+    * the public Spark API the library builds on (scans, joins, aggs,
+    * windows, sets, scalar functions, pivots) — wrapping them in a
+    * facade would shadow the API one-to-one. */
+  private val coreDataFrame = Seq(
+    // scans / filters / top-k / diagnostics
+    "scan_project", "filter_pred", "case_expr", "topk", "topk_diverse",
+    "data_profile", "fk_orphans", "key_skew", "gini_concentration",
+    // join surface (incl. the salting/skew demos)
+    "join_inner", "join_left", "join_semi", "join_anti", "join_full",
+    "join_theta", "join_bcast_star", "join_salted", "above_avg",
+    // agg surface (incl. native sketches)
+    "pricing_agg", "agg_stats", "agg_distinct", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_strings", "agg_salted",
+    "agg_hll", "agg_quantile_sketch", "hll_bound", "quantile_bound",
+    "quantile_exact",
+    // window surface
+    "window_rank", "window_analytic", "window_frame", "window_dist",
+    "window_range_days", "rolling_median", "share_of_total",
+    "pareto_front",
+    // set ops, scalar functions, pivot/unpivot
+    "set_union", "set_union_all", "set_intersect", "set_intersect_all",
+    "set_except", "set_except_all",
+    "string_funcs", "regexp_funcs", "date_funcs", "math_funcs",
+    "json_funcs", "array_basic", "map_funcs",
+    "pivot_lang", "unpivot_metrics")
+
+  /** Storage-layout surface: spark.read/write + layout ops (formats,
+    * partitioned sinks, bucketing, compaction planning, DPP). */
+  private val coreStorage = Seq("csv_roundtrip", "json_roundtrip",
+    "orc_roundtrip", "sink_partitioned", "merge_partitioned",
+    "bucket_join", "compaction_plan", "dpp_join", "scan_pruned",
+    "zorder_bucket")
+
+  test("every facade family names a compile-checked facade reference") {
+    val missing = facadeCoverage.keySet -- facadeRefs.keySet
+    assert(missing.isEmpty, s"facade families without a reference: $missing")
+    assert(multimodalRefs.nonEmpty)
+  }
+
+  test("every declared op is classified exactly once") {
+    val buckets: Seq[(String, Seq[String])] =
+      facadeCoverage.toSeq.map { case (f, ks) => (s"facade:$f", ks) } ++
+        Seq("ga-query-dsl" -> gaQueryDsl,
+          "ext-surface" -> extSurface,
+          "multimodal-kernel" -> multimodalKernel,
+          "core-dataframe" -> coreDataFrame,
+          "core-storage" -> coreStorage)
+    val all = buckets.flatMap { case (b, ks) => ks.map(_ -> b) }
+    val dupes = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dupes.isEmpty,
+      s"ops classified more than once: ${dupes.keys.toSeq.sorted}")
+    val declared = SparkEntry.queries.keySet
+    val classified = all.map(_._1).toSet
+    val unclassified = declared -- classified
+    assert(unclassified.isEmpty,
+      "declared ops with no facade classification (add the op to a " +
+        s"family here or add a facade): ${unclassified.toSeq.sorted}")
+    val stale = classified -- declared
+    assert(stale.isEmpty,
+      s"classified keys that are no longer declared: ${stale.toSeq.sorted}")
+  }
+}
