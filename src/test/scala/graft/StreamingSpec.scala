@@ -32,6 +32,33 @@ class StreamingSpec extends AnyFunSuite {
       }
   }
 
+  /** sf1 events (1M rows), collected once, time-ordered — shared by
+    * the replay-throughput tests below. Only touched behind an
+    * `assume` that the synthesized sf1 fixture exists. */
+  private lazy val sf1Events: Array[Ev] =
+    Tables.events(spark, "/tmp/sf1")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect().map { r =>
+        Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+          r.getDouble(4))
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+
+  /** BENCH_STREAM_sf1.json accumulator: each sf1 replay test registers
+    * its shape's throughput row; every write emits the union so the
+    * artifact holds all shapes that ran (VERDICT r8 item 7). */
+  private object StreamArt {
+    val shapes = scala.collection.mutable.LinkedHashMap[String, String]()
+    var headline = ""
+    def write(): Unit = {
+      val json = s"""{"metric":"stream_rows_per_sec",$headline""" +
+        s""""unit":"rows/s","sf":"/tmp/sf1",""" +
+        s""""shapes":${shapes.values.mkString("[", ",", "]")}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_STREAM_sf1.json"),
+        (json + "\n").getBytes("UTF-8"))
+    }
+  }
+
   private def runToEnd(sdf: org.apache.spark.sql.DataFrame, name: String,
       mode: OutputMode): org.apache.spark.sql.DataFrame = {
     val query = sdf.writeStream
@@ -212,12 +239,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val evs = Tables.events(spark, sf1)
-        .select("event_id", "ts", "user_id", "event_type", "value")
-        .collect().map { r =>
-          Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
-            r.getDouble(4))
-        }.sortBy(e => (e.ts.getTime, e.event_id))
+      val evs = sf1Events
       val nUsers = evs.map(_.user_id).distinct.length
       val in = MemoryStream[Ev](11, spark, None)
       val query = StreamOps.sessionizeTws(in.toDS()).writeStream
@@ -253,16 +275,14 @@ class StreamingSpec extends AnyFunSuite {
         val bJson = batches.map { case (id, n, ms) =>
           s"""{"batch":$id,"rows":$n,"ms":$ms}"""
         }.mkString("[", ",", "]")
-        val json =
-          s"""{"metric":"stream_rows_per_sec","value":${"%.0f".format(rps)},""" +
-            s""""unit":"rows/s","rows":$totalRows,""" +
+        StreamArt.headline = s""""value":${"%.0f".format(rps)},"""
+        StreamArt.shapes("sessionize") =
+          s"""{"op":"transformWithState sessionize",""" +
+            s""""rows_per_sec":${"%.0f".format(rps)},"rows":$totalRows,""" +
             s""""seconds":${"%.2f".format(totalSec)},"batches":$bJson,""" +
             s""""state_rows_max":$maxState,"users":$nUsers,""" +
-            s""""store":"rocksdb","op":"transformWithState sessionize",""" +
-            s""""sf":"$sf1"}"""
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("/root/repo/BENCH_STREAM_sf1.json"),
-          (json + "\n").getBytes("UTF-8"))
+            s""""store":"rocksdb"}"""
+        StreamArt.write()
         info(s"throughput: ${"%.0f".format(rps)} rows/s over $totalRows rows")
       }
       // state scaled with users, not with the 1M replayed events:
@@ -286,6 +306,72 @@ class StreamingSpec extends AnyFunSuite {
           spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("sf1 replay throughput: tumbling window and watermarked dedup") {
+    // the two remaining §2.12 high-volume shapes, measured on the same
+    // 1M-row sf1 replay as the sessionize row (VERDICT r8 item 7):
+    // windowed aggregation state is WINDOW-sized (hours x types), and
+    // dropDuplicatesWithinWatermark state is horizon-bounded — both
+    // recorded to BENCH_STREAM_sf1.json from StreamingQueryProgress.
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1/events.parquet").exists(),
+      "synthesized sf1 fixture not present (tools/make_sf.py)")
+
+    def replay(memId: Int, name: String, mode: OutputMode,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Double, Long, Long) = {
+      val in = MemoryStream[Ev](memId, spark, None)
+      val query = mk(in.toDF()).writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", freshDir()).start()
+      val chunk = (sf1Events.length + 3) / 4
+      var maxState = 0L
+      sf1Events.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq)
+        query.processAllAvailable()
+        val st = query.lastProgress.stateOperators
+        if (st.nonEmpty) maxState = math.max(maxState, st(0).numRowsTotal)
+      }
+      val batches = query.recentProgress.filter(_.numInputRows > 0).map {
+        p => (p.numInputRows,
+          p.durationMs.getOrDefault("triggerExecution", 0L): Long)
+      }
+      val outRows = spark.table(name).count()
+      query.stop()
+      val rows = batches.map(_._1).sum
+      val sec = batches.map(_._2).sum / 1e3
+      (rows / sec, rows, sec, maxState, outRows)
+    }
+
+    val (tRps, tRows, tSec, tState, _) = replay(12, "t_sf1_tumbling",
+      OutputMode.Append(), StreamOps.tumblingCounts)
+    assert(tRows == sf1Events.length.toLong)
+    // state ∝ open windows (hour x event_type), never ∝ events: the
+    // fixture spans ~7 months => bounded by total windows x 5 types
+    assert(tState > 0 && tState < sf1Events.length / 10L,
+      s"tumbling state $tState scales with events")
+    StreamArt.shapes("tumbling") =
+      s"""{"op":"tumblingCounts 1h watermark 10m",""" +
+        s""""rows_per_sec":${"%.0f".format(tRps)},"rows":$tRows,""" +
+        s""""seconds":${"%.2f".format(tSec)},""" +
+        s""""state_rows_max":$tState,"store":"hdfs"}"""
+    StreamArt.write()
+
+    val (dRps, dRows, dSec, dState, dOut) = replay(13, "t_sf1_dedup",
+      OutputMode.Append(), StreamOps.dedup)
+    assert(dRows == sf1Events.length.toLong)
+    // every event_id in the fixture is unique => dedup passes all rows
+    assert(dOut == sf1Events.length.toLong,
+      s"dedup emitted $dOut of ${sf1Events.length} unique rows")
+    StreamArt.shapes("dedup") =
+      s"""{"op":"dropDuplicatesWithinWatermark event_id 10m",""" +
+        s""""rows_per_sec":${"%.0f".format(dRps)},"rows":$dRows,""" +
+        s""""seconds":${"%.2f".format(dSec)},""" +
+        s""""state_rows_max":$dState,"store":"hdfs"}"""
+    StreamArt.write()
+    info(s"tumbling ${"%.0f".format(tRps)} rows/s, " +
+      s"dedup ${"%.0f".format(dRps)} rows/s")
   }
 
   test("stream-static join enriches events with a dimension") {
