@@ -46,7 +46,12 @@ object Verify {
       .map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1): coalesce collapses the
+          // entire upstream plan into one task, which serializes the
+          // multi-million-row pair joins at synthetic sf10 (observed:
+          // simhash_pairs single-threaded for 30+ min); the extra
+          // exchange is noise at the driver's sf0.01 gate
+          try fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
