@@ -60,6 +60,51 @@ def check_keep_best(con, sf_dir, out_dir, want):
     return 0
 
 
+def check_name_clusters(con, sf_dir, out_dir):
+    # same union-find contract over the part-name graph: edges are the
+    # independently-verified edit_dist_pairs dump (levenshtein <= 3
+    # within (brand, size) blocks), nodes all part keys; expected =
+    # per-component sizes, components of size > 1 only
+    edges = con.execute(
+        f"SELECT k1, k2 FROM "
+        f"read_parquet('{out_dir}/edit_dist_pairs/*.parquet')").fetchall()
+    nodes = [r[0] for r in con.execute(
+        f"SELECT p_partkey FROM "
+        f"read_parquet('{sf_dir}/part.parquet')").fetchall()]
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = {}
+    for n in nodes:
+        r = find(n)
+        sizes[r] = sizes.get(r, 0) + 1
+    want = {c: s for c, s in sizes.items() if s > 1}
+    got = dict(con.execute(
+        f"SELECT cluster_id, n_members FROM "
+        f"read_parquet('{out_dir}/name_clusters/*.parquet')").fetchall())
+    if got != want:
+        extra = set(got) - set(want)
+        miss = set(want) - set(got)
+        diff = [c for c in set(got) & set(want) if got[c] != want[c]]
+        print(f"FAIL name_clusters: {len(extra)} extra, {len(miss)} "
+              f"missing, {len(diff)} wrong-size clusters")
+        return 1
+    print(f"PASS name_clusters ({len(nodes)} parts, {len(edges)} edges, "
+          f"{len(want)} multi-member clusters)")
+    return 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     edges = con.execute(
@@ -100,9 +145,13 @@ def main(sf_dir, out_dir):
     n_clusters = len(set(want.values()))
     print(f"PASS neardup_cluster ({len(nodes)} docs, {len(edges)} edges, "
           f"{n_clusters} clusters)")
+    rc = 0
     if os.path.isdir(f"{out_dir}/dedup_keep_best"):
-        return check_keep_best(con, sf_dir, out_dir, want)
-    return 0
+        rc |= check_keep_best(con, sf_dir, out_dir, want)
+    if os.path.isdir(f"{out_dir}/name_clusters") and \
+            os.path.isdir(f"{out_dir}/edit_dist_pairs"):
+        rc |= check_name_clusters(con, sf_dir, out_dir)
+    return rc
 
 
 if __name__ == "__main__":
