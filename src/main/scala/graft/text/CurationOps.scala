@@ -232,7 +232,15 @@ object CurationOps extends OpModule {
     * near-verbatim evidence, not topical similarity. The eval gram
     * set is benchmark-sized → broadcast; the train side is scanned
     * once and never shuffled on text bytes, only (doc_id, gram-hit)
-    * pairs reach the final count. */
+    * pairs reach the final count.
+    *
+    * Scale guidance (measured, BENCH_CONTAM.json): this exact-overlap
+    * reference implementation ties `contamination_bloom` at sf0.1 and
+    * loses 1.9× at sf1 / 2.8× at sf10 — the broadcast variant always
+    * joins the FULL corpus gram table while the bloom variant filters
+    * it to the contaminated sliver first, and it additionally assumes
+    * the eval gram set fits in executor memory. Start with
+    * `contamination_bloom` at scale. */
   val contamination = Op(
     "contamination",
     (s, d) => {
@@ -285,7 +293,9 @@ object CurationOps extends OpModule {
     * + fpp) are ever shuffled. The exact join behind the filter makes
     * the answer identical to `contamination` — same oracle — at any
     * false-positive rate; the hash (xxhash64) never has to match the
-    * oracle engine because it lives entirely inside the prefilter. */
+    * oracle engine because it lives entirely inside the prefilter.
+    * Measured crossover (BENCH_CONTAM.json): tied at sf0.1, 1.9×
+    * faster at sf1, 2.8× at sf10 — the scale-path default. */
   val contaminationBloom = Op(
     "contamination_bloom",
     (s, d) => {
