@@ -622,4 +622,24 @@ class ApiSpec extends AnyFunSuite {
     assert(rows(Graft.bpeMerges(docs, "text", 8)) ==
       rows(q("bpe_merges")))
   }
+
+  test("Graft.funnel generalizes past 3 steps: monotone counts, sane rates") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Graft.funnel(ev, "user_id", "ts", Seq(
+      col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "signup",
+      col("event_type") === "purchase")).collect().head
+    val counts = (1 to 4).map(i => out.getLong(out.fieldIndex(s"step${i}_users")))
+    // strict ordering can only lose users step over step
+    assert(counts == counts.sorted.reverse, s"non-monotone: $counts")
+    assert(counts.head > 0)
+    // consecutive and overall rates agree with the counts
+    for (i <- 1 to 3; if counts(i - 1) > 0) {
+      val r = out.getDouble(out.fieldIndex(s"rate_$i${i + 1}"))
+      assert(math.abs(r - counts(i).toDouble / counts(i - 1)) < 1e-4)
+    }
+    val r14 = out.getDouble(out.fieldIndex("rate_14"))
+    assert(math.abs(r14 - counts(3).toDouble / counts(0)) < 1e-4)
+  }
 }
