@@ -701,30 +701,38 @@ object Graft {
     * and the two-proportion z-score (zero-variance pools → z = 0). */
   def abLift(events: DataFrame, userCol: String, valueCol: String,
       isConversion: Column, isRevenue: Column): DataFrame = {
+    var taken = events.columns.toSet
+    val v = fresh("_v", taken); taken += v
+    val cv = fresh("_conv", taken); taken += cv
+    val ce = fresh("_cents", taken); taken += ce
+    // pmod, not %: a negative user id must still land in exactly one
+    // arm (JVM % yields -1 for odd negative hashes, dropping the row
+    // from BOTH arms and piling even ones into arm A)
     val users = events
-      .withColumn("_v", expr(s"($userCol % 100000) * 2654435761 % 2"))
-      .groupBy(col(userCol), col("_v"))
+      .withColumn(v,
+        pmod((col(userCol) % 100000L) * lit(2654435761L), lit(2)))
+      .groupBy(col(userCol), col(v))
       .agg(
-        max(when(isConversion, 1L).otherwise(0L)).as("_conv"),
+        max(when(isConversion, 1L).otherwise(0L)).as(cv),
         sum(when(isRevenue,
           floor(col(valueCol) * 100).cast("long")).otherwise(0L))
-          .as("_cents"))
+          .as(ce))
     // empty/one-sided inputs: counts coalesce to 0, the rate/lift
     // columns go NULL instead of dividing by zero (ANSI mode throws),
     // and the z-score CASE treats an empty arm as zero variance
     users.groupBy()
       .agg(
-        coalesce(sum(when(col("_v") === 0, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col(v) === 0, 1L).otherwise(0L)), lit(0L))
           .as("n_a"),
-        coalesce(sum(when(col("_v") === 1, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col(v) === 1, 1L).otherwise(0L)), lit(0L))
           .as("n_b"),
-        coalesce(sum(when(col("_v") === 0, col("_conv"))
+        coalesce(sum(when(col(v) === 0, col(cv))
           .otherwise(0L)), lit(0L)).as("conv_a"),
-        coalesce(sum(when(col("_v") === 1, col("_conv"))
+        coalesce(sum(when(col(v) === 1, col(cv))
           .otherwise(0L)), lit(0L)).as("conv_b"),
-        coalesce(sum(when(col("_v") === 0, col("_cents"))
+        coalesce(sum(when(col(v) === 0, col(ce))
           .otherwise(0L)), lit(0L)).as("cents_a"),
-        coalesce(sum(when(col("_v") === 1, col("_cents"))
+        coalesce(sum(when(col(v) === 1, col(ce))
           .otherwise(0L)), lit(0L)).as("cents_b"))
       .withColumn("conv_a_bp",
         expr("CASE WHEN n_a = 0 THEN NULL" +
@@ -763,9 +771,10 @@ object Graft {
       gramN: Int = 3, maxDf: Int = 50,
       threshold: Double = 0.6): DataFrame = {
     graft.ext.GraftFunctions.register(df.sparkSession)
+    val toksT = fresh("_toks", df.columns.toSet)
     val allGrams = df
-      .withColumn("_toks", split(col(textCol), " "))
-      .select(col(idCol), expr(s"ngrams(_toks, $gramN)"))
+      .withColumn(toksT, split(col(textCol), " "))
+      .select(col(idCol), expr(s"ngrams($toksT, $gramN)"))
       .select(col(idCol), col("ngram").as("_g"))
       .distinct()
     val rare = allGrams.groupBy(col("_g"))
@@ -806,6 +815,12 @@ object Graft {
     // overflows the cast (ANSI throws, legacy silently saturates)
     require(windowDays >= 1 && windowDays <= 63,
       s"windowDays must be in [1, 63], got $windowDays")
+    // output/internal names are fixed by the contract; a groupCol
+    // that collides would be silently shadowed mid-plan — error loud
+    require(!Set("day", "n", "ewma", "n_days_in_window",
+        "_day2", "_n2", "_dd", "_w").contains(groupCol),
+      s"groupCol '$groupCol' collides with an ewmaSmooth output/" +
+        "internal column; alias it first")
     val daily = events
       .withColumn("day", to_date(col(tsCol)))
       .groupBy(col(groupCol), col("day"))
@@ -831,6 +846,10 @@ object Graft {
     * `rolling_wau` window-cover explode of the (user, day) rollup. */
   def dauMau(events: DataFrame, userCol: String, tsCol: String,
       windowDays: Int = 30): DataFrame = {
+    require(!Set("report_day", "dau", "mau", "stickiness_bp",
+        "_dno", "_d0", "_d1").contains(userCol),
+      s"userCol '$userCol' collides with a dauMau output/internal " +
+        "column; alias it first")
     val days = events
       .select(col(userCol),
         datediff(to_date(col(tsCol)), lit("2024-01-01")).as("_dno"))
@@ -898,42 +917,50 @@ object Graft {
     * the set a pair-matching stage explodes and shuffles on. Pure
     * per-row array arithmetic; zero shuffle. */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 4, w: Int = 4): DataFrame =
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(!df.columns.contains("fingerprints"),
+      "input already has a 'fingerprints' column; rename it first " +
+        "(winnowFingerprints would silently overwrite it)")
+    var taken = df.columns.toSet
+    val ths = fresh("_ths", taken); taken += ths
+    val gh = fresh("_gh", taken); taken += gh
+    val nw = fresh("_nw", taken); taken += nw
     df
-      .withColumn("_ths",
+      .withColumn(ths,
         expr(s"""transform(split($textCol, ' '),
                    tk -> aggregate(
                            transform(split(tk, ''),
                                      c -> CAST(ascii(c) AS BIGINT)),
                            CAST(7 AS BIGINT),
                            (acc, x) -> (acc * 31 + x) % 1073741824))"""))
-      .withColumn("_gh",
-        expr(s"""CASE WHEN size(_ths) >= $k THEN
-                   transform(sequence(1, size(_ths) - ${k - 1}),
-                     i -> aggregate(slice(_ths, i, $k),
+      .withColumn(gh,
+        expr(s"""CASE WHEN size($ths) >= $k THEN
+                   transform(sequence(1, size($ths) - ${k - 1}),
+                     i -> aggregate(slice($ths, i, $k),
                             CAST(7 AS BIGINT),
                             (acc, x) -> (acc * 1000003 + x) % 1073741824))
                  ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
-      .withColumn("_nw",
-        expr(s"""CASE WHEN size(_gh) = 0 THEN 0
-                      WHEN size(_gh) <= $w THEN 1
-                      ELSE size(_gh) - ${w - 1} END"""))
+      .withColumn(nw,
+        expr(s"""CASE WHEN size($gh) = 0 THEN 0
+                      WHEN size($gh) <= $w THEN 1
+                      ELSE size($gh) - ${w - 1} END"""))
       .withColumn("fingerprints",
         expr(s"""array_distinct(
-                   CASE WHEN _nw = 0 THEN CAST(array() AS ARRAY<BIGINT>)
-                        ELSE transform(sequence(1, _nw),
-                               j -> array_min(slice(_gh, j,
-                                      least($w, size(_gh) - j + 1))))
+                   CASE WHEN $nw = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                        ELSE transform(sequence(1, $nw),
+                               j -> array_min(slice($gh, j,
+                                      least($w, size($gh) - j + 1))))
                    END)"""))
       .select(
         col(idCol),
-        expr("CAST(size(_gh) AS BIGINT)").as("n_grams"),
+        expr(s"CAST(size($gh) AS BIGINT)").as("n_grams"),
         expr("CAST(size(fingerprints) AS BIGINT)").as("n_fp"),
         expr("COALESCE(array_min(fingerprints), CAST(0 AS BIGINT))")
           .as("fp_min"),
         expr("""aggregate(fingerprints, CAST(0 AS BIGINT),
                           (acc, x) -> acc ^ x)""").as("fp_xor"),
         col("fingerprints"))
+  }
 
   /** Ordered N-step funnel (generalizes `funnel_steps`): step 1 users
     * are those with any event matching `steps(0)`; step i users are
@@ -949,9 +976,13 @@ object Graft {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       steps: Seq[Column]): DataFrame = {
     require(steps.size >= 2, "funnel needs at least 2 steps")
+    // the timestamp temp lands on the full frame BEFORE the user's
+    // step predicates are evaluated — fresh() so a user `_us` column
+    // is never shadowed out from under those predicates
+    val usT = fresh("_us", events.columns.toSet)
     val ev = events
-      .withColumn("_us", unix_micros(col(tsCol)))
-      .select(Seq(col(userCol).as("_u"), col("_us")) ++
+      .withColumn(usT, unix_micros(col(tsCol)))
+      .select(Seq(col(userCol).as("_u"), col(usT).as("_us")) ++
         steps.zipWithIndex.map { case (p, i) => p.as(s"_p$i") }: _*)
     val stepTimes = scala.collection.mutable.ArrayBuffer(
       ev.filter(col("_p0"))
@@ -982,8 +1013,11 @@ object Graft {
     * channel. Conversions with no prior touch credit channel -1.
     *
     * Models: "linear" (equal split), "position" (40/20/40),
-    * "time_decay" (weight 2^(horizon - age_days), halving per day),
-    * "first" / "last" (all credit to one touch).
+    * "time_decay" (weight 2^(horizon - age_days), halving per day;
+    * horizonDays is bounded to [0, 62] so the BIGINT weight cannot
+    * wrap — and keep cents · touches · 2^horizon < 2^63, i.e. prefer
+    * a small horizon for very-high-value conversions with many
+    * touches), "first" / "last" (all credit to one touch).
     *
     * Scale: one user-keyed equi-join (pair count bounded by per-user
     * activity; add a lookback window in production — same shape), one
@@ -994,13 +1028,21 @@ object Graft {
       horizonDays: Int = 30): DataFrame = {
     require(Set("linear", "position", "time_decay", "first", "last")(model),
       s"unknown attribution model '$model'")
-    val e = events.withColumn("_us", unix_micros(col(tsCol)))
+    require(model != "time_decay" ||
+        (horizonDays >= 0 && horizonDays <= 62),
+      s"time_decay horizonDays must be in [0, 62] (weight 2^horizon " +
+        s"must fit a BIGINT; shiftleft wraps mod 64), got $horizonDays")
+    // `_us` lands on the full frame BEFORE touchPred/convPred/channel
+    // are evaluated — fresh() so a user `_us` column is never
+    // shadowed out from under those user expressions
+    val usT = fresh("_us", events.columns.toSet)
+    val e = events.withColumn(usT, unix_micros(col(tsCol)))
     val touches = e.filter(touchPred)
       .select(col(userCol).as("_tu"), channel.as("_ch"),
-        col("_us").as("_tus"), col(idCol).as("_tid"))
+        col(usT).as("_tus"), col(idCol).as("_tid"))
     val conv = e.filter(convPred)
       .select(col(userCol).as("_pu"), col(idCol).as("_pid"),
-        col("_us").as("_pus"),
+        col(usT).as("_pus"),
         floor(value * 100).cast("long").as("_cents"))
     val paired = conv.join(touches,
       col("_pu") === col("_tu") && col("_tus") < col("_pus"), "left")
@@ -1066,17 +1108,20 @@ object Graft {
     * the data. */
   def markovTransitions(events: DataFrame, userCol: String,
       stateCol: String, order: Seq[Column]): DataFrame = {
+    // `_prev` lands on the full frame; fresh() so a user `_prev`
+    // column referenced by `order`/`stateCol` is never shadowed
+    val prev = fresh("_prev", events.columns.toSet)
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     val pairs = events
-      .withColumn("_prev", lag(col(stateCol), 1).over(w))
-      .filter(col("_prev").isNotNull)
-      .groupBy(col("_prev"), col(stateCol))
+      .withColumn(prev, lag(col(stateCol), 1).over(w))
+      .filter(col(prev).isNotNull)
+      .groupBy(col(prev), col(stateCol))
       .agg(count(lit(1)).as("n"))
-    val wp = Window.partitionBy(col("_prev"))
+    val wp = Window.partitionBy(col(prev))
     pairs
       .withColumn("p",
         round(col("n") * lit(1.0) / sum(col("n")).over(wp), 6))
-      .select(col("_prev").as("prev_state"),
+      .select(col(prev).as("prev_state"),
         col(stateCol).as("state"), col("n"), col("p"))
   }
 
@@ -1097,10 +1142,13 @@ object Graft {
     val startS = nChannels      // synthetic states, disjoint from
     val convS = nChannels + 1   // the [0, nChannels) channel ids
     val dropS = nChannels + 2
-    val e = events.withColumn("_us", unix_micros(col(tsCol)))
+    // fresh() for the same reason as attribution: `_us` precedes the
+    // user's touchPred/convPred/channel expressions
+    val usT = fresh("_us", events.columns.toSet)
+    val e = events.withColumn(usT, unix_micros(col(tsCol)))
     val hits = e.filter(touchPred)
       .select(col(userCol).as("_u"), channel.as("_ch"),
-        col("_us"), col(idCol).as("_id"))
+        col(usT).as("_us"), col(idCol).as("_id"))
     val wSeq = Window.partitionBy(col("_u"))
       .orderBy(col("_us"), col("_id"))
     val seq = hits
@@ -1162,10 +1210,19 @@ object Graft {
   }
 
   /** Deterministic train/val/test labeling (generalizes
-    * `split_hash`): a stable multiplicative hash of the id column
-    * buckets every row into [0, 100); cumulative `splits`
-    * percentages label the buckets. Row-level (adds a `split`
-    * column); aggregate downstream as needed.
+    * `split_hash`): the declared op's multiplicative bucket maps the
+    * id column into [0, 100); cumulative `splits` percentages label
+    * the buckets. Row-level (adds a `split` column); aggregate
+    * downstream as needed.
+    *
+    * NOT a general hash: because the final reduction is mod 100, the
+    * bucket is a fixed PERMUTATION of pmod(id, 100) — ids congruent
+    * mod 100 always share a split, so any correlation between
+    * id-assignment order and content (e.g. sequential ids per source)
+    * carries into the splits. When ids are not uniform mod 100, pass
+    * a pre-hashed id expression instead (e.g. register a
+    * `xxhash64(id)` column and split on that). Negative ids bucket
+    * via pmod — every id lands in exactly one split.
     *
     * Scale: pure narrow projection — no shuffle, survives any data
     * size, and the same row always lands in the same split. */
@@ -1174,7 +1231,10 @@ object Graft {
         Seq("train" -> 80, "val" -> 10, "test" -> 10)): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       "split percentages must sum to 100")
-    val bucket = (col(idCol) % 100000L) * lit(2654435761L) % 100
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; rename it first " +
+        "(splitHash would silently overwrite it)")
+    val bucket = pmod((col(idCol) % 100000L) * lit(2654435761L), lit(100))
     val cuts = splits.scanLeft(0) { case (a, (_, pct)) => a + pct }.tail
     val label = splits.map(_._1).zip(cuts).init
       .foldRight(lit(splits.last._1): Column) {

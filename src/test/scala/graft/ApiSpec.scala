@@ -642,4 +642,104 @@ class ApiSpec extends AnyFunSuite {
     val r14 = out.getDouble(out.fieldIndex("rate_14"))
     assert(math.abs(r14 - counts(3).toDouble / counts(0)) < 1e-4)
   }
+
+  // ---- negative-id / shadow-safety properties (r9 verdict item 1) ----
+
+  test("Graft.abLift: negative user ids land in exactly one arm") {
+    import spark.implicits._
+    val ev = (-50L until 50L).map(u => (u, 10.0, u % 3 == 0))
+      .toDF("user_id", "value", "flag")
+    val r = Graft.abLift(ev, "user_id", "value",
+      col("flag"), col("flag")).collect().head
+    val (nA, nB) = (r.getLong(r.fieldIndex("n_a")),
+      r.getLong(r.fieldIndex("n_b")))
+    // pre-pmod, odd-hash negative users fell in NEITHER arm
+    assert(nA + nB == 100, s"lost users: n_a=$nA n_b=$nB")
+    assert(nA > 0 && nB > 0, s"one-sided assignment: n_a=$nA n_b=$nB")
+  }
+
+  test("Graft.splitHash: negative ids split by pmod, never all-train") {
+    import spark.implicits._
+    val ids = (-500L until 500L)
+    val out = Graft.splitHash(ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact expected label per id from the documented pmod bucket
+    val cuts = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+    def expected(id: Long): String = {
+      val b = java.lang.Math.floorMod((id % 100000L) * 2654435761L, 100L)
+      cuts.find(b < _._2).get._1
+    }
+    ids.foreach(id => assert(out(id) == expected(id), s"id=$id"))
+    // and negative ids are NOT all in the first split
+    val negLabels = ids.filter(_ < 0).map(out).toSet
+    assert(negLabels == Set("train", "val", "test"), s"got $negLabels")
+  }
+
+  test("Graft.splitHash refuses to overwrite an existing split column") {
+    import spark.implicits._
+    val df = Seq((1L, "keep")).toDF("doc_id", "split")
+    assertThrows[IllegalArgumentException](Graft.splitHash(df, "doc_id"))
+  }
+
+  test("Graft.semdedup: negative ids salt via pmod, one row per id") {
+    import spark.implicits._
+    Graft.register(spark)
+    val emb = (-20L until 20L)
+      .map(i => (i, Array.tabulate(4)(d => (((i + d) % 5) + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val seeds = emb.filter(col("vec_id").isin(-20L, 0L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = Graft.semdedup(emb, "embedding", "vec_id",
+      seeds, "cid", "cvec").collect()
+    assert(out.length == 40)
+    assert(out.map(_.getLong(0)).distinct.length == 40)
+    assert(out.forall(r => Set(0, 1)(r.getInt(r.fieldIndex("kept")))))
+  }
+
+  test("Graft.attribution: a user `_us` column is not shadowed from predicates") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "touch", 0.0),
+      (1L, 11L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        "conv", 10.0))
+      .toDF("user_id", "event_id", "ts", "_us", "value")
+    val out = Graft.attribution(ev, "user_id", "event_id", "ts",
+      lit(7), col("_us") === "touch", col("_us") === "conv",
+      col("value"), "linear")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // pre-fix: _us was overwritten by unix_micros before the user
+    // predicates ran -> no touches matched -> all credit to channel -1
+    assert(out == Map(7 -> (1L, 10.0)), s"got $out")
+  }
+
+  test("Graft.funnel: a user `_us` column is not shadowed from step predicates") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "go"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "buy"))
+      .toDF("user_id", "ts", "_us")
+    val out = Graft.funnel(ev, "user_id", "ts",
+      Seq(col("_us") === "go", col("_us") === "buy")).collect().head
+    assert(out.getLong(out.fieldIndex("step1_users")) == 1L)
+    assert(out.getLong(out.fieldIndex("step2_users")) == 1L)
+  }
+
+  test("Graft.markovTransitions: a user `_prev` order column survives") {
+    import spark.implicits._
+    val ev = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L))
+      .toDF("user_id", "state", "_prev")
+    val out = Graft.markovTransitions(ev, "user_id", "state",
+      Seq(col("_prev")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("Graft.attribution(time_decay) rejects horizons that wrap shiftleft") {
+    val ev = Tables.events(spark, sfDir)
+    assertThrows[IllegalArgumentException](
+      Graft.attribution(ev, "user_id", "event_id", "ts",
+        lit(0), lit(true), lit(false), col("value"), "time_decay", 63))
+  }
 }
