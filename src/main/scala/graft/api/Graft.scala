@@ -698,7 +698,15 @@ object Graft {
     * arbitrary boolean Columns — conversion is often a stricter
     * predicate than revenue, e.g. high-value purchases vs all
     * purchases). One-row output with counts, rates (bp), lift (bp)
-    * and the two-proportion z-score (zero-variance pools → z = 0). */
+    * and the two-proportion z-score (zero-variance pools → z = 0).
+    *
+    * NOT a general hash (same disclosure as [[splitHash]]): the
+    * multiplier is odd, so pmod((id % 100000) * 2654435761, 2)
+    * reduces to pmod(id, 2) — the arm IS user-id parity. Fine for a
+    * deterministic reproducible split; biased whenever id parity
+    * correlates with behavior (e.g. alternating allocation across
+    * sources). For a true random-looking split, assign arms from a
+    * pre-hashed id expression (e.g. pmod(xxhash64(col), 2)). */
   def abLift(events: DataFrame, userCol: String, valueCol: String,
       isConversion: Column, isRevenue: Column): DataFrame = {
     var taken = events.columns.toSet
@@ -921,6 +929,11 @@ object Graft {
     require(!df.columns.contains("fingerprints"),
       "input already has a 'fingerprints' column; rename it first " +
         "(winnowFingerprints would silently overwrite it)")
+    require(!Set("fingerprints", "n_grams", "n_fp", "fp_min", "fp_xor")
+        .contains(idCol),
+      s"idCol '$idCol' collides with a winnowFingerprints output " +
+        "column; rename it first (the result would carry a " +
+        "duplicate-named column)")
     var taken = df.columns.toSet
     val ths = fresh("_ths", taken); taken += ths
     val gh = fresh("_gh", taken); taken += gh

@@ -656,9 +656,16 @@ object JourneyOps extends OpModule {
   val abLift = Op(
     "ab_lift",
     (s, d) => {
+      // pmod, not %: a negative user id must still land in exactly
+      // one arm (JVM % yields -1 for odd negative hashes). Same fix
+      // as the Graft.abLift facade, so the equivalence holds on the
+      // full id domain, not just non-negative fixture ids. NOTE the
+      // multiplier is odd, so mod 2 this reduces to user-id parity —
+      // fine for a deterministic split, NOT a general hash (see
+      // split_hash's disclosure).
       val users = ev(s, d)
         .withColumn("variant",
-          expr("(user_id % 100000) * 2654435761 % 2"))
+          expr("pmod((user_id % 100000) * 2654435761, 2)"))
         .groupBy(col("user_id"), col("variant"))
         .agg(
           // conversion = a HIGH-VALUE purchase (> $150): in a fixture
@@ -720,7 +727,7 @@ object JourneyOps extends OpModule {
     Some("""
       WITH u AS (
         SELECT user_id,
-               (user_id % 100000) * 2654435761 % 2 AS variant,
+               ((user_id % 100000) * 2654435761 % 2 + 2) % 2 AS variant,
                MAX(CASE WHEN event_type = 'purchase' AND value > 150
                    THEN 1 ELSE 0 END) AS converted,
                SUM(CASE WHEN event_type = 'purchase'

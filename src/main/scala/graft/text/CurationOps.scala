@@ -102,7 +102,7 @@ object CurationOps extends OpModule {
     (s, d) =>
       Tables(s, d, "documents")
         .withColumn("bucket",
-          expr("(doc_id % 100000) * 2654435761 % 1000"))
+          expr("pmod((doc_id % 100000) * 2654435761, 1000)"))
         .withColumn("rate",
           when(col("lang") === "en", 100)
             .when(col("lang") === "de", 300)
@@ -114,7 +114,7 @@ object CurationOps extends OpModule {
     Some("""
       SELECT doc_id, lang, bucket
       FROM (SELECT doc_id, lang,
-                   (doc_id % 100000) * 2654435761 % 1000 AS bucket
+                   ((doc_id % 100000) * 2654435761 % 1000 + 1000) % 1000 AS bucket
             FROM documents)
       WHERE bucket < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
                                WHEN 'es' THEN 500 WHEN 'fr' THEN 700
@@ -139,7 +139,7 @@ object CurationOps extends OpModule {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, d, "documents")
         .withColumn("shard",
-          expr("(doc_id % 100000) * 2654435761 % 16"))
+          expr("pmod((doc_id % 100000) * 2654435761, 16)"))
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("prefix",
           coalesce(sum(col("n_tokens")).over(w), lit(0L)))
@@ -155,7 +155,7 @@ object CurationOps extends OpModule {
     Some("""
       WITH t AS (
         SELECT lang, doc_id,
-               (doc_id % 100000) * 2654435761 % 16 AS shard,
+               ((doc_id % 100000) * 2654435761 % 16 + 16) % 16 AS shard,
                len(string_split(text, ' ')) AS n_tokens
         FROM documents),
       p AS (
@@ -255,7 +255,7 @@ object CurationOps extends OpModule {
       def grams(bucketPred: org.apache.spark.sql.Column) =
         Tables(s, d, "documents")
           .withColumn("bucket",
-            expr("(doc_id % 100000) * 2654435761 % 1000"))
+            expr("pmod((doc_id % 100000) * 2654435761, 1000)"))
           .filter(bucketPred)
           .withColumn("toks", split(col("text"), " "))
           .select(col("doc_id"), expr("ngrams(toks, 8)"))
@@ -270,7 +270,7 @@ object CurationOps extends OpModule {
     Some("""
       WITH g AS (
         SELECT doc_id,
-               (doc_id % 100000) * 2654435761 % 1000 AS bucket,
+               ((doc_id % 100000) * 2654435761 % 1000 + 1000) % 1000 AS bucket,
                unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
                        || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
                        || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]
@@ -305,7 +305,7 @@ object CurationOps extends OpModule {
       def grams(bucketPred: org.apache.spark.sql.Column) =
         Tables(s, d, "documents")
           .withColumn("bucket",
-            expr("(doc_id % 100000) * 2654435761 % 1000"))
+            expr("pmod((doc_id % 100000) * 2654435761, 1000)"))
           .filter(bucketPred)
           .withColumn("toks", split(col("text"), " "))
           .select(col("doc_id"), expr("ngrams(toks, 8)"))
@@ -331,7 +331,7 @@ object CurationOps extends OpModule {
     Some("""
       WITH g AS (
         SELECT doc_id,
-               (doc_id % 100000) * 2654435761 % 1000 AS bucket,
+               ((doc_id % 100000) * 2654435761 % 1000 + 1000) % 1000 AS bucket,
                unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
                        || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
                        || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]
@@ -362,9 +362,9 @@ object CurationOps extends OpModule {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, d, "documents")
         .withColumn("bucket",
-          expr("(doc_id % 100000) * 2654435761 % 1000"))
+          expr("pmod((doc_id % 100000) * 2654435761, 1000)"))
         .withColumn("shard",
-          expr("(doc_id % 100000) * 2654435761 % 16"))
+          expr("pmod((doc_id % 100000) * 2654435761, 16)"))
         .withColumn("n_tokens", size(split(col("text"), " ")))
         .withColumn("quota",
           when(col("lang") === "en", 400).otherwise(800))
@@ -377,8 +377,8 @@ object CurationOps extends OpModule {
     Some("""
       WITH t AS (
         SELECT doc_id, lang,
-               (doc_id % 100000) * 2654435761 % 1000 AS bucket,
-               (doc_id % 100000) * 2654435761 % 16 AS shard,
+               ((doc_id % 100000) * 2654435761 % 1000 + 1000) % 1000 AS bucket,
+               ((doc_id % 100000) * 2654435761 % 16 + 16) % 16 AS shard,
                len(string_split(text, ' ')) AS n_tokens,
                CASE WHEN lang = 'en' THEN 400 ELSE 800 END AS quota
         FROM documents),
@@ -405,7 +405,7 @@ object CurationOps extends OpModule {
     (s, d) => {
       val docs = Tables(s, d, "documents")
         .withColumn("bucket",
-          expr("(doc_id % 100000) * 2654435761 % 1000000"))
+          expr("pmod((doc_id % 100000) * 2654435761, 1000000)"))
       val counts = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_src"))
       val minCnt = counts.agg(min(col("n_src")).as("min_cnt"))
@@ -425,7 +425,7 @@ object CurationOps extends OpModule {
     Some("""
       WITH b AS (
         SELECT source,
-               (doc_id % 100000) * 2654435761 % 1000000 AS bucket
+               ((doc_id % 100000) * 2654435761 % 1000000 + 1000000) % 1000000 AS bucket
         FROM documents),
       counts AS (SELECT source, COUNT(*) AS n_src FROM b GROUP BY source),
       m AS (SELECT MIN(n_src) AS min_cnt FROM counts)
@@ -454,22 +454,27 @@ object CurationOps extends OpModule {
     * position join); the (bigram, counts) table shuffles once on the
     * skinny gram key with map-side combine, the 3 scalar totals
     * broadcast, and the per-doc rollup shuffles (doc_id, 2 cols).
-    * Corpus text is read once and never re-shuffled. */
+    * Corpus text is read once and never re-shuffled. The bigram
+    * shuffles/joins as `xxhash64(bigram)` — an 8-byte long, not the
+    * string; equality is all the count rollup and scoring join need,
+    * no gram reaches the output, and a 64-bit collision (birthday
+    * ≈3e-2 at 10⁹ distinct grams) merely merges two smoothed count
+    * cells (see SimilarityOps.rareGramStats for the same design). */
   val dsirWeights = Op(
     "dsir_weights",
     (s, d) => {
       val t = Tables(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("is_tgt",
-          expr("CASE WHEN (doc_id % 100000) * 2654435761 % 100 < 10" +
+          expr("CASE WHEN pmod((doc_id % 100000) * 2654435761, 100) < 10" +
             " THEN 1 ELSE 0 END"))
         .filter(size(col("toks")) >= 2)
       val bg = t
         .select(col("doc_id"), col("is_tgt"), col("toks"),
           explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
         .select(col("doc_id"), col("is_tgt"),
-          concat(element_at(col("toks"), col("i")), lit(" "),
-            element_at(col("toks"), col("i") + 1)).as("g"))
+          xxhash64(concat(element_at(col("toks"), col("i")), lit(" "),
+            element_at(col("toks"), col("i") + 1))).as("g"))
       // the vocab-sized count table materializes once (localCheckpoint)
       // so the totals rollup and the scoring join both read IT, not a
       // fresh corpus scan each — the corpus is read exactly twice:
@@ -491,7 +496,7 @@ object CurationOps extends OpModule {
     Some("""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
-               CASE WHEN (doc_id % 100000) * 2654435761 % 100 < 10
+               CASE WHEN ((doc_id % 100000) * 2654435761 % 100 + 100) % 100 < 10
                     THEN 1 ELSE 0 END AS is_tgt
         FROM documents),
       bg AS (

@@ -155,18 +155,30 @@ object SimilarityOps extends OpModule {
     * least one rare trigram — the candidate kernel under both
     * `ngram_jaccard` (symmetric overlap) and `shingle_containment`
     * (asymmetric overlap). One gram-keyed shuffle, one pair-keyed
-    * map-side-combined count, two size joins; never all pairs. */
+    * map-side-combined count, two size joins; never all pairs.
+    *
+    * Shuffle key: the gram shuffles as `xxhash64(gram)` — an 8-byte
+    * long instead of the ~50-byte string. Equality is all the df
+    * rollup and the candidate join need, and no gram ever appears in
+    * the output, so the result is identical modulo 64-bit hash
+    * collisions (birthday bound n²/2⁶⁵: ≈3e-2 at 10⁹ distinct grams,
+    * and one collision merges exactly two gram groups — perturbs one
+    * df/intersection count by 1, it does not cascade). Measured at
+    * sf10 this cut the `shingle_containment` tail 45.2 s → see
+    * SCALE.md; outputs verified pairwise-identical vs the string-key
+    * plan at sf0.01 and sf1. */
   private[text] def rareGramStats(s: SparkSession, d: String): DataFrame = {
     graft.ext.GraftFunctions.register(s)
     // trigrams via the native ngrams Generator: the token array is
     // evaluated once per row — the explode(transform(sequence...))
     // formulation re-split the text per gram element after
     // CollapseProject inlining (see CurationOps.contamination; same
-    // fix measured 6-12x there)
+    // fix measured 6-12x there). The string gram is hashed away
+    // BEFORE the distinct, so even the first shuffle is 8-byte-keyed.
     val allGrams = Tables(s, d, "documents")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr("ngrams(toks, 3)"))
-      .select(col("doc_id"), col("ngram").as("g"))
+      .select(col("doc_id"), xxhash64(col("ngram")).as("g"))
       .distinct()
     val rare = allGrams.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
@@ -443,21 +455,29 @@ object SimilarityOps extends OpModule {
   val langId = Op(
     "lang_id",
     (s, d) => {
-      def hits(words: Seq[String]): Column =
-        words.map(w => expr(
-          s"size(filter(split(text, ' '), x -> x = '$w'))"))
-          .reduce(_ + _)
-      // marker lists keyed to the corpus vocabulary; deterministic
-      val en = hits(Seq("the", "a", "scan"))
-      val de = hits(Seq("und", "der", "window"))
-      val fr = hits(Seq("le", "la", "join"))
+      // Single-pass scoring: ONE split + ONE aggregate fold counts
+      // all nine markers per token traversal, and the fold's finish
+      // lambda computes the argmax directly on the accumulator (a
+      // lambda variable — evaluated once, immune to CollapseProject
+      // inlining). The previous per-marker size(filter(split(...)))
+      // formulation re-split and re-scanned each document 9× —
+      // 19.7 s of pure scan CPU at sf10. Tie-break (en ≥ de ≥ fr
+      // chain) and output are byte-identical.
+      val pred = expr("""
+        aggregate(
+          split(text, ' '),
+          named_struct('en', 0L, 'de', 0L, 'fr', 0L),
+          (a, x) -> named_struct(
+            'en', a.en + (CASE WHEN x IN ('the', 'a', 'scan')
+                          THEN 1L ELSE 0L END),
+            'de', a.de + (CASE WHEN x IN ('und', 'der', 'window')
+                          THEN 1L ELSE 0L END),
+            'fr', a.fr + (CASE WHEN x IN ('le', 'la', 'join')
+                          THEN 1L ELSE 0L END)),
+          a -> CASE WHEN a.en >= a.de AND a.en >= a.fr THEN 'en'
+                    WHEN a.de >= a.fr THEN 'de' ELSE 'fr' END)""")
       Tables(s, d, "documents")
-        .withColumn("h_en", en).withColumn("h_de", de).withColumn("h_fr", fr)
-        .withColumn("pred",
-          when(col("h_en") >= col("h_de") && col("h_en") >= col("h_fr"), "en")
-            .when(col("h_de") >= col("h_fr"), "de")
-            .otherwise("fr"))
-        .groupBy(col("lang"), col("pred"))
+        .groupBy(col("lang"), pred.as("pred"))
         .agg(count(lit(1)).as("n_docs"))
     },
     Some("""
@@ -492,9 +512,9 @@ object SimilarityOps extends OpModule {
     * (doc, gram) pairs on the gram (with map-side distinct), then the
     * flag rollup on doc_id. Nothing quadratic: cross-doc duplication
     * is decided by the gram's distinct-doc count, never by pairing
-    * docs. At 100 TB the gram key would shuffle as xxhash64(gram)
-    * (8 bytes vs the ~50-byte string — equality is all the join
-    * needs); the string key here keeps the DuckDB oracle exact. */
+    * docs. The gram shuffles as xxhash64(gram) — 8 bytes vs the
+    * ~50-byte string; equality is all the join needs and no gram
+    * reaches the output (collision math at rareGramStats). */
   val dupSpanFrac = Op(
     "dup_span_frac",
     (s, d) => {
@@ -503,6 +523,7 @@ object SimilarityOps extends OpModule {
       val gset = docs
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), expr("ngrams(toks, 8)"))
+        .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
         .distinct()
       val nd = gset.groupBy(col("ngram"))
         .agg(count(lit(1)).as("nd"))
@@ -602,10 +623,13 @@ object SimilarityOps extends OpModule {
     "source_overlap",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
+      // gram shuffles as xxhash64 (8-byte key; see rareGramStats —
+      // no gram in the output, equality-only joins, collision odds
+      // negligible and non-cascading)
       val grams = Tables(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
         .select(col("source"), expr("ngrams(toks, 8)"))
-        .select(col("source"), col("ngram").as("g")).distinct()
+        .select(col("source"), xxhash64(col("ngram")).as("g")).distinct()
       val sizes = grams.groupBy(col("source"))
         .agg(count(lit(1)).as("n"))
       val a = grams.select(col("source").as("s1"), col("g"))

@@ -40,9 +40,15 @@ object TextOps extends OpModule {
   val splitHash = Op(
     "split_hash",
     (s, d) =>
+      // pmod, not %: a negative doc_id must land in [0, 100) like
+      // every other id (JVM % would bucket it negative and dump it
+      // into 'test'); DuckDB's % is sign-preserving too, so the
+      // oracle applies the same ((x % 100) + 100) % 100 wrap —
+      // identical on the non-negative fixture domain, and the
+      // facade equivalence now holds for negative ids as well
       Tables(s, d, "documents")
         .withColumn("bucket",
-          expr("(doc_id % 100000) * 2654435761 % 100"))
+          expr("pmod((doc_id % 100000) * 2654435761, 100)"))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
@@ -52,13 +58,15 @@ object TextOps extends OpModule {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars")),
     Some("""
-      SELECT CASE WHEN (doc_id % 100000) * 2654435761 % 100 < 80
-                  THEN 'train'
-                  WHEN (doc_id % 100000) * 2654435761 % 100 < 90
-                  THEN 'val' ELSE 'test' END AS split,
+      SELECT CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
              lang, COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
-      FROM documents GROUP BY 1, 2"""))
+      FROM (SELECT lang, n_chars,
+                   ((doc_id % 100000) * 2654435761 % 100 + 100) % 100
+                     AS b
+            FROM documents)
+      GROUP BY 1, 2"""))
 
   /** Per-language corpus statistics: docs, tokens, distinct tokens,
     * type-token ratio, average document length. */

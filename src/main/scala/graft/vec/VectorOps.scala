@@ -34,6 +34,43 @@ object VectorOps extends OpModule {
   private def dot(a: String, b: String): Column =
     expr(s"dot_f($a, $b)")
 
+  /** float-vector ⋅ double-vector dot (embedding against a
+    * Lloyd-refined double centroid): widen the float side, zip,
+    * fold left-to-right — the same accumulation order as `dot_f`
+    * and DuckDB's list_dot_product. */
+  private def dotD(e: String, c: String): Column =
+    expr(s"aggregate(zip_with(cast($e as array<double>), $c," +
+      " (x, y) -> x * y), 0D, (a, x) -> a + x)")
+
+  /** One Lloyd refinement round over the deterministic first-`k`
+    * seed centroids: MIPS-assign every vector (map-side max_by
+    * argmax), recompute centroids as per-cluster elementwise means
+    * rounded to 4 dp. Returns (c_id, cent: array<double>). The
+    * rounding is what keeps the trained centroids oracle-checkable:
+    * float-associativity drift in avg() can't flip a downstream
+    * assignment. Shared by `kmeans_assign` (whose output IS the
+    * post-refinement assignment) and `ivf_topk_trained` (which
+    * queries against the refined lists). Scale: centroids stay
+    * catalog-sized broadcasts; the only shuffles are the N-row
+    * argmax partials and the (cluster, dim) mean aggregation. */
+  private[graft] def lloydRefine(emb: DataFrame, k: Int): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assign1 = emb.crossJoin(broadcast(seeds))
+      .withColumn("score", round(dot("embedding", "c_emb"), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("score"), -col("c_id"))).as("m"))
+      .select(col("m.embedding").as("embedding"), col("m.c_id").as("c_id"))
+    assign1
+      .select(col("c_id"), posexplode(col("embedding")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(round(avg(col("col")), 4).as("v"))
+      .groupBy(col("c_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+        " x -> x.v)").as("cent"))
+  }
+
   /** Deterministic sign-bit LSH bucket: bit i set iff dim i+1 > 0.
     * Shared by `ann_bucket_topk` (probe pruning) and `cosine_neardup`
     * (pair blocking) — the bucket is the partition key at scale. */
@@ -77,21 +114,27 @@ object VectorOps extends OpModule {
       val emb = Tables(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // project skinny BEFORE the top-5 window: the exchange carries
+      // (q_id, vec_id, label, score) — never the two embedding arrays
+      // the scored crossJoin rows hold
       val scored = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("score", round(dot("embedding", "q_emb"), 4))
+        .select(col("q_id"), col("vec_id"), col("label"), col("score"))
       val wRank = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("vec_id"))
       val top5 = scored.withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= 5)
       val votes = top5.groupBy(col("q_id"), col("label"))
         .agg(count(lit(1)).as("votes"), max(col("score")).as("best_score"))
-      val wVote = Window.partitionBy(col("q_id"))
-        .orderBy(col("votes").desc, col("label"))
-      votes.withColumn("vr", row_number().over(wVote))
-        .filter(col("vr") === 1)
-        .select(col("q_id"), col("label").as("pred_label"),
-          col("votes"), col("best_score"))
+      // vote argmax via map-side min_by on (-votes, label): unique
+      // per group (label is the group key), matching the window's
+      // (votes desc, label asc) tie-break
+      votes.groupBy(col("q_id"))
+        .agg(min_by(struct(col("label"), col("votes"), col("best_score")),
+          struct(-col("votes"), col("label"))).as("m"))
+        .select(col("q_id"), col("m.label").as("pred_label"),
+          col("m.votes").as("votes"), col("m.best_score").as("best_score"))
     },
     Some("""
       WITH q AS (
@@ -212,14 +255,16 @@ object VectorOps extends OpModule {
       val emb = Tables(s, d, "embeddings")
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // invert: every vector -> nearest centroid (dot desc, c_id tiebreak)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_score").desc, col("c_id"))
+      // invert: every vector -> nearest centroid (dot desc, c_id
+      // tiebreak) via map-side max_by argmax (see semdedup) — the
+      // exchange carries N one-row-per-vector partials, not N·k
       val assigned = emb.crossJoin(broadcast(centroids))
         .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
-        .withColumn("c_rn", row_number().over(wAssign))
-        .filter(col("c_rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
       // target = vec 0; probe its 2 nearest centroids
       val probes = emb.filter(col("vec_id") === 0)
         .crossJoin(broadcast(centroids))
@@ -257,6 +302,94 @@ object VectorOps extends OpModule {
         ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
                                         CAST(c.c_emb AS DOUBLE[])), 4) DESC,
                  c.c_id
+        LIMIT 2),
+      t AS (SELECT embedding AS t_emb FROM embeddings WHERE vec_id = 0)
+      SELECT a.vec_id, a.c_id,
+             ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(t.t_emb AS DOUBLE[])), 4) AS score
+      FROM assigned a JOIN probes USING (c_id), t
+      WHERE a.vec_id <> 0
+      ORDER BY score DESC, a.vec_id
+      LIMIT 10"""))
+
+  /** IVF with TRAINED centroids: one Lloyd refinement round over the
+    * first-16 seeds (the shared `lloydRefine` kernel — 4dp-rounded
+    * per-cluster means keep it deterministic and oracle-checkable),
+    * then the same invert/probe/score shape as `ivf_topk`. Training
+    * tightens the inverted lists around the data's actual modes, so
+    * the 2-probe candidate set covers more of the true top-k
+    * (recall@10 measured against `vector_topk` ground truth in
+    * AnnRecallSpec; trained-vs-seed delta recorded in SCALE.md).
+    * Scale: identical to `ivf_topk` plus one extra (cluster, dim)
+    * mean shuffle for the refinement — training cost is one pass,
+    * amortized over every query against the index. */
+  val ivfTopkTrained = Op(
+    "ivf_topk_trained",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val cents = lloydRefine(emb, 16)
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(dotD("embedding", "cent"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
+      val probes = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(cents))
+        .withColumn("c_score", round(dotD("embedding", "cent"), 4))
+        .orderBy(col("c_score").desc, col("c_id"))
+        .limit(2)
+        .select(col("c_id"))
+      val target = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("t_emb"))
+      assigned.join(broadcast(probes), "c_id")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(target))
+        .withColumn("score", round(dot("embedding", "t_emb"), 4))
+        .select(col("vec_id"), col("c_id"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH seeds AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 16),
+      a1 AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, s.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(s.c_emb AS DOUBLE[])), 4) DESC, s.c_id) AS rn
+          FROM embeddings e, seeds s)
+        WHERE rn = 1),
+      dims AS (
+        SELECT c_id,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM a1),
+      newc AS (
+        SELECT c_id, list(v ORDER BY pos) AS cent
+        FROM (SELECT c_id, pos, ROUND(AVG(x), 4) AS v
+              FROM dims GROUP BY c_id, pos)
+        GROUP BY c_id),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]), c.cent), 4) DESC,
+                   c.c_id) AS rn
+          FROM embeddings e, newc c)
+        WHERE rn = 1),
+      probes AS (
+        SELECT c.c_id
+        FROM embeddings t, newc c
+        WHERE t.vec_id = 0
+        ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                        c.cent), 4) DESC, c.c_id
         LIMIT 2),
       t AS (SELECT embedding AS t_emb FROM embeddings WHERE vec_id = 0)
       SELECT a.vec_id, a.c_id,
@@ -344,32 +477,15 @@ object VectorOps extends OpModule {
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
-      val seeds = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("score").desc, col("c_id"))
-      val assign1 = emb.crossJoin(broadcast(seeds))
-        .withColumn("score", round(dot("embedding", "c_emb"), 4))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id"))
-      // per-cluster elementwise mean, rounded: (cluster, dim) rows
-      val newc = assign1
-        .select(col("c_id"), posexplode(col("embedding")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(round(avg(col("col")), 4).as("v"))
-        .groupBy(col("c_id"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
-          " x -> x.v)").as("cent"))
+      // assign → refine: the shared one-round Lloyd kernel (map-side
+      // max_by argmax + rounded per-cluster means; see lloydRefine)
+      val newc = lloydRefine(emb, 8)
       val assign2 = emb.crossJoin(broadcast(newc))
-        // double-array dot: widen the float embedding, fold
-        // left-to-right — same accumulation order as dot_f and
-        // DuckDB's list_dot_product
-        .withColumn("score", round(expr(
-          "aggregate(zip_with(cast(embedding as array<double>), cent," +
-            " (x, y) -> x * y), 0D, (a, x) -> a + x)"), 4))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+        .withColumn("score", round(dotD("embedding", "cent"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("score")),
+          struct(col("score"), -col("c_id"))).as("m"))
+        .select(col("m.c_id").as("c_id"), col("m.score").as("score"))
       assign2.groupBy(col("c_id"))
         .agg(count(lit(1)).as("n_vecs"),
           round(avg(col("score")), 4).as("avg_sim"))
@@ -444,13 +560,24 @@ object VectorOps extends OpModule {
         math.ceil(math.sqrt(emb.count() / 100.0)).toLong)
       val seeds = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_score").desc, col("c_id"))
+      // map-side argmax: the scored crossJoin rows collapse to one
+      // row per vec_id BEFORE any exchange (partial max_by), so the
+      // shuffle carries N rows, not N·k — the row_number() window
+      // formulation exchanged every scored row with its embedding.
+      // Ordering key (c_score, -c_id) is unique per group (c_id is),
+      // reproducing the window's (score desc, c_id asc) tie-break.
+      // localCheckpoint: the assignment table is consumed three times
+      // (both sides of the pair self-join + the final keep rollup);
+      // materializing it runs the O(N·k) broadcast scoring once
+      // instead of three times and truncates the lineage
       val assigned = emb.crossJoin(broadcast(seeds))
         .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
-        .withColumn("c_rn", row_number().over(wAssign))
-        .filter(col("c_rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("c_id"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
+        .localCheckpoint()
       // the pair join's natural key is c_id alone — k partitions of
       // work no matter how many cores. Salt the self-join with a
       // 16-way id-bucket: the probe side carries its natural bucket,
@@ -545,15 +672,18 @@ object VectorOps extends OpModule {
           col("embedding"))
         .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
         .select(col("code"), col("s"), col("c_sv"))
-      val wCode = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d2").asc, col("code"))
+      // encode = per-(vec,subspace) argmin over the 16 codes:
+      // map-side min_by (unique ordering (d2, code) reproduces the
+      // window's (d2 asc, code asc) tie-break), so the exchange
+      // carries one partial row per (vec_id, s), never the 16×
+      // scored expansion
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("d2",
           round(dot("sv", "sv") + dot("c_sv", "c_sv") -
             lit(2.0) * dot("sv", "c_sv"), 4))
-        .withColumn("rn", row_number().over(wCode))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("s"), col("code"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code")))
+          .as("code"))
       val adcTable = sub.filter(col("vec_id") === 0)
         .select(col("s"), col("sv").as("q_sv"))
         .join(broadcast(cb), "s")
@@ -600,7 +730,129 @@ object VectorOps extends OpModule {
       ORDER BY adc_score DESC, codes.vec_id
       LIMIT 10"""))
 
+  /** PQ with TRAINED sub-codebooks: per subspace, one Lloyd round
+    * refines the 16 seed code vectors (assign every sub-vector to
+    * its nearest seed by 4dp-rounded L2, recompute codes as rounded
+    * per-cell means), then the standard encode + integer-ADC scoring
+    * of `pq_topk` against the refined codebook. Trained cells sit on
+    * the sub-vector distribution's actual modes, cutting
+    * quantization error vs the arbitrary first-16 seeds (ADC-vs-
+    * exact top-10 overlap measured in AnnRecallSpec; delta in
+    * SCALE.md). Scale: identical to `pq_topk` plus one
+    * (subspace, code, dim) mean shuffle at train time — k·m·8 cells,
+    * catalog-sized; the codebook stays a broadcast. */
+  val pqTopkTrained = Op(
+    "pq_topk_trained",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val sub = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .select(col("vec_id"), col("s"), col("sv"))
+      val cb0 = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .select(col("code"), col("s"), col("c_sv"))
+      // train: assign each sub-vector to its nearest seed code
+      // (map-side min_by argmin), then per-(s, code, dim) means
+      val a1 = sub.join(broadcast(cb0), "s")
+        .withColumn("d2",
+          round(dot("sv", "sv") + dot("c_sv", "c_sv") -
+            lit(2.0) * dot("sv", "c_sv"), 4))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code")))
+          .as("code"))
+      val cb = a1.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(round(avg(col("col")), 4).as("v"))
+        .groupBy(col("s"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+          " x -> x.v)").as("c_sv"))
+      // encode + ADC against the refined double codebook
+      val selfDot = expr(
+        "aggregate(zip_with(c_sv, c_sv, (x, y) -> x * y), 0D," +
+          " (a, x) -> a + x)")
+      val codes = sub.join(broadcast(cb), "s")
+        .withColumn("d2",
+          round(dot("sv", "sv") + selfDot -
+            lit(2.0) * dotD("sv", "c_sv"), 4))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(col("code"), struct(col("d2"), col("code")))
+          .as("code"))
+      val adcTable = sub.filter(col("vec_id") === 0)
+        .select(col("s"), col("sv").as("q_sv"))
+        .join(broadcast(cb), "s")
+        .withColumn("qdot_i",
+          round(dotD("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("s"), col("code"), col("qdot_i"))
+      codes
+        .join(broadcast(adcTable), Seq("s", "code"))
+        .groupBy(col("vec_id"))
+        .agg((sum(col("qdot_i")) / 10000.0).as("adc_score"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH sub AS (
+        SELECT vec_id, s,
+               CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
+      cb0 AS (
+        SELECT vec_id AS code, s, sv AS c_sv
+        FROM sub WHERE vec_id < 16),
+      a1 AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb0.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb0.code) AS rn
+          FROM sub JOIN cb0 USING (s))
+        WHERE rn = 1),
+      dims AS (
+        SELECT a1.s, a1.code,
+               unnest(range(1, len(sub.sv) + 1)) AS pos,
+               unnest(sub.sv) AS x
+        FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.s = sub.s),
+      cb AS (
+        SELECT s, code, list(v ORDER BY pos) AS c_sv
+        FROM (SELECT s, code, pos, ROUND(AVG(x), 4) AS v
+              FROM dims GROUP BY s, code, pos)
+        GROUP BY s, code),
+      codes AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN cb USING (s))
+        WHERE rn = 1),
+      adc AS (
+        SELECT cb.s, cb.code,
+               CAST(ROUND(list_dot_product(q.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT s, sv FROM sub WHERE vec_id = 0) q
+        JOIN cb USING (s))
+      SELECT codes.vec_id,
+             SUM(qdot_i) / 10000.0 AS adc_score
+      FROM codes JOIN adc USING (s, code)
+      GROUP BY codes.vec_id
+      HAVING codes.vec_id <> 0
+      ORDER BY adc_score DESC, codes.vec_id
+      LIMIT 10"""))
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
-      embedQuantize, kmeansAssign, semdedup, pqTopk)
+      ivfTopkTrained, embedQuantize, kmeansAssign, semdedup, pqTopk,
+      pqTopkTrained)
 }

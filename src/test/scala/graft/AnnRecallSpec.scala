@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Recall of the bucketed ANN paths against exact brute force — the
@@ -141,6 +141,64 @@ class AnnRecallSpec extends AnyFunSuite {
       s"ivf recall must be monotone in nprobe: $curve")
     assert(ivf(2) >= 0.50, f"ivf nprobe=2 recall ${ivf(2)}%.3f")
     assert(ivf(8) >= 0.82, f"ivf nprobe=8 recall ${ivf(8)}%.3f")
+  }
+
+  test("one Lloyd round: trained centroids vs first-16 seeds, " +
+      "recall@10 over the query panel (nprobe=2)") {
+    graft.ext.GraftFunctions.register(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.1", "embeddings")
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = topK(emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(dot("embedding", "q_emb"), 4)))
+      .cache()
+    // generic IVF recall under a centroid table whose vector column
+    // `centCol` may be float (seeds) or double (trained)
+    def ivfRecall(cents: DataFrame, score: String => Column,
+        np: Int): Double = {
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(score("embedding"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_score").desc, col("c_id"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(score("q_emb"), 4))
+        .withColumn("p_rn", row_number().over(wProbe))
+        .filter(col("p_rn") <= np)
+        .select(col("q_id"), col("c_id"))
+      val ivf = topK(assigned.join(broadcast(probes), "c_id")
+        .join(broadcast(queries), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(dot("embedding", "q_emb"), 4)))
+      recallOf(ivf, exact)
+    }
+    val seedCents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cent"))
+    val seedScore = (v: String) => expr(s"dot_f($v, cent)")
+    val trained = vec.VectorOps.lloydRefine(emb, 16).cache()
+    val trainedScore = (v: String) => expr(
+      s"aggregate(zip_with(cast($v as array<double>), cent," +
+        " (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    val rSeed = ivfRecall(seedCents, seedScore, 2)
+    val rTrained = ivfRecall(trained, trainedScore, 2)
+    val rSeed8 = ivfRecall(seedCents, seedScore, 8)
+    val rTrained8 = ivfRecall(trained, trainedScore, 8)
+    info(f"sf0.1 nprobe=2 seed=$rSeed%.3f trained=$rTrained%.3f; " +
+      f"nprobe=8 seed=$rSeed8%.3f trained=$rTrained8%.3f")
+    println(f"[ann-recall] sf0.1 trained-vs-seed np2 $rSeed%.4f -> " +
+      f"$rTrained%.4f, np8 $rSeed8%.4f -> $rTrained8%.4f")
+    exact.unpersist(); trained.unpersist()
+    // training must not make the index materially worse at the
+    // declared probe budget, and the curve stays monotone
+    assert(rTrained >= rSeed - 0.02,
+      f"one Lloyd round dropped recall: seed=$rSeed%.3f " +
+        f"trained=$rTrained%.3f")
+    assert(rTrained8 >= rTrained, "recall must be monotone in nprobe")
   }
 
   test("recall@10 holds at the synthesized sf1 (10x vectors)") {

@@ -222,6 +222,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "bpe_merges",    // K crossJoins of the 1-row argmax merge rule
       "bpe_encode",    // same K 1-row argmax crossJoins as bpe_merges
       "semdedup",      // crossJoin of the 8-row seed centroid set
+      "ivf_topk_trained", // crossJoins of the 16-row refined centroids
       "dsir_weights",  // crossJoin of the 1-row corpus-totals scalar
       "markov_removal") // 6-row scenario grid × channel-sized graph
       //                  + the 1-row base-cvr scalar
@@ -328,6 +329,78 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("SelectedBucketsCount")) >= 2
       || plan.linesIterator.count(_.contains("Bucketed: true")) >= 2,
       s"scans not bucketed:\n${plan.take(1500)}")
+  }
+
+  test("centroid assignment argmax partially aggregates map-side " +
+      "(no N·k window exchange)") {
+    // r10 'weak' fix: assignment = groupBy(vec_id).max_by(...) — the
+    // partial aggregate collapses the k scored rows per vector BEFORE
+    // the exchange, so the shuffle carries N partial rows, never the
+    // N·k crossJoin expansion the row_number() window shuffled
+    for (name <- Seq("kmeans_assign", "ivf_topk")) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("partial_max_by"),
+        s"$name: assignment does not partially aggregate:\n${plan.take(1200)}")
+      assert(!plan.contains("Window"),
+        s"$name: assignment fell back to a window:\n${plan.take(1200)}")
+    }
+    // semdedup shares the same max_by kernel but localCheckpoints the
+    // assignment table (consumed 3×), so its visible plan starts at
+    // the materialized RDD — assert the window never came back and
+    // the checkpoint is in place
+    val sd = executedPlan(q("semdedup"))
+    assert(!sd.contains("Window"),
+      s"semdedup: assignment fell back to a window:\n${sd.take(1200)}")
+    assert(sd.contains("ExistingRDD"),
+      s"semdedup: assignment table not checkpointed:\n${sd.take(1200)}")
+    val pq = executedPlan(q("pq_topk"))
+    assert(pq.contains("partial_min_by"),
+      s"pq_topk: encode argmin does not partially aggregate:\n${pq.take(1200)}")
+    assert(!pq.contains("Window"),
+      s"pq_topk: encode fell back to a window:\n${pq.take(1200)}")
+  }
+
+  test("knn_label windows only skinny rows; vote argmax is map-side") {
+    // the top-5 ranking is legitimate (bounded k) but must never
+    // shuffle the embedding arrays the scored crossJoin rows carry;
+    // WindowTopKRewrite turns the row_number window into the
+    // bounded-heap TopKPerKey node, so collect either form
+    val topkInputs = q("knn_label").queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.child
+      case t: graft.plans.TopKPerKey => t.child
+    }
+    assert(topkInputs.nonEmpty)
+    assert(topkInputs.forall(c => !c.output.exists(_.name.contains("emb"))),
+      "knn_label top-k input carries embedding arrays")
+    val plan = executedPlan(q("knn_label"))
+    assert(plan.contains("partial_min_by"),
+      s"knn_label vote argmax not map-side:\n${plan.take(1200)}")
+  }
+
+  test("gram kernels shuffle 8-byte hashed keys, never gram strings") {
+    // r10 'weak' fix: the gram attribute in every exchange must be a
+    // long (xxhash64), rendered with the L type suffix — a bare g#n /
+    // ngram#n in an Exchange means the ~50-byte string key came back
+    val bare = "[ (,](?:g|ngram)#\\d+[,)]".r
+    for (name <- Seq("shingle_containment", "ngram_jaccard",
+        "dsir_weights", "source_overlap", "dup_span_frac")) {
+      val offending = executedPlan(q(name)).linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filter(l => bare.findFirstIn(l).isDefined)
+        .toSeq
+      assert(offending.isEmpty,
+        s"$name shuffles string gram keys:\n${offending.mkString("\n")}")
+    }
+  }
+
+  test("lang_id scans each document once (single split, single fold)") {
+    // r10 'weak' fix: one aggregate fold counts all nine markers —
+    // the per-marker size(filter(split(...))) formulation re-split
+    // the text 9× (19.7 s of scan CPU at sf10)
+    val plan = q("lang_id").queryExecution.executedPlan.toString
+    val splits = "split\\(text".r.findAllIn(plan).size
+    assert(splits == 1, s"lang_id splits the text $splits times:\n" +
+      plan.take(1200))
   }
 
   test("codegen on/off produce identical pricing_agg results") {
