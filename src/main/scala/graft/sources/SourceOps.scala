@@ -330,7 +330,79 @@ object SourceOps extends OpModule {
       FROM e JOIN sel USING (day)
       GROUP BY e.day"""))
 
+  /** Snapshot / time-travel read (`Snapshots.readAsOf`): three
+    * versions of an orders slice are committed (marker-last
+    * protocol), and the query reads AS OF version 2 — proving read
+    * isolation from both the earlier v1 and the later v3. The oracle
+    * recomputes v2's content (the `o_orderkey % 3 <= 1` slice)
+    * straight from the base table, so a reader that leaked v1 or v3
+    * rows hash-mismatches. Money sums in exact integer cents (the
+    * `pricing_agg` discipline). */
+  val snapshotRead = Op(
+    "snapshot_read",
+    (s, d) => {
+      val base = tmp("snap_read", d)
+      fresh(s, base)
+      val o = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), base) // v1
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 <= 1), base)  // v2
+      Snapshots.commit(o, base)                                     // v3
+      Snapshots.readAsOf(s, base, 2L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(floor(col("o_totalprice") * 100).cast("long"))
+            / 100.0, 2).as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ROUND(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               / 100.0, 2) AS sum_price
+      FROM orders WHERE o_orderkey % 3 <= 1
+      GROUP BY 1"""))
+
+  /** Snapshot-to-snapshot diff: which keys appeared/disappeared
+    * between version 1 (even orderkeys) and version 2 (`% 3 <= 1`)
+    * of the snapshot table — the audit query time travel exists for
+    * (`table_diff` owns the value-level compare; this one is the
+    * version-level membership diff). Two one-sided anti joins on the
+    * snapshot key; each side scans exactly one version directory. */
+  val snapshotDiff = Op(
+    "snapshot_diff",
+    (s, d) => {
+      val base = tmp("snap_diff", d)
+      fresh(s, base)
+      val o = Tables(s, d, "orders").select(col("o_orderkey"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), base) // v1
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 <= 1), base)  // v2
+      val v1 = Snapshots.readAsOf(s, base, 1L)
+      val v2 = Snapshots.readAsOf(s, base, 2L)
+      val deleted = v1.join(v2, Seq("o_orderkey"), "left_anti")
+        .withColumn("change", lit("delete"))
+      val inserted = v2.join(v1, Seq("o_orderkey"), "left_anti")
+        .withColumn("change", lit("insert"))
+      deleted.unionByName(inserted)
+    },
+    Some("""
+      SELECT o_orderkey, 'delete' AS change FROM orders
+      WHERE o_orderkey % 2 = 0 AND NOT o_orderkey % 3 <= 1
+      UNION ALL
+      SELECT o_orderkey, 'insert' AS change FROM orders
+      WHERE o_orderkey % 3 <= 1 AND NOT o_orderkey % 2 = 0"""))
+
+  /** Recursive delete for a per-run snapshot base: the declared ops
+    * re-commit from scratch each run (versions would otherwise
+    * accumulate across invocations of the same JVM). */
+  private def fresh(s: org.apache.spark.sql.SparkSession,
+      base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
-      orcRoundtrip, bucketJoin, compactionPlan, dppJoin)
+      orcRoundtrip, bucketJoin, compactionPlan, dppJoin, snapshotRead,
+      snapshotDiff)
 }

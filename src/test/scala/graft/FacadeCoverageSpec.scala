@@ -132,7 +132,12 @@ class FacadeCoverageSpec extends AnyFunSuite {
     "funnel" -> Seq("funnel_seq", "cart_abandonment"),
     "attribution" -> Seq("first_touch", "conversion_lag"),
     "minhashPairs" -> Seq("dedup_minhash", "ngram_jaccard",
-      "simhash_pairs", "simhash_multiprobe"))
+      "simhash_pairs", "simhash_multiprobe"),
+    // Lloyd-trained index variants: same query surface as the facade,
+    // different (trained) codebook/centroid construction — related,
+    // not parameter-pinned equivalents (r11)
+    "vectorTopK" -> Seq("ivf_topk_trained"),
+    "quantizeInt8" -> Seq("pq_topk_trained"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report
@@ -190,7 +195,7 @@ class FacadeCoverageSpec extends AnyFunSuite {
   private val coreStorage = Seq("csv_roundtrip", "json_roundtrip",
     "orc_roundtrip", "sink_partitioned", "merge_partitioned",
     "bucket_join", "compaction_plan", "dpp_join", "scan_pruned",
-    "zorder_bucket")
+    "zorder_bucket", "snapshot_read", "snapshot_diff")
 
   test("every facade family names a compile-checked facade reference") {
     val missing =

@@ -101,4 +101,66 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(year"),
       s"partition pruning missing:\n${plan.take(600)}")
   }
+
+  test("snapshots: commit is marker-last, versions monotonic, " +
+      "readAsOf returns the greatest committed version <= ask") {
+    import spark.implicits._
+    val base = tmp() + "/snap"
+    assert(sources.Snapshots.versions(spark, base).isEmpty)
+    assert(sources.Snapshots.latest(spark, base) == 0L)
+    val v1 = sources.Snapshots.commit(Seq(1, 2, 3).toDF("k"), base)
+    val v2 = sources.Snapshots.commit(Seq(1, 2).toDF("k"), base)
+    val v3 = sources.Snapshots.commit(Seq(9).toDF("k"), base)
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    // exact version, greatest-<= semantics, and beyond-latest
+    assert(sources.Snapshots.readAsOf(spark, base, 1)
+      .as[Int].collect().sorted.sameElements(Array(1, 2, 3)))
+    assert(sources.Snapshots.readAsOf(spark, base, 2)
+      .as[Int].collect().sorted.sameElements(Array(1, 2)))
+    assert(sources.Snapshots.readAsOf(spark, base, Long.MaxValue)
+      .as[Int].collect().sameElements(Array(9)))
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.readAsOf(spark, base, 0)
+    }
+  }
+
+  test("snapshots: an orphan data dir without its commit marker is " +
+      "invisible to every reader (crash-safety)") {
+    import spark.implicits._
+    val base = tmp() + "/snap_crash"
+    sources.Snapshots.commit(Seq(1).toDF("k"), base)
+    // simulate a writer that died between data write and marker:
+    // data dir exists, _commits/2 does not
+    Seq(7, 8).toDF("k").write.parquet(s"$base/v=2")
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L))
+    assert(sources.Snapshots.latest(spark, base) == 1L)
+    assert(sources.Snapshots.readAsOf(spark, base, Long.MaxValue)
+      .as[Int].collect().sameElements(Array(1)))
+    // a later successful commit skips PAST the orphan number or
+    // reclaims it — either way the marker decides; here the next
+    // commit overwrites the orphan dir and commits as version 2
+    val v = sources.Snapshots.commit(Seq(5).toDF("k"), base)
+    assert(v == 2L)
+    assert(sources.Snapshots.readAsOf(spark, base, 2)
+      .as[Int].collect().sameElements(Array(5)))
+  }
+
+  test("snapshots: a racing duplicate marker forces the loser to the " +
+      "next version (optimistic concurrency)") {
+    import spark.implicits._
+    val base = tmp() + "/snap_race"
+    sources.Snapshots.commit(Seq(1).toDF("k"), base)
+    // plant version 2's marker as the "winner" (data dir too, so the
+    // loser's overwrite of v=2 data doesn't matter for this check)
+    Seq(2).toDF("k").write.parquet(s"$base/v=2")
+    val f = new org.apache.hadoop.fs.Path(base, "_commits/2")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(base, "_commits/2"),
+      false).close()
+    // the "loser" writer: sees latest=2 mid-flight? No — it computes
+    // v=3 up front from the committed set and lands there
+    val v = sources.Snapshots.commit(Seq(3).toDF("k"), base)
+    assert(v == 3L)
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L, 3L))
+  }
 }
