@@ -224,4 +224,102 @@ object StreamOps {
       .transformWithState(new SessionProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- streaming funnel (transformWithState + deadline timer) ----
+
+  /** Per-user funnel progress: -1 = step not reached. `emitted`
+    * stays true after the funnel resolves so later events can't
+    * restart it (one funnel per user, like the batch first-touch
+    * formulation). */
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long,
+      emitted: Boolean)
+
+  /** One row per resolved funnel: steps = 1 (view only) / 2 (+click)
+    * / 3 (completed, `completed_us` = the purchase time; -1 for
+    * abandoned funnels emitted by the deadline timer). */
+  case class FunnelOut(user_id: Long, first_view_us: Long, steps: Int,
+      completed_us: Long)
+
+  /** Conversion deadline: a funnel must complete within 7 days of
+    * its first view or it is emitted as abandoned. */
+  val FunnelDeadlineUs: Long = 7L * 86400L * 1000000L
+
+  /** Streaming 3-step funnel (view → click → purchase, strictly
+    * increasing event time, deadline-bounded) with explicit state
+    * and an event-time TIMEOUT — the shape `mapGroupsWithState`-era
+    * funnels needed a session hack for: completion emits
+    * immediately mid-stream, abandonment emits when the watermark
+    * passes the first view's deadline (the timer), and the state for
+    * resolved funnels is a tombstone that blocks restarts.
+    *
+    * Scale: state is one fixed-width row per user inside the
+    * deadline horizon; the timer count equals open funnels. At
+    * 100 TB/day the key space shards across executors by user hash —
+    * no operator sees more than its shard's open funnels (RocksDB
+    * state store, same as the sessionizer). Late data beyond the
+    * watermark is dropped by the runtime — same contract as every
+    * watermarked shape here. */
+  class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelOut] {
+    @transient private var state: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+      var st =
+        if (state.exists()) state.get()
+        else FunnelState(-1L, -1L, -1L, emitted = false)
+      val out = Seq.newBuilder[FunnelOut]
+      for (e <- sorted if !st.emitted) {
+        val us = tsUs(e.ts)
+        e.event_type match {
+          case "view" if st.viewUs < 0 =>
+            st = st.copy(viewUs = us)
+            getHandle.registerTimer((us + FunnelDeadlineUs) / 1000L)
+          case "click" if st.viewUs >= 0 && st.clickUs < 0 &&
+              us > st.viewUs && us <= st.viewUs + FunnelDeadlineUs =>
+            st = st.copy(clickUs = us)
+          case "purchase" if st.clickUs >= 0 && st.purchaseUs < 0 &&
+              us > st.clickUs && us <= st.viewUs + FunnelDeadlineUs =>
+            st = st.copy(purchaseUs = us, emitted = true)
+            out += FunnelOut(userId, st.viewUs, 3, us)
+          case _ =>
+        }
+      }
+      if (st.viewUs >= 0) state.update(st)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelOut] = {
+      if (!state.exists()) return Iterator.empty
+      val st = state.get()
+      if (st.emitted) { state.clear(); return Iterator.empty }
+      // only the timer matching the (sole) first view's deadline
+      // resolves the funnel — a stale timer can't exist here (the
+      // first view never moves), but keep the sessionizer's guard
+      if (expiredTimerInfo.getExpiryTimeInMs >=
+          (st.viewUs + FunnelDeadlineUs) / 1000L) {
+        state.clear()
+        val steps = if (st.clickUs >= 0) 2 else 1
+        Iterator(FunnelOut(userId, st.viewUs, steps, -1L))
+      } else Iterator.empty
+    }
+  }
+
+  /** The funnel stream: filter to the three step types BEFORE the
+    * watermark/shuffle (anything else never reaches state). */
+  def funnelTws(events: Dataset[Ev]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

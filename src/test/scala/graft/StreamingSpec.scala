@@ -84,11 +84,15 @@ class StreamingSpec extends AnyFunSuite {
           val b = i
           var depth = 0
           var done = false
-          while (!done) {
+          // bounded: a truncated/hand-edited prior artifact with an
+          // unbalanced '{' must not run past the end — treat the
+          // malformed tail as absent (this run's rows still land)
+          while (!done && i < s.length) {
             if (s(i) == '{') depth += 1
             else if (s(i) == '}') { depth -= 1; if (depth == 0) done = true }
             if (!done) i += 1
           }
+          if (!done) return out
           val obj = s.substring(b, i + 1)
           val key = """"shape":"([^"]+)"""".r
             .findFirstMatchIn(obj).map(_.group(1))
@@ -417,6 +421,129 @@ class StreamingSpec extends AnyFunSuite {
     StreamArt.write()
     info(s"tumbling ${"%.0f".format(tRps)} rows/s, " +
       s"dedup ${"%.0f".format(dRps)} rows/s")
+  }
+
+  test("transformWithState funnel equals the declarative batch funnel " +
+      "(completion mid-stream, abandonment via deadline timer)") {
+    import spark.implicits._
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](14, spark, None)
+      in.addData(allEvents)
+      val query = StreamOps.funnelTws(in.toDS()).writeStream
+        .format("memory").queryName("t_funnel")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", freshDir()).start()
+      query.processAllAvailable()
+      // 'view' sentinel (user -1): passes the step-type filter, so
+      // the watermark jumps to 2030 and every open funnel's deadline
+      // timer fires — all real funnels resolve
+      in.addData(Ev(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1L,
+        "view", 0.0))
+      query.processAllAvailable()
+      query.stop()
+      val got = spark.table("t_funnel")
+        .filter(col("user_id") =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).sorted
+      // independent declarative mirror (min-binding formulation):
+      // first view; first click strictly after it; first purchase
+      // strictly after that click — all within the 7-day deadline
+      def us(t: Timestamp): Long =
+        math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val D = StreamOps.FunnelDeadlineUs
+      val expected = allEvents
+        .filter(e => Set("view", "click", "purchase")(e.event_type))
+        .groupBy(_.user_id).toSeq
+        .flatMap { case (uid, evs) =>
+          val views = evs.filter(_.event_type == "view").map(e => us(e.ts))
+          if (views.isEmpty) None
+          else {
+            val v = views.min
+            val clicks = evs.filter(e => e.event_type == "click" &&
+              us(e.ts) > v && us(e.ts) <= v + D).map(e => us(e.ts))
+            val c = if (clicks.isEmpty) -1L else clicks.min
+            val purchases =
+              if (c < 0) Seq.empty
+              else evs.filter(e => e.event_type == "purchase" &&
+                us(e.ts) > c && us(e.ts) <= v + D).map(e => us(e.ts))
+            if (purchases.nonEmpty) Some((uid, v, 3, purchases.min))
+            else if (c >= 0) Some((uid, v, 2, -1L))
+            else Some((uid, v, 1, -1L))
+          }
+        }.sorted
+      assert(got.length == expected.length,
+        s"funnel rows ${got.length} vs expected ${expected.length}")
+      assert(got.sameElements(expected))
+      // both resolution paths must actually occur on the fixture
+      assert(got.exists(_._3 == 3), "no completed funnel in fixture")
+      assert(got.exists(_._3 < 3), "no abandoned funnel in fixture")
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("file sink is exactly-once across a checkpoint restart; " +
+      "uncommitted files are invisible to readers") {
+    import spark.implicits._
+    val srcDir = freshDir() + "/src"
+    val sinkDir = freshDir() + "/sink"
+    val chkDir = freshDir() + "/chk"
+    // 6 single-file slices of the fixture = 6 micro-batches
+    val slices = allEvents.grouped((allEvents.length + 5) / 6).toSeq
+    def addSlice(s: Seq[Ev]): Unit =
+      s.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(Seq.empty[Ev].toDF().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    slices.take(3).foreach(addSlice)
+    runOnce() // phase 1: 3 batches committed, then the query "dies"
+    // simulate a crashed task's file: data in the sink dir that no
+    // committed batch wrote (not in _spark_metadata)
+    val committed = new java.io.File(sinkDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    assert(committed.nonEmpty)
+    val orphan = new java.io.File(sinkDir, "part-09999-orphan.snappy.parquet")
+    java.nio.file.Files.copy(committed.head.toPath, orphan.toPath)
+    slices.drop(3).foreach(addSlice)
+    runOnce() // phase 2: restart from the same checkpoint
+    // exactly-once: every source row appears exactly once — the
+    // restart neither reprocessed the committed batches nor skipped
+    // the new ones — and the orphan's rows are excluded because the
+    // read path trusts _spark_metadata, not the directory listing
+    val sunk = spark.read.parquet(sinkDir)
+    assert(sunk.count() == allEvents.length.toLong)
+    assert(sunk.select("event_id").distinct().count()
+      == allEvents.length.toLong)
+    // the orphan IS on disk and readable as a bare file...
+    assert(spark.read.parquet(orphan.getAbsolutePath).count() > 0)
+    // ...and a metadata-blind directory glob would double-count
+    val raw = spark.read.parquet(
+      new java.io.File(sinkDir).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+        .map(_.getAbsolutePath).toIndexedSeq: _*)
+    assert(raw.count() > sunk.count(),
+      "orphan file not visible even raw — the demo proves nothing")
   }
 
   test("stream-static join enriches events with a dimension") {
