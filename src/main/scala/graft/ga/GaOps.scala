@@ -254,6 +254,42 @@ object GaOps extends OpModule {
       ORDER BY n_events DESC, event_type, day
       LIMIT 50"""))
 
+  /** The reference client's day-chunking rewrite as API (SURVEY.md §4
+    * [P][R]: issue N one-day queries instead of one N-day query to dodge
+    * server-side sampling, concat client-side). `chunkByDay("day")`
+    * compiles the same report as a UNION of 15 per-day aggregates, each
+    * over a day-bounded scan — the oracle computes the plain unchunked
+    * report over the full range, so the gate proves chunked == unchunked.
+    * GaChunkSpec plan-asserts the 15-branch union with per-day bounds
+    * pushed below each aggregate. */
+  val gaChunked = Op(
+    "ga_chunked",
+    (s, d) =>
+      GaQuery()
+        .dateRange("2024-01-05", "2024-01-20")
+        .segmentUsersWith(col("event_type") === "purchase")
+        .dimensions("day" -> to_date(col("ts")),
+          "event_type" -> col("event_type"))
+        .metrics(
+          "n_events" -> count(lit(1)),
+          "total_value" -> round(sum(col("value")), 2))
+        .chunkByDay("day")
+        .toDF(s, d),
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               CAST(ts AS TIMESTAMP) AS tsx,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      seg AS (
+        SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase')
+      SELECT CAST(tsx AS DATE) AS day, event_type,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS total_value
+      FROM ev JOIN seg USING (user_id)
+      WHERE us >= 1704412800000000 AND us < 1705708800000000
+      GROUP BY 1, 2"""))
+
   /** The reference API's actual string surface: `filters=` and
     * `segment=` mini-language strings (SURVEY.md §2.2 [P] operators
     * `==,!=,>,<,=@,!@,=~,!~` with `,`=OR over `;`=AND) compiled by
@@ -599,7 +635,8 @@ object GaOps extends OpModule {
       FROM sessions GROUP BY 1"""))
 
   override def ops: Seq[Op] = Seq(sessionize, sessionWindow, funnelSeq,
-    cohortRetention, windowTumbling, windowSliding, gaReport, gaFilters,
+    cohortRetention, windowTumbling, windowSliding, gaReport, gaChunked,
+    gaFilters,
     gaSessions, sessionMetrics, pageTopk, cdcLatest, resampleDaily,
     newVsReturning, bounceRate)
 }

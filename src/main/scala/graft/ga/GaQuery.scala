@@ -28,7 +28,8 @@ final case class GaQuery(
     sortDescKey: Option[String] = None,
     maxRows: Option[Int] = None,
     startIndex: Int = 0,
-    havingFilters: Seq[Column] = Nil) {
+    havingFilters: Seq[Column] = Nil,
+    chunkDayDim: Option[String] = None) {
 
   private def dayUs(day: String): Long =
     LocalDate.parse(day).toEpochDay * 86400L * 1000000L
@@ -82,6 +83,26 @@ final case class GaQuery(
   def having(cond: Column): GaQuery =
     copy(havingFilters = havingFilters :+ cond)
 
+  /** The reference client's anti-sampling rewrite (SURVEY.md §4 [P][R]):
+    * issue one query per day of the date range and concatenate,
+    * instead of one N-day query. Compiled here as a UNION of per-day
+    * aggregates, each over a day-bounded (hence partition/row-group
+    * prunable) scan — on a date-partitioned lake each branch touches
+    * exactly one partition, so the union IS the "N one-day queries"
+    * plan, minus the N HTTP round-trips.
+    *
+    * `dayDim` names a declared dimension that must be day-granular
+    * (e.g. `to_date(ts)`). With the day in the group key, every output
+    * group lives in exactly one chunk, so the union equals the
+    * unchunked report — the same contract the reference client relies
+    * on when it concatenates per-day report pages. Sort, having,
+    * start-index and max-results still apply globally, after the
+    * union. A day-spanning 30-min session contributes to both days'
+    * `ga:sessions` counts in BOTH forms (the session id is computed on
+    * the unchunked stream; grouping is by row day), so the equivalence
+    * holds for session metrics too. */
+  def chunkByDay(dayDim: String): GaQuery = copy(chunkDayDim = Some(dayDim))
+
   def toDF(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
       .withColumn("us", unix_micros(col("ts")))
@@ -96,24 +117,6 @@ final case class GaQuery(
       GaSessions.addSessionId(raw, col("user_id"), col("us"),
         Seq(col("us"), col("event_id")), 1800L * 1000000L, "_sid")
 
-    var df = base
-    startUs.foreach(lo => df = df.filter(col("us") >= lo))
-    endUs.foreach(hi => df = df.filter(col("us") < hi))
-    rowFilters.foreach(c => df = df.filter(c))
-
-    userSegment.foreach { cond =>
-      // derive from `raw`, not `base`: a user-scope segment never
-      // references _sid, so it must not pay the sessionization window
-      val segUsers = raw.filter(cond).select(col("user_id")).distinct()
-      df = df.join(segUsers, Seq("user_id"), "left_semi")
-    }
-
-    sessionSegment.foreach { cond =>
-      val segSessions = base.filter(cond)
-        .select(col("user_id"), col("_sid")).distinct()
-      df = df.join(segSessions, Seq("user_id", "_sid"), "left_semi")
-    }
-
     require(mets.nonEmpty,
       "GaQuery needs at least one metric (GA reports always carry metrics); " +
         "call .metrics(\"name\" -> aggExpr, ...)")
@@ -122,11 +125,51 @@ final case class GaQuery(
         s"sortDesc('$k') references no declared dimension or metric " +
           s"(have: ${(dims ++ mets).map(_._1).mkString(", ")})")
     }
-    val dimCols = dims.map { case (n, c) => c.as(n) }
-    val aggCols = mets.map { case (n, c) => c.as(n) }
-    var out =
+
+    // filter → segment semi-joins → groupBy/agg over one [lo, hi) us
+    // window; the unchunked path runs it once over the full range, the
+    // chunked path once per day
+    def aggregated(lo: Option[Long], hi: Option[Long]): DataFrame = {
+      var df = base
+      lo.foreach(l => df = df.filter(col("us") >= l))
+      hi.foreach(h => df = df.filter(col("us") < h))
+      rowFilters.foreach(c => df = df.filter(c))
+
+      userSegment.foreach { cond =>
+        // derive from `raw`, not `base`: a user-scope segment never
+        // references _sid, so it must not pay the sessionization window
+        val segUsers = raw.filter(cond).select(col("user_id")).distinct()
+        df = df.join(segUsers, Seq("user_id"), "left_semi")
+      }
+
+      sessionSegment.foreach { cond =>
+        val segSessions = base.filter(cond)
+          .select(col("user_id"), col("_sid")).distinct()
+        df = df.join(segSessions, Seq("user_id", "_sid"), "left_semi")
+      }
+
+      val dimCols = dims.map { case (n, c) => c.as(n) }
+      val aggCols = mets.map { case (n, c) => c.as(n) }
       if (dims.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(dimCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    }
+
+    var out = chunkDayDim match {
+      case None => aggregated(startUs, endUs)
+      case Some(dd) =>
+        require(startUs.isDefined && endUs.isDefined,
+          "chunkByDay requires dateRange(start, end): the per-day chunks " +
+            "are the days of the declared range")
+        require(dims.exists(_._1 == dd),
+          s"chunkByDay('$dd') references no declared dimension " +
+            s"(have: ${dims.map(_._1).mkString(", ")}); the day must be " +
+            "part of the group key for per-day chunks to be disjoint")
+        val dayUs = 86400L * 1000000L
+        val chunks = (startUs.get until endUs.get by dayUs).map { lo =>
+          aggregated(Some(lo), Some(math.min(lo + dayUs, endUs.get)))
+        }
+        chunks.reduce(_ union _)
+    }
 
     havingFilters.foreach(c => out = out.filter(c))
 

@@ -142,8 +142,8 @@ class FacadeCoverageSpec extends AnyFunSuite {
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report
     * shapes; GaQuerySpec asserts the DSL equivalences. */
-  private val gaQueryDsl = Seq("ga_report", "ga_filters", "page_topk",
-    "bounce_rate", "new_vs_returning")
+  private val gaQueryDsl = Seq("ga_report", "ga_filters", "ga_chunked",
+    "page_topk", "bounce_rate", "new_vs_returning")
 
   /** Covered by registered native extension functions / rules
     * (graft.ext: GraftFunctions, TopKPerKey rewrite) — the extension
