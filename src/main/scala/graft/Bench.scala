@@ -58,6 +58,16 @@ object Bench {
     "ab_lift", "shingle_containment", "winnowing_fingerprint",
     "ewma_smooth", "zipf_fit", "dau_mau")
 
+  /** The round-11 additions, timed when SPARK_GRAFT_BENCH_SET=r11:
+    * snapshot lifecycle (commit/read/diff/compact — timings include
+    * the setup commits by design: the write path IS the op),
+    * the chunked GA report, the curation additions, and the
+    * Lloyd-trained ANN variants. */
+  val r11: Seq[String] = Seq(
+    "snapshot_read", "snapshot_diff", "snapshot_compact", "ga_chunked",
+    "domain_cap", "mix_temperature", "shuffle_shard",
+    "ivf_topk_trained", "pq_topk_trained")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -85,6 +95,7 @@ object Bench {
       case Some("pipeline") => pipeline
       case Some("ga")       => ga
       case Some("r8")       => r8
+      case Some("r11")      => r11
       // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
       case Some(s) if s.startsWith("custom:") =>
         s.stripPrefix("custom:").split(",").map(_.trim)

@@ -1256,6 +1256,93 @@ object Graft {
     df.withColumn("split", label)
   }
 
+  /** Per-key contribution cap (generalizes `domain_cap` — the
+    * CCNet/RefinedWeb "no domain contributes more than K docs" rule):
+    * keep each key's first `k` rows under `order` (best-first; make
+    * the order total — e.g. end with an id column — or ties at the
+    * boundary are nondeterministic). Compiled as the
+    * `row_number() <= k` idiom, which GraftExtensions rewrites to the
+    * bounded-heap TopKPerKey exec: the exchange carries
+    * O(k · #keys · #partitions) rows, never a full per-key sort. */
+  def domainCap(df: DataFrame, keyCol: String, k: Int,
+      order: Seq[Column]): DataFrame = {
+    require(k > 0, "domainCap needs k > 0")
+    require(order.nonEmpty, "domainCap needs a best-first ordering")
+    val rn = fresh("_rn", df.columns.toSet)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
+  }
+
+  /** Temperature-scaled source mixing (generalizes `mix_temperature`:
+    * multinomial α-sampling, P(key) ∝ n_key^α — α < 1 boosts small
+    * sources, α = 1 is natural sampling). Splits `budget` rows into
+    * per-key quotas ∝ floor(n^α · 1000) in integer arithmetic, turns
+    * each quota into a ppm rate, and KEEPS the selected rows:
+    * membership is a pure function of `idCol` (Knuth bucket), so
+    * re-runs and appends never flip a kept row. Per-key counts ride a
+    * broadcast join; selection is a per-row filter. */
+  def mixTemperature(df: DataFrame, keyCol: String, idCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0 && budget <= 1000000000000L,
+      "mixTemperature needs 0 < budget <= 1e12 (quota arithmetic is " +
+        "exact 64-bit integer)")
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    var taken = df.columns.toSet
+    val b = fresh("_bucket", taken); taken += b
+    val n = fresh("_n", taken); taken += n
+    val wgt = fresh("_w", taken); taken += wgt
+    val tw = fresh("_tw", taken); taken += tw
+    val rate = fresh("_rate", taken); taken += rate
+    // sqrt for the α = 0.5 default: correctly-rounded IEEE sqrt (pow's
+    // rounding is weaker), matching the declared op bit-for-bit
+    val scaled = if (alpha == 0.5) sqrt(col(n)) else pow(col(n), alpha)
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as(n))
+      .withColumn(wgt, floor(scaled * 1000).cast("long"))
+    val totW = counts.agg(sum(col(wgt)).as(tw))
+    df
+      .withColumn(b,
+        pmod((col(idCol) % 100000L) * lit(2654435761L), lit(1000000L)))
+      .join(broadcast(counts), keyCol)
+      .crossJoin(broadcast(totW))
+      .withColumn(rate,
+        least(lit(1000000L),
+          expr(s"CAST((($budget * $wgt) div $tw) * 1000000 div $n" +
+            " AS BIGINT)")))
+      .filter(col(b) < col(rate))
+      .drop(b, n, wgt, tw, rate)
+  }
+
+  /** Deterministic training-order resharding (generalizes
+    * `shuffle_shard` — the per-epoch "global shuffle" before writing
+    * tokenized shards): adds `shard` (Knuth bucket of `idCol`) and
+    * `pos` (the row's rank within its shard under an independent
+    * multiplicative hash) — a pseudo-random write order that is a
+    * pure function of the id: reproducible across re-runs, stable
+    * under appends, auditable. One exchange on the shard key, then
+    * per-shard sorts in parallel; size `nShards` ≈ #output files at
+    * scale so parallelism = #shards. */
+  def shuffleShards(df: DataFrame, idCol: String,
+      nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "shuffleShards needs nShards > 0")
+    require(!Set("shard", "pos").exists(df.columns.contains),
+      "input already has a 'shard' or 'pos' column; rename it first " +
+        "(shuffleShards would produce duplicate-named columns)")
+    val ord = fresh("_ord", df.columns.toSet)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(ord), col(idCol))
+    df
+      .withColumn("shard",
+        pmod((col(idCol) % 100000L) * lit(2654435761L), lit(nShards.toLong))
+          .cast("int"))
+      .withColumn(ord,
+        pmod((col(idCol) % 100000L) * lit(1540483477L), lit(1000000L)))
+      .withColumn("pos", row_number().over(w))
+      .drop(ord)
+  }
+
   /** Deterministic MinHash-LSH near-duplicate pairs (generalizes
     * `minhash_det`): trigram shingles -> 8 md5 min-signatures -> 4
     * banded bucket keys -> equi-join on band key -> exact Jaccard

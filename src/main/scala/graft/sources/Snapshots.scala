@@ -73,6 +73,40 @@ object Snapshots {
     v
   }
 
+  /** Compaction as a commit (the OPTIMIZE half of the snapshot
+    * story, pairing `compaction_plan`'s planning half): rewrite the
+    * latest version's data into ceil(bytes / targetFileBytes) files
+    * and commit the rewrite as the NEXT version. Readers of the new
+    * version see identical rows in fewer files; every older version
+    * stays readable (time travel untouched), so a compaction that
+    * crashes mid-write is invisible like any other failed commit.
+    * Returns the committed version number.
+    *
+    * The row-identical guarantee is structural: the rewrite is
+    * `read(v).repartition(n)` — a round-robin exchange, no
+    * filter/project — and the marker-last protocol means the swap is
+    * atomic. At 100 TB you'd compact per PARTITION (only the
+    * small-file partitions `compaction_plan` flags, preserving
+    * partition dirs via partitionBy on the rewrite); whole-table
+    * round-robin is the fixture-scale form of the same commit. */
+  def compact(s: SparkSession, base: String, targetFileBytes: Long): Long = {
+    val v = latest(s, base)
+    require(v > 0, s"nothing to compact at $base (no committed version)")
+    val dir = s"$base/v=$v"
+    val bytes = fs(s, base).getContentSummary(new Path(dir)).getLength
+    val nOut = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    commit(s.read.parquet(dir).repartition(nOut), base)
+  }
+
+  /** Data-file count of a committed version (metadata listing only —
+    * the compaction audit metric). */
+  def fileCount(s: SparkSession, base: String, version: Long): Int =
+    fs(s, base).listStatus(new Path(s"$base/v=$version")).count { st =>
+      val n = st.getPath.getName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+
   /** Time-travel read: the table as of `version` — the greatest
     * committed version ≤ `version` (so `readAsOf(Long.MaxValue)` is
     * the latest snapshot). Throws for a base with no committed

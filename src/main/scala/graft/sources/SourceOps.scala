@@ -391,6 +391,35 @@ object SourceOps extends OpModule {
       SELECT o_orderkey, 'insert' AS change FROM orders
       WHERE o_orderkey % 3 <= 1 AND NOT o_orderkey % 2 = 0"""))
 
+  /** Snapshot compaction (`Snapshots.compact` — the OPTIMIZE half of
+    * the snapshot story): v1 is committed deliberately fragmented
+    * (repartition(16) — sixteen small files), compaction rewrites it
+    * as v2 with a file-size target that collapses it to one file, and
+    * the query reads the COMPACTED version. The oracle computes the
+    * same aggregate from the base table, so any row lost or
+    * duplicated by the rewrite hash-mismatches; SourcesSpec asserts
+    * the file-count drop and v1's continued readability (time travel
+    * across a compaction). */
+  val snapshotCompact = Op(
+    "snapshot_compact",
+    (s, d) => {
+      val base = tmp("snap_compact", d)
+      fresh(s, base)
+      val l = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+      Snapshots.commit(l.repartition(16), base)          // v1: fragmented
+      val v2 = Snapshots.compact(s, base, 1L << 30)      // v2: compacted
+      Snapshots.readAsOf(s, base, v2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1"""))
+
   /** Recursive delete for a per-run snapshot base: the declared ops
     * re-commit from scratch each run (versions would otherwise
     * accumulate across invocations of the same JVM). */
@@ -404,5 +433,5 @@ object SourceOps extends OpModule {
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
       orcRoundtrip, bucketJoin, compactionPlan, dppJoin, snapshotRead,
-      snapshotDiff)
+      snapshotDiff, snapshotCompact)
 }

@@ -438,6 +438,139 @@ object CurationOps extends OpModule {
       FROM b JOIN counts USING (source), m
       GROUP BY b.source"""))
 
+  /** Per-source document cap (the "domain cap" of web-curation
+    * pipelines à la CCNet/RefinedWeb: no single domain may contribute
+    * more than K documents): keep each source's top-20 docs by
+    * (n_chars DESC, doc_id) — a deterministic best-first preference.
+    * Expressed as the `row_number() <= K` idiom, which
+    * GraftExtensions rewrites to the bounded-heap TopKPerKey physical
+    * operator (plans/TopKPerKey.scala): per-input-partition heaps
+    * hold at most K rows per source, so the exchange carries
+    * O(K · #sources · #partitions) rows — never the full-corpus
+    * per-source sort a stock Window pays. On a session without the
+    * extension the same plan runs through the stock Window,
+    * bit-identically. */
+  val domainCap = Op(
+    "domain_cap",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
+    },
+    Some("""
+      SELECT doc_id, source, n_chars, rn FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+        FROM documents)
+      WHERE rn <= 20"""))
+
+  /** Temperature-scaled source mixing (the multinomial α-sampling of
+    * multilingual/multi-source pre-training, α = 0.5: sample source s
+    * with probability ∝ (n_s)^α, boosting small sources relative to
+    * their natural share). A 300-doc budget is split into per-source
+    * quotas ∝ floor(√n_s · 1000) in EXACT integer arithmetic (the
+    * only irrational, √n_s, is floored per source before any
+    * cross-source sum, so engine summation order can't flip a
+    * boundary), then each quota becomes a ppm rate on the same
+    * deterministic Knuth bucket as `mix_uniform` — membership stays a
+    * pure function of doc_id (appends/re-runs never flip a kept doc).
+    * Output is the per-source audit. Scale: per-source counts are a
+    * broadcast-sized side input; selection is a per-row filter with
+    * zero extra shuffles. */
+  val mixTemperature = Op(
+    "mix_temperature",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("bucket",
+          expr("pmod((doc_id % 100000) * 2654435761, 1000000)"))
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+        .withColumn("w", floor(sqrt(col("n_src")) * 1000).cast("long"))
+      val totW = counts.agg(sum(col("w")).as("tot_w"))
+      docs
+        .join(broadcast(counts), "source")
+        .crossJoin(broadcast(totW))
+        .withColumn("quota",
+          expr("CAST((300 * w) div tot_w AS BIGINT)"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L),
+            expr("CAST((quota * 1000000) div n_src AS BIGINT)")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("quota")).as("quota"),
+          max(col("rate_ppm")).as("rate_ppm"),
+          sum(when(col("bucket") < col("rate_ppm"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT source,
+               ((doc_id % 100000) * 2654435761 % 1000000 + 1000000)
+                 % 1000000 AS bucket
+        FROM documents),
+      counts AS (
+        SELECT source, COUNT(*) AS n_src,
+               CAST(FLOOR(SQRT(n_src) * 1000) AS BIGINT) AS w
+        FROM b GROUP BY source),
+      t AS (SELECT SUM(w) AS tot_w FROM counts),
+      q AS (
+        SELECT source, n_src,
+               CAST((300 * w) // tot_w AS BIGINT) AS quota,
+               CAST(LEAST(1000000,
+                 (((300 * w) // tot_w) * 1000000) // n_src) AS BIGINT)
+                 AS rate_ppm
+        FROM counts, t)
+      SELECT b.source, COUNT(*) AS n_docs,
+             MAX(quota) AS quota, MAX(rate_ppm) AS rate_ppm,
+             CAST(SUM(CASE WHEN bucket < rate_ppm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+      FROM b JOIN q USING (source)
+      GROUP BY b.source"""))
+
+  /** Deterministic training-order resharding (the "global shuffle"
+    * every epoch pipeline needs before writing tokenized shards):
+    * shard = Knuth bucket of doc_id (8 shards), position within the
+    * shard = rank under a SECOND independent multiplicative hash
+    * (Murmur's 1540483477 constant) — so the write order is
+    * pseudo-random but a pure function of doc_id: reproducible across
+    * re-runs, stable under appends of new ids, and auditable (this
+    * output IS the audit). Scale: one exchange on the shard key, then
+    * per-shard sorts in parallel; at 100 TB you run thousands of
+    * shards (#shards ≈ #output files, parallelism = #shards) and
+    * write with repartitionByRange(shard, ord) +
+    * sortWithinPartitions — the 8-shard form here keeps the oracle
+    * small, the plan shape is identical. */
+  val shuffleShard = Op(
+    "shuffle_shard",
+    (s, d) => {
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord"), col("doc_id"))
+      Tables(s, d, "documents")
+        .withColumn("shard",
+          expr("CAST(pmod((doc_id % 100000) * 2654435761, 8) AS INT)"))
+        .withColumn("ord",
+          expr("pmod((doc_id % 100000) * 1540483477, 1000000)"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("shard"), col("pos"), col("doc_id"), col("ord"))
+    },
+    Some("""
+      SELECT shard, pos, doc_id, ord FROM (
+        SELECT shard, doc_id, ord,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                 ORDER BY ord, doc_id) AS INT) AS pos
+        FROM (
+          SELECT doc_id,
+                 CAST(((doc_id % 100000) * 2654435761 % 8 + 8) % 8
+                   AS INT) AS shard,
+                 ((doc_id % 100000) * 1540483477 % 1000000 + 1000000)
+                   % 1000000 AS ord
+          FROM documents))"""))
+
   /** DSIR-style importance weighting (cf. Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by how target-like its word-bigram distribution
@@ -518,5 +651,6 @@ object CurationOps extends OpModule {
 
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
-    contaminationBloom, sampleBudget, mixUniform, dsirWeights)
+    contaminationBloom, sampleBudget, mixUniform, dsirWeights,
+    domainCap, mixTemperature, shuffleShard)
 }

@@ -742,4 +742,44 @@ class ApiSpec extends AnyFunSuite {
       Graft.attribution(ev, "user_id", "event_id", "ts",
         lit(0), lit(true), lit(false), col("value"), "time_decay", 63))
   }
+
+  // ---- round-11 facade transforms vs their declared queries ----
+
+  test("Graft.domainCap matches the declared domain_cap keep set") {
+    val docs = Tables(spark, sfDir, "documents")
+    val kept = Graft.domainCap(docs, "source", 20,
+      Seq(col("n_chars").desc, col("doc_id")))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    assert(rows(kept) ==
+      rows(q("domain_cap").select(col("doc_id"), col("source"),
+        col("n_chars"))))
+  }
+
+  test("Graft.mixTemperature per-key kept counts match the declared " +
+    "mix_temperature audit") {
+    val docs = Tables(spark, sfDir, "documents")
+    val facade = Graft.mixTemperature(docs, "source", "doc_id", 300L)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    // declared audit reports every source; the facade emits only kept
+    // rows, so compare against the nonzero slice
+    assert(rows(facade) ==
+      rows(q("mix_temperature").select(col("source"), col("n_kept"))
+        .filter(col("n_kept") > 0)))
+  }
+
+  test("Graft.shuffleShards matches the declared shuffle_shard order") {
+    val docs = Tables(spark, sfDir, "documents")
+    val facade = Graft.shuffleShards(docs, "doc_id", 8)
+      .select(col("shard"), col("pos"), col("doc_id"))
+    assert(rows(facade) ==
+      rows(q("shuffle_shard").select(col("shard"), col("pos"),
+        col("doc_id"))))
+  }
+
+  test("Graft.shuffleShards refuses a frame that already has shard/pos") {
+    import spark.implicits._
+    val df = Seq((1L, 0)).toDF("id", "shard")
+    assertThrows[IllegalArgumentException](
+      Graft.shuffleShards(df, "id", 4))
+  }
 }

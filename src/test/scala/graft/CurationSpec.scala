@@ -90,4 +90,62 @@ class CurationSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
+
+  test("domain_cap equals an independent per-source top-20 and never " +
+    "exceeds the cap") {
+    val docs = Tables(spark, sfDir01, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+    val expected = docs.groupBy(_.getAs[String]("source"))
+      .values.flatMap { rows =>
+        rows.sortBy(r =>
+          (-r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+          .take(20).map(_.getAs[Long]("doc_id")).toSeq
+      }.toSet
+    val df = q("domain_cap", sfDir01)
+    val out = df.collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+    val perSource = out.groupBy(_.getAs[String]("source")).values
+    assert(perSource.forall(_.length <= 20))
+    // with GraftExtensions loaded (SparkFixture session), the
+    // row_number idiom plans as the bounded-heap TopKPerKeyExec
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("mix_temperature boosts small sources: sampling rate is " +
+    "non-increasing in source size, quotas fit the budget") {
+    val rows = q("mix_temperature", sfDir01).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("quota"),
+        r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept")))
+    // integer-floor quotas never exceed the 300-doc budget
+    assert(rows.map(_._2).sum <= 300)
+    rows.foreach { case (n, q0, rate, kept) =>
+      assert(q0 >= 0 && rate >= 0 && rate <= 1000000)
+      assert(kept <= n)
+    }
+    // temperature scaling: a strictly larger source never gets a
+    // strictly larger sampling rate (rate ∝ quota/n ∝ 1/√n)
+    for {
+      (n1, _, r1, _) <- rows; (n2, _, r2, _) <- rows
+      if n1 < n2
+    } assert(r1 >= r2, s"source of $n1 docs sampled at $r1 ppm < $r2 " +
+      s"ppm of a $n2-doc source")
+  }
+
+  test("shuffle_shard is a permutation: every doc appears once, " +
+    "positions are dense 1..n per shard, shard matches the hash") {
+    val out = q("shuffle_shard", sfDir01).collect()
+    val nDocs = Tables(spark, sfDir01, "documents").count()
+    assert(out.length == nDocs)
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val pos = rows.map(_.getAs[Int]("pos")).sorted
+      assert(pos.sameElements(1 to rows.length), "positions not dense")
+    }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expShard = java.lang.Math.floorMod((id % 100000L) * 2654435761L, 8L)
+      assert(r.getAs[Int]("shard") == expShard)
+    }
+  }
 }

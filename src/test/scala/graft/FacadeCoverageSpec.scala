@@ -58,7 +58,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     "splitHash" -> (Graft.splitHash _),
     "minhashPairs" -> (Graft.minhashPairs _),
     "winsorize" -> (Graft.winsorize _),
-    "bpeMerges" -> (Graft.bpeMerges _))
+    "bpeMerges" -> (Graft.bpeMerges _),
+    // round 11
+    "domainCap" -> (Graft.domainCap _),
+    "mixTemperature" -> (Graft.mixTemperature _),
+    "shuffleShards" -> (Graft.shuffleShards _))
 
   /** facade name -> the declared ops it generalizes (the op pins the
     * facade to fixed parameters; ApiSpec asserts the equivalences). */
@@ -119,7 +123,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
       "sample_budget", "mix_uniform"),
     "minhashPairs" -> Seq("minhash_det"),
     "winsorize" -> Seq("winsorize", "mad_outliers"),
-    "bpeMerges" -> Seq("bpe_merges", "bpe_encode"))
+    "bpeMerges" -> Seq("bpe_merges", "bpe_encode"),
+    "domainCap" -> Seq("domain_cap"),
+    "mixTemperature" -> Seq("mix_temperature"),
+    "shuffleShards" -> Seq("shuffle_shard"))
 
   /** Same problem family as a facade transform, but NOT
     * equivalence-tested against it — the facade shares the kernel or
@@ -195,7 +202,8 @@ class FacadeCoverageSpec extends AnyFunSuite {
   private val coreStorage = Seq("csv_roundtrip", "json_roundtrip",
     "orc_roundtrip", "sink_partitioned", "merge_partitioned",
     "bucket_join", "compaction_plan", "dpp_join", "scan_pruned",
-    "zorder_bucket", "snapshot_read", "snapshot_diff")
+    "zorder_bucket", "snapshot_read", "snapshot_diff",
+    "snapshot_compact")
 
   test("every facade family names a compile-checked facade reference") {
     val missing =

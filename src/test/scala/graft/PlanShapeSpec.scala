@@ -224,6 +224,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "semdedup",      // crossJoin of the 8-row seed centroid set
       "ivf_topk_trained", // crossJoins of the 16-row refined centroids
       "dsir_weights",  // crossJoin of the 1-row corpus-totals scalar
+      "mix_temperature", // crossJoin of the 1-row total-weight scalar
       "markov_removal") // 6-row scenario grid × channel-sized graph
       //                  + the 1-row base-cvr scalar
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -124,6 +124,27 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshots: compact rewrites the latest version into fewer " +
+      "files with identical rows; older versions stay readable") {
+    import spark.implicits._
+    val base = tmp() + "/snap_compact"
+    val v1 = sources.Snapshots.commit(
+      (1 to 1000).toDF("k").repartition(16), base)
+    assert(sources.Snapshots.fileCount(spark, base, v1) == 16)
+    val v2 = sources.Snapshots.compact(spark, base, 1L << 30)
+    assert(v2 == v1 + 1)
+    assert(sources.Snapshots.fileCount(spark, base, v2) == 1)
+    assert(sources.Snapshots.readAsOf(spark, base, v2)
+      .as[Int].collect().sorted.toSeq == (1 to 1000).toSeq)
+    // time travel across the compaction: v1 untouched
+    assert(sources.Snapshots.readAsOf(spark, base, v1).count() == 1000)
+    assert(sources.Snapshots.fileCount(spark, base, v1) == 16)
+    // compacting a base with no committed version fails loudly
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.compact(spark, tmp() + "/snap_none", 1024)
+    }
+  }
+
   test("snapshots: an orphan data dir without its commit marker is " +
       "invisible to every reader (crash-safety)") {
     import spark.implicits._
