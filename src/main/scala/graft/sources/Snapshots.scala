@@ -73,6 +73,57 @@ object Snapshots {
     v
   }
 
+  /** Idempotent commit of a KNOWN version number — the Structured
+    * Streaming `foreachBatch` contract (version = batchId + 1): a
+    * restarted micro-batch re-offers the same version and must land
+    * exactly once. Returns true if THIS call committed the version,
+    * false if it already existed (the restart/no-op path) or another
+    * writer won the marker race. Either way the version exists with
+    * exactly one writer's data when this returns — the marker-last
+    * protocol makes the duplicate write of the SAME deterministic
+    * batch invisible (the loser's dir rewrite happens before any
+    * marker exists, and `mode(overwrite)` makes it idempotent). */
+  def commitAs(df: DataFrame, base: String, version: Long): Boolean = {
+    val s = df.sparkSession
+    val f = fs(s, base)
+    val marker = new Path(commitDir(base), version.toString)
+    if (f.exists(marker)) return false
+    df.write.mode("overwrite").parquet(s"$base/v=$version")
+    try { f.create(marker, false).close(); true }
+    catch { case _: java.io.IOException => false }
+  }
+
+  /** Retention vacuum: keep the newest `retain` committed versions;
+    * delete older versions (marker FIRST, then data — the inverse of
+    * marker-last commit, so a crash mid-vacuum leaves an orphan data
+    * dir, never a readable half-deleted version) and orphan `v=N`
+    * dirs whose writer died before its marker — but only orphans
+    * older than `graceMs`, because a missing marker is also what an
+    * IN-FLIGHT commit looks like (the Delta/Iceberg vacuum-retention
+    * rationale). A `readAsOf` at or below a vacuumed version fails
+    * loudly rather than silently resolving to a different snapshot.
+    * Returns the vacuumed version numbers. */
+  def vacuum(s: SparkSession, base: String, retain: Int,
+      graceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+    require(retain >= 1, "vacuum must retain at least the latest version")
+    val f = fs(s, base)
+    val vs = versions(s, base)
+    val dead = vs.dropRight(retain)
+    dead.foreach { v =>
+      f.delete(new Path(commitDir(base), v.toString), false)
+      f.delete(new Path(s"$base/v=$v"), true)
+    }
+    val live = vs.takeRight(retain).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    f.listStatus(new Path(base)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => st.getModificationTime < cutoff)
+      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption
+        .filterNot(live).map(_ => st.getPath))
+      .foreach(p => f.delete(p, true))
+    dead
+  }
+
   /** Compaction as a commit (the OPTIMIZE half of the snapshot
     * story, pairing `compaction_plan`'s planning half): rewrite the
     * latest version's data into ceil(bytes / targetFileBytes) files

@@ -145,6 +145,50 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshots: commitAs is idempotent per version — a re-offered " +
+      "batch cannot duplicate or mutate a committed version") {
+    import spark.implicits._
+    val base = tmp() + "/snap_as"
+    assert(sources.Snapshots.commitAs(Seq(1, 2).toDF("k"), base, 1L))
+    // the restart path: same version re-offered with different data
+    // (a nondeterministic upstream) must be a no-op, not a rewrite
+    assert(!sources.Snapshots.commitAs(Seq(9, 9, 9).toDF("k"), base, 1L))
+    assert(sources.Snapshots.readAsOf(spark, base, 1L)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L))
+    // versions can land out of order (concurrent writers) and
+    // interleave with commit()
+    assert(sources.Snapshots.commitAs(Seq(3).toDF("k"), base, 5L))
+    assert(sources.Snapshots.latest(spark, base) == 5L)
+  }
+
+  test("snapshots: vacuum keeps the newest retained versions, fails " +
+      "vacuumed reads loudly, and respects the orphan grace period") {
+    import spark.implicits._
+    val base = tmp() + "/snap_vac"
+    (1 to 5).foreach(i =>
+      sources.Snapshots.commit(Seq(i).toDF("k"), base))
+    // an orphan from a "crashed writer"
+    Seq(42).toDF("k").write.parquet(s"$base/v=99")
+    // a generous grace period protects the (possibly in-flight) orphan
+    assert(sources.Snapshots.vacuum(spark, base, retain = 2)
+      == Seq(1L, 2L, 3L))
+    assert(sources.Snapshots.versions(spark, base) == Seq(4L, 5L))
+    assert(new java.io.File(s"$base/v=99").exists(),
+      "fresh orphan deleted inside the grace period")
+    // reads of retained versions still work; vacuumed reads fail loudly
+    assert(sources.Snapshots.readAsOf(spark, base, 4L)
+      .as[Int].collect().toSeq == Seq(4))
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.readAsOf(spark, base, 3L)
+    }
+    // zero grace: the orphan goes too; retained data is untouched
+    sources.Snapshots.vacuum(spark, base, retain = 2, graceMs = 0L)
+    assert(!new java.io.File(s"$base/v=99").exists())
+    assert(sources.Snapshots.readAsOf(spark, base, 5L)
+      .as[Int].collect().toSeq == Seq(5))
+  }
+
   test("snapshots: an orphan data dir without its commit marker is " +
       "invisible to every reader (crash-safety)") {
     import spark.implicits._

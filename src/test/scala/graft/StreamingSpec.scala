@@ -562,6 +562,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L).isEmpty) // left join keeps unmatched stream rows
   }
 
+  test("foreachBatch + Snapshots.commitAs: exactly-once versioned " +
+      "table commits across a checkpoint restart") {
+    import spark.implicits._
+    val srcDir = freshDir() + "/src"
+    val base = freshDir() + "/snap_stream"
+    val chkDir = freshDir() + "/chk"
+    val slices = allEvents.grouped((allEvents.length + 5) / 6).toSeq
+    def addSlice(s: Seq[Ev]): Unit =
+      s.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(Seq.empty[Ev].toDF().schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          // version = batchId + 1: a restarted batch re-offers its
+          // version; commitAs makes the re-offer a no-op
+          graft.sources.Snapshots.commitAs(b, base, id + 1)
+          ()
+        }
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    slices.take(3).foreach(addSlice)
+    runOnce() // 3 micro-batches -> versions 1..3, then the query "dies"
+    assert(graft.sources.Snapshots.versions(spark, base) == Seq(1L, 2L, 3L))
+    // a batch whose snapshot committed but whose checkpoint write was
+    // lost gets re-offered on restart: simulate by re-offering v3
+    assert(!graft.sources.Snapshots.commitAs(
+      allEvents.take(1).toDF().select(col("event_id"), col("user_id"),
+        col("value")), base, 3L))
+    slices.drop(3).foreach(addSlice)
+    runOnce() // restart from the same checkpoint: versions 4..6 only
+    assert(graft.sources.Snapshots.versions(spark, base)
+      == (1L to 6L).toSeq)
+    // exactly-once across the table history: the union of all version
+    // contents is the source, each row exactly once
+    val all = (1L to 6L)
+      .map(v => graft.sources.Snapshots.readAsOf(spark, base, v))
+      .reduce(_ unionAll _)
+    assert(all.count() == allEvents.length.toLong)
+    assert(all.select("event_id").distinct().count()
+      == allEvents.length.toLong)
+    // and time travel reads one slice, not the union
+    assert(graft.sources.Snapshots.readAsOf(spark, base, 1L).count()
+      == slices.head.length.toLong)
+  }
+
   test("foreachBatch sink sees every micro-batch exactly once") {
     import spark.implicits._
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
