@@ -30,6 +30,10 @@ object GraftFunctions {
       require(args.length == 2, "ngrams(array<string>, n)")
       NGramsGenerator(args(0), intArg(args(1), "n"))
     },
+    "ngram_hashes" -> { args =>
+      require(args.length == 2, "ngram_hashes(array<string>, n)")
+      NGramHashesGenerator(args(0), intArg(args(1), "n"))
+    },
     "kmv_distinct" -> { args =>
       require(args.nonEmpty && args.length <= 2, "kmv_distinct(col[, k])")
       if (args.length == 1) KmvDistinct(args(0))

@@ -61,5 +61,5 @@ case class NGramsGenerator(child: Expression, n: Int)
 }
 
 object NGramsGenerator {
-  private val Space = UTF8String.fromString(" ")
+  private[ext] val Space = UTF8String.fromString(" ")
 }

@@ -169,17 +169,22 @@ object SimilarityOps extends OpModule {
     * plan at sf0.01 and sf1. */
   private[text] def rareGramStats(s: SparkSession, d: String): DataFrame = {
     graft.ext.GraftFunctions.register(s)
-    // trigrams via the native ngrams Generator: the token array is
-    // evaluated once per row — the explode(transform(sequence...))
-    // formulation re-split the text per gram element after
-    // CollapseProject inlining (see CurationOps.contamination; same
-    // fix measured 6-12x there). The string gram is hashed away
-    // BEFORE the distinct, so even the first shuffle is 8-byte-keyed.
+    // trigram hashes via the native ngram_hashes Generator: the token
+    // array is evaluated once per row (the explode(transform(
+    // sequence...)) formulation re-split the text per gram element
+    // after CollapseProject inlining — see CurationOps.contamination;
+    // same fix measured 6-12x there), each gram is hashed to the same
+    // seed-42 xxhash64 long the SQL function computes, and dedup
+    // happens INSIDE the generator's per-row hash set: a (doc_id, g)
+    // key only ever repeats within one document, so the old global
+    // `.distinct()` — measured as ~19.6 s of the 33 s sf10 tail, the
+    // single most expensive stage (GramProbe) — bought nothing a
+    // row-local set doesn't. No distinct exchange exists at all now;
+    // the df rollup below is the first shuffle and it map-side
+    // combines on the 8-byte key.
     val allGrams = Tables(s, d, "documents")
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), expr("ngrams(toks, 3)"))
-      .select(col("doc_id"), xxhash64(col("ngram")).as("g"))
-      .distinct()
+      .select(col("doc_id"), expr("ngram_hashes(toks, 3)"))
     val rare = allGrams.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
@@ -520,11 +525,13 @@ object SimilarityOps extends OpModule {
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val docs = Tables(s, d, "documents")
+      // per-doc-distinct hashed 8-grams straight from the generator:
+      // (doc_id, hash) only repeats within one doc, so no distinct
+      // exchange is needed (see rareGramStats)
       val gset = docs
         .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), expr("ngrams(toks, 8)"))
-        .select(col("doc_id"), xxhash64(col("ngram")).as("ngram"))
-        .distinct()
+        .select(col("doc_id"), expr("ngram_hashes(toks, 8)"))
+        .select(col("doc_id"), col("g").as("ngram"))
       val nd = gset.groupBy(col("ngram"))
         .agg(count(lit(1)).as("nd"))
       val per = gset.join(nd, "ngram")
@@ -626,10 +633,13 @@ object SimilarityOps extends OpModule {
       // gram shuffles as xxhash64 (8-byte key; see rareGramStats —
       // no gram in the output, equality-only joins, collision odds
       // negligible and non-cascading)
+      // the distinct key is (source, g) — cross-DOC within a source,
+      // so a global distinct is still required; the generator's
+      // per-doc dedup just shrinks its input for free
       val grams = Tables(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
-        .select(col("source"), expr("ngrams(toks, 8)"))
-        .select(col("source"), xxhash64(col("ngram")).as("g")).distinct()
+        .select(col("source"), expr("ngram_hashes(toks, 8)"))
+        .distinct()
       val sizes = grams.groupBy(col("source"))
         .agg(count(lit(1)).as("n"))
       val a = grams.select(col("source").as("s1"), col("g"))

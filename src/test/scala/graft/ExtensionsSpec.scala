@@ -89,4 +89,24 @@ class ExtensionsSpec extends AnyFunSuite {
     val nTok = docs.select(explode(col("toks"))).count()
     assert(n1 == nTok)
   }
+
+  test("ngram_hashes equals ngrams -> xxhash64 -> per-doc distinct") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+      .withColumn("toks", split(col("text"), " "))
+    val viaGen = docs
+      .select(col("doc_id"), expr("ngram_hashes(toks, 3)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // the shape it replaces: string grams, SQL xxhash64 (same seed
+    // 42), global distinct — must be the same multiset
+    val viaDistinct = docs
+      .select(col("doc_id"), expr("ngrams(toks, 3)"))
+      .select(col("doc_id"), xxhash64(col("ngram")).as("g"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaGen.sameElements(viaDistinct))
+    // short docs (< n tokens) emit nothing, like ngrams
+    val empty = spark.sql(
+      "SELECT ngram_hashes(array('a', 'b'), 3)").count()
+    assert(empty == 0)
+  }
 }
