@@ -30,9 +30,17 @@ object GraftFunctions {
       require(args.length == 2, "ngrams(array<string>, n)")
       NGramsGenerator(args(0), intArg(args(1), "n"))
     },
+    "ngrams_distinct" -> { args =>
+      require(args.length == 2, "ngrams_distinct(array<string>, n)")
+      NGramsGenerator(args(0), intArg(args(1), "n"), distinct = true)
+    },
     "ngram_hashes" -> { args =>
       require(args.length == 2, "ngram_hashes(array<string>, n)")
       NGramHashesGenerator(args(0), intArg(args(1), "n"))
+    },
+    "token_counts" -> { args =>
+      require(args.length == 1, "token_counts(array<string>)")
+      TokenCountsGenerator(args(0))
     },
     "kmv_distinct" -> { args =>
       require(args.nonEmpty && args.length <= 2, "kmv_distinct(col[, k])")

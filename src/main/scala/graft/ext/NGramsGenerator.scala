@@ -12,8 +12,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * operators whose output cardinality is data-dependent (explode,
   * flatMap) when the built-in generators can't express the semantics.
   * Registered as `ngrams` via [[GraftFunctions.register]].
-  */
-case class NGramsGenerator(child: Expression, n: Int)
+  *
+  * With `distinct = true` (registered as `ngrams_distinct`) each
+  * row's repeated grams are deduplicated INSIDE the generator — the
+  * row-local replacement for a downstream
+  * `(row_key, gram).distinct()` whose key is per-row (a doc's grams
+  * live in one row, so the global exchange buys nothing a per-row
+  * hash set doesn't; the long-typed sibling `ngram_hashes` was
+  * measured 19.6 s cheaper at sf10 for exactly this reason — this
+  * variant keeps the STRING gram for ops whose contract is exact
+  * string matching, e.g. `contamination`). */
+case class NGramsGenerator(child: Expression, n: Int,
+    distinct: Boolean = false)
     extends UnaryExpression with CollectionGenerator with CodegenFallback {
 
   require(n >= 1, s"n must be >= 1, got $n")
@@ -48,11 +58,22 @@ case class NGramsGenerator(child: Expression, n: Int)
         else arr.getUTF8String(i)
       i += 1
     }
-    (0 to toks.length - n).iterator.map { j =>
+    val grams = (0 to toks.length - n).iterator.map { j =>
       val window = java.util.Arrays.copyOfRange(toks, j, j + n)
-      val gram = UTF8String.concatWs(NGramsGenerator.Space,
+      UTF8String.concatWs(NGramsGenerator.Space,
         scala.collection.immutable.ArraySeq.unsafeWrapArray(window): _*)
-      InternalRow(gram)
+    }
+    if (!distinct) grams.map(InternalRow(_))
+    else {
+      // LinkedHashSet: first-occurrence order keeps repeat runs
+      // bit-identical (row order is plan-invisible either way)
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      grams.foreach(seen.add)
+      val it = seen.iterator()
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = it.hasNext
+        override def next(): InternalRow = InternalRow(it.next())
+      }
     }
   }
 

@@ -252,15 +252,22 @@ object CurationOps extends OpModule {
       // after CollapseProject inlining — a >10x per-row blowup on the
       // hot path of this op (docs with < 8 tokens emit no grams from
       // the generator, matching the old size filter).
+      // ngrams_distinct: the (doc_id, gram) key of the train side
+      // only repeats within one doc, so its dedup happens in the
+      // generator's per-row set and the data-sized distinct exchange
+      // (the same 19.6 s-class stage GramProbe measured in
+      // rareGramStats) never exists. Grams stay STRINGS — this op is
+      // the exact-match reference; the eval side still needs its
+      // cross-doc gram distinct, shrunk by the per-row pre-dedup.
       def grams(bucketPred: org.apache.spark.sql.Column) =
         Tables(s, d, "documents")
           .withColumn("bucket",
             expr("pmod((doc_id % 100000) * 2654435761, 1000)"))
           .filter(bucketPred)
           .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), expr("ngrams(toks, 8)"))
+          .select(col("doc_id"), expr("ngrams_distinct(toks, 8)"))
       val trainG = grams(col("bucket") < 800)
-        .select(col("doc_id"), col("ngram").as("g")).distinct()
+        .select(col("doc_id"), col("ngram").as("g"))
       val evalG = grams(col("bucket") >= 900)
         .select(col("ngram").as("g")).distinct()
       trainG.join(broadcast(evalG), "g")
@@ -300,15 +307,16 @@ object CurationOps extends OpModule {
     "contamination_bloom",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      // same ngrams-Generator gram production as `contamination`
-      // (see the CollapseProject note there)
+      // same ngrams_distinct gram production as `contamination`
+      // (per-row dedup in the generator; no train-side distinct
+      // exchange — see the notes there)
       def grams(bucketPred: org.apache.spark.sql.Column) =
         Tables(s, d, "documents")
           .withColumn("bucket",
             expr("pmod((doc_id % 100000) * 2654435761, 1000)"))
           .filter(bucketPred)
           .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), expr("ngrams(toks, 8)"))
+          .select(col("doc_id"), expr("ngrams_distinct(toks, 8)"))
       grams(col("bucket") >= 900)
         .select(expr("xxhash64(ngram)").as("h"))
         .createOrReplaceTempView("contam_eval_hashes")
@@ -316,7 +324,7 @@ object CurationOps extends OpModule {
         .select(col("ngram").as("g")).distinct()
         .createOrReplaceTempView("contam_eval_grams")
       grams(col("bucket") < 800)
-        .select(col("doc_id"), col("ngram").as("g")).distinct()
+        .select(col("doc_id"), col("ngram").as("g"))
         .createOrReplaceTempView("contam_train_grams")
       s.sql("""
         SELECT t.doc_id, COUNT(*) AS n_shared_grams

@@ -104,7 +104,18 @@ object TextOps extends OpModule {
   /** TF-IDF scoring: tf per (doc, token), df per token, idf =
     * ln((N+1)/(df+1)); top-20 scores with a total order. Both engines
     * sort by the *rounded* score so FP last-ulp drift cannot reorder
-    * the cut. */
+    * the cut.
+    *
+    * Plan shape (measured, sf10): tf = explode → groupBy(doc_id, w)
+    * exchanges the cell set ONCE and that exchange is REUSED by both
+    * consumers (the df rollup and the scoring join) — one scan total.
+    * The row-local `token_counts` generator variant (zero data-sized
+    * exchange) was tried and measured SLOWER here (15.4 s → 20.8 s):
+    * with no exchange there is no reuse point, so the scan+generator
+    * runs twice (once per consumer), and locally two scans cost more
+    * than one scan plus one in-memory exchange. On a network-bound
+    * cluster the trade can flip; the generator stays available for
+    * that regime. */
   val tfidfTop = Op(
     "tfidf_top",
     (s, d) => {
@@ -417,6 +428,8 @@ object TextOps extends OpModule {
         size(split(col("text"), " ")).cast("double").as("dl"))
       val stats = dl.agg(round(avg(col("dl")), 6).as("avgdl"),
         count(lit(1)).as("n_docs"))
+      // same reused-exchange tf shape as tfidf_top (see the measured
+      // note there: the zero-exchange generator variant double-scans)
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w"))

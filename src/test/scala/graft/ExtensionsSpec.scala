@@ -109,4 +109,40 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT ngram_hashes(array('a', 'b'), 3)").count()
     assert(empty == 0)
   }
+
+  test("ngrams_distinct equals ngrams -> per-doc distinct, as strings") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+      .withColumn("toks", split(col("text"), " "))
+    val viaGen = docs
+      .select(col("doc_id"), expr("ngrams_distinct(toks, 3)"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaDistinct = docs
+      .select(col("doc_id"), expr("ngrams(toks, 3)"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaGen.sameElements(viaDistinct))
+    // a row with repeats dedups; order of first occurrence
+    val reps = spark.sql(
+      "SELECT ngrams_distinct(array('a','b','a','b','a'), 2)")
+      .collect().map(_.getString(0)).toSeq
+    assert(reps == Seq("a b", "b a"))
+  }
+
+  test("token_counts equals explode -> groupBy(doc, w).count()") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+      .withColumn("toks", split(col("text"), " "))
+    val viaGen = docs
+      .select(col("doc_id"), expr("token_counts(toks)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted
+    val viaAgg = docs
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted
+    assert(viaGen.sameElements(viaAgg))
+    val empty = spark.sql(
+      "SELECT token_counts(CAST(array() AS ARRAY<STRING>))").count()
+    assert(empty == 0)
+  }
 }
