@@ -366,10 +366,17 @@ object LmOps extends OpModule {
         col("c")))._2
       val enc = seg.select(col("w"),
         (size(split(col("seg"), "\\|\\|")) - 2).as("n_sym"))
+      // broadcast the dictionary side EXPLICITLY: enc is vocab-sized
+      // by construction (the learned segmentation of the vocabulary),
+      // but its size estimate is opaque behind the learnMerges chain
+      // and the planner was observed to broadcast the DOCS side
+      // instead (BuildLeft on the exploded corpus — harmless at the
+      // gate SF, a data-sized broadcast at sf10, measured as this
+      // op's 20 s tail)
       docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")
-        .join(enc, "w")
+        .join(broadcast(enc), "w")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_sym")).as("n_bpe_tokens"))

@@ -242,6 +242,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("bpe_encode broadcasts the vocab-sized encoder, never the corpus") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = q("bpe_encode")
+    df.collect()
+    val fin = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the broadcast build side must never carry doc_id — that is the
+    // exploded corpus (data-sized at scale; the planner was observed
+    // to pick it at the gate SF where it happens to be the smaller
+    // side, a 20 s sf10 tail until the explicit broadcast(enc))
+    val corpusBuilds = fin.collect {
+      case j: BroadcastHashJoinExec =>
+        (j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }).output.map(_.name)
+    }.filter(_.contains("doc_id"))
+    assert(corpusBuilds.isEmpty,
+      s"corpus side broadcast in bpe_encode: $corpusBuilds")
+  }
+
   test("no declared query plans a data-sized global window") {
     // A Window with an empty partition spec funnels its whole input
     // through ONE task — the classic scale-killer. Allowed only where
