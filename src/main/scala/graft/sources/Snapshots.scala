@@ -93,6 +93,16 @@ object Snapshots {
     catch { case _: java.io.IOException => false }
   }
 
+  /** Rollback as a COMMIT, never a delete: re-commits the content of
+    * `version` as the NEXT version, so "undo to v3" is itself a
+    * versioned, auditable event (v6 = v3's content), concurrent
+    * readers of the bad versions are never yanked, and the bad
+    * history stays inspectable until `vacuum` retires it — the
+    * RESTORE semantics of the table formats this module mirrors.
+    * Returns the new version number. */
+  def rollbackTo(s: SparkSession, base: String, version: Long): Long =
+    commit(readAsOf(s, base, version), base)
+
   /** Retention vacuum: keep the newest `retain` committed versions;
     * delete older versions (marker FIRST, then data — the inverse of
     * marker-last commit, so a crash mid-vacuum leaves an orphan data

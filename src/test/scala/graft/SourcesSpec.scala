@@ -162,6 +162,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(sources.Snapshots.latest(spark, base) == 5L)
   }
 
+  test("snapshots: rollbackTo re-commits old content as a NEW version " +
+      "(undo is itself versioned, nothing is deleted)") {
+    import spark.implicits._
+    val base = tmp() + "/snap_rb"
+    sources.Snapshots.commit(Seq(1, 2).toDF("k"), base)   // v1 good
+    sources.Snapshots.commit(Seq(9, 9).toDF("k"), base)   // v2 bad
+    val v3 = sources.Snapshots.rollbackTo(spark, base, 1L)
+    assert(v3 == 3L)
+    assert(sources.Snapshots.readAsOf(spark, base, Long.MaxValue)
+      .as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // the bad version stays readable (auditable) until vacuumed
+    assert(sources.Snapshots.readAsOf(spark, base, 2L)
+      .as[Int].collect().toSeq == Seq(9, 9))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L, 3L))
+  }
+
   test("snapshots: vacuum keeps the newest retained versions, fails " +
       "vacuumed reads loudly, and respects the orphan grace period") {
     import spark.implicits._
