@@ -600,7 +600,17 @@ object CurationOps extends OpModule {
     * string; equality is all the count rollup and scoring join need,
     * no gram reaches the output, and a 64-bit collision (birthday
     * ≈3e-2 at 10⁹ distinct grams) merely merges two smoothed count
-    * cells (see SimilarityOps.rareGramStats for the same design). */
+    * cells (see SimilarityOps.rareGramStats for the same design).
+    *
+    * Negative result (measured, kept for the record): forcing the
+    * scoring join to shuffle-hash with `cnt` as build
+    * (`cnt.hint("shuffle_hash")`) — on the theory that at 100 TB
+    * neither side broadcasts and the dictionary is the right build
+    * side — measured SLOWER at sf10 (17.6 s vs 13.9 s in-set). The
+    * unhinted plan is left to AQE, which picks the build side from
+    * runtime shuffle sizes, not the Generate stage's under-estimated
+    * static stats; at corpus scale the vocab-sized `cnt` is the
+    * smaller runtime side and AQE selects it without the hint. */
   val dsirWeights = Op(
     "dsir_weights",
     (s, d) => {
