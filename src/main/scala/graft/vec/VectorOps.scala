@@ -660,18 +660,26 @@ object VectorOps extends OpModule {
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
+      // s2/c2 (the self-dots of the ‖a−b‖² identity) are invariant
+      // across the 16-code scoring fan-out, so they're computed once
+      // per (vec, s) row / once per codebook cell instead of inside
+      // every scored pair — the scored row then costs ONE 8-dim dot,
+      // not three. Same operands, same fold order, same 4dp round:
+      // bit-identical d2 to the inline form.
       val sub = emb
         .select(col("vec_id"),
           explode(sequence(lit(0), lit(7))).as("s"),
           col("embedding"))
         .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
-        .select(col("vec_id"), col("s"), col("sv"))
+        .withColumn("s2", dot("sv", "sv"))
+        .select(col("vec_id"), col("s"), col("sv"), col("s2"))
       val cb = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"),
           explode(sequence(lit(0), lit(7))).as("s"),
           col("embedding"))
         .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
-        .select(col("code"), col("s"), col("c_sv"))
+        .withColumn("c2", dot("c_sv", "c_sv"))
+        .select(col("code"), col("s"), col("c_sv"), col("c2"))
       // encode = per-(vec,subspace) argmin over the 16 codes:
       // map-side min_by (unique ordering (d2, code) reproduces the
       // window's (d2 asc, code asc) tie-break), so the exchange
@@ -679,7 +687,7 @@ object VectorOps extends OpModule {
       // scored expansion
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("d2",
-          round(dot("sv", "sv") + dot("c_sv", "c_sv") -
+          round(col("s2") + col("c2") -
             lit(2.0) * dot("sv", "c_sv"), 4))
         .groupBy(col("vec_id"), col("s"))
         .agg(min_by(col("code"), struct(col("d2"), col("code")))
@@ -746,23 +754,27 @@ object VectorOps extends OpModule {
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
+      // self-dot precompute, same reasoning (and bit-identity
+      // argument) as pq_topk: one dot per scored pair, not three
       val sub = emb
         .select(col("vec_id"),
           explode(sequence(lit(0), lit(7))).as("s"),
           col("embedding"))
         .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
-        .select(col("vec_id"), col("s"), col("sv"))
+        .withColumn("s2", dot("sv", "sv"))
+        .select(col("vec_id"), col("s"), col("sv"), col("s2"))
       val cb0 = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"),
           explode(sequence(lit(0), lit(7))).as("s"),
           col("embedding"))
         .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
-        .select(col("code"), col("s"), col("c_sv"))
+        .withColumn("c2", dot("c_sv", "c_sv"))
+        .select(col("code"), col("s"), col("c_sv"), col("c2"))
       // train: assign each sub-vector to its nearest seed code
       // (map-side min_by argmin), then per-(s, code, dim) means
       val a1 = sub.join(broadcast(cb0), "s")
         .withColumn("d2",
-          round(dot("sv", "sv") + dot("c_sv", "c_sv") -
+          round(col("s2") + col("c2") -
             lit(2.0) * dot("sv", "c_sv"), 4))
         .groupBy(col("vec_id"), col("s"))
         .agg(min_by(col("code"), struct(col("d2"), col("code")))
@@ -774,13 +786,15 @@ object VectorOps extends OpModule {
         .groupBy(col("s"), col("code"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
           " x -> x.v)").as("c_sv"))
+        // refined-cell self-dot: once per k·m codebook cell in the
+        // broadcast, not once per scored corpus pair
+        .withColumn("c2", expr(
+          "aggregate(zip_with(c_sv, c_sv, (x, y) -> x * y), 0D," +
+            " (a, x) -> a + x)"))
       // encode + ADC against the refined double codebook
-      val selfDot = expr(
-        "aggregate(zip_with(c_sv, c_sv, (x, y) -> x * y), 0D," +
-          " (a, x) -> a + x)")
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("d2",
-          round(dot("sv", "sv") + selfDot -
+          round(col("s2") + col("c2") -
             lit(2.0) * dotD("sv", "c_sv"), 4))
         .groupBy(col("vec_id"), col("s"))
         .agg(min_by(col("code"), struct(col("d2"), col("code")))
