@@ -58,7 +58,28 @@ object DppProbe {
         datediff(col("day"), lit("2024-01-01")).cast("int"))
       .write.mode("overwrite").parquet(s"$path/dim")
 
-    def run(dppEnabled: Boolean): (Boolean, Long, Double) = {
+    // the fact scan's "number of partitions read" SQL metric — the
+    // headline evidence the probe exists for (dirs actually LISTED,
+    // not just the pruning expression's presence in the plan string)
+    def factPartitionsRead(
+        p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(x: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = x match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(scans)
+      }
+      scans(p)
+        .filter(_.relation.location.rootPaths.mkString.contains("/fact"))
+        .flatMap(_.metrics.get("numPartitions").map(_.value))
+        .headOption.getOrElse(-1L)
+    }
+
+    def run(dppEnabled: Boolean): (Boolean, Long, Double, Long) = {
       val s = spark.newSession()
       s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
         dppEnabled.toString)
@@ -79,7 +100,8 @@ object DppProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       val plan = joined.queryExecution.executedPlan.toString
       val pruned = plan.contains("dynamicpruningexpression")
-      (pruned, n, secs)
+      val partsRead = factPartitionsRead(joined.queryExecution.executedPlan)
+      (pruned, n, secs, partsRead)
     }
 
     // warm both shapes once (codegen/JIT), then measure min-of-3
@@ -93,6 +115,8 @@ object DppProbe {
     println(s"""{"probe":"dpp_unforced","sf":"$sfDir","day_partitions":$days,""" +
       s""""dpp_fired_unforced":${on.head._1},""" +
       s""""surviving_days":${on.head._2},""" +
+      s""""partitions_read_dpp_on":${on.head._4},""" +
+      s""""partitions_read_dpp_off":${off.head._4},""" +
       s""""secs_dpp_on":${f(on.map(_._3).min)},""" +
       s""""secs_dpp_off":${f(off.map(_._3).min)}}""")
     spark.stop()

@@ -1282,12 +1282,22 @@ object Graft {
     * each quota into a ppm rate, and KEEPS the selected rows:
     * membership is a pure function of `idCol` (Knuth bucket), so
     * re-runs and appends never flip a kept row. Per-key counts ride a
-    * broadcast join; selection is a per-row filter. */
+    * broadcast join; selection is a per-row filter.
+    *
+    * Exactness: budget·weight can reach ~1e29 (budget ≤ 1e12 times a
+    * weight of ~1e16 for a 1e13-row key at α = 1), far past int64, so
+    * the quota numerator is computed in DECIMAL(38,0) — exact integer
+    * arithmetic at any scale the require admits — and only the
+    * ≤-budget quota comes back to int64. Every nonzero key gets a
+    * quota of AT LEAST 1 (the α < 1 contract is that small sources
+    * are boosted, so the floor must not silently drop them); the
+    * realized total can therefore exceed `budget` by at most one row
+    * per key whose natural share floored to zero. */
   def mixTemperature(df: DataFrame, keyCol: String, idCol: String,
       budget: Long, alpha: Double = 0.5): DataFrame = {
     require(budget > 0 && budget <= 1000000000000L,
       "mixTemperature needs 0 < budget <= 1e12 (quota arithmetic is " +
-        "exact 64-bit integer)")
+        "exact integer)")
     require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
     var taken = df.columns.toSet
     val b = fresh("_bucket", taken); taken += b
@@ -1309,8 +1319,8 @@ object Graft {
       .crossJoin(broadcast(totW))
       .withColumn(rate,
         least(lit(1000000L),
-          expr(s"CAST((($budget * $wgt) div $tw) * 1000000 div $n" +
-            " AS BIGINT)")))
+          expr(s"CAST(greatest(1L, (CAST($budget AS DECIMAL(38,0)) * $wgt)" +
+            s" div $tw) * 1000000 div $n AS BIGINT)")))
       .filter(col(b) < col(rate))
       .drop(b, n, wgt, tw, rate)
   }

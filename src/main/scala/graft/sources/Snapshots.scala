@@ -3,33 +3,55 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 /** Versioned-parquet snapshots: ACID-lite table versioning with
   * time-travel reads (`readAsOf`) — the lake-user primitive the
   * MERGE emulations (`merge_upsert`, `merge_partitioned`,
   * `table_diff`) compose with.
   *
   * Layout under `base/`:
-  *   - `v=<N>/` — the version-N data (full parquet snapshot)
-  *   - `_commits/<N>` — the commit marker, written AFTER the data
+  *   - `v=<N>-<nonce>/` — a version-N data candidate, uniquely named
+  *     PER WRITER (the nonce is a random suffix)
+  *   - `_commits/<N>` — the commit marker; its CONTENT names the
+  *     winning writer's data directory
   *
-  * Commit protocol (write-ordered, marker-last):
-  *   1. write the data to `v=<N>/` (Spark job; may take hours)
+  * Commit protocol (write-ordered, marker-last, writer-unique dirs):
+  *   1. write the data to `v=<N>-<nonce>/` (Spark job; may take
+  *      hours) — a directory NO other writer ever touches
   *   2. create `_commits/<N>` with `create(..., overwrite = false)`
+  *      and write the data-dir name into it
   * The marker create is the atomic commit point: a crash after step 1
   * leaves an orphan data dir that NO reader ever sees (readers list
-  * only `_commits/`), and `overwrite = false` makes two racing
-  * writers of the same version fail-loudly rather than co-own a dir —
-  * the loser retries with the next number (optimistic concurrency,
-  * the Delta/Iceberg commit idiom re-expressed on raw parquet).
+  * only `_commits/` and resolve dirs through marker content), and
+  * `overwrite = false` makes two racing writers of the same version
+  * fail-loudly at the marker — each wrote its OWN directory, so the
+  * loser's bytes can never clobber or interleave with the winner's
+  * (the Iceberg pointer-file idiom re-expressed on raw parquet: the
+  * tiny marker, not the data path, is the unit of atomicity). The
+  * loser's dir becomes an orphan that `vacuum` retires after its
+  * grace period. `commit` retries the loser at the next version
+  * number (optimistic concurrency); `commitAs` reports the loss.
+  *
+  * The one non-atomicity left is marker content: a reader can list a
+  * marker in the instant between its create and its content write.
+  * That window resolves to a LOUD failure (the named dir is not yet
+  * parseable), never to another writer's data — and the fallback for
+  * empty content is the legacy `v=<N>` path, which only a pre-nonce
+  * layout ever has.
   *
   * The 100 TB story is in what readers LIST: `_commits/` holds one
   * tiny file per version, so discovering versions is O(#versions)
   * metadata reads — never a recursive listing of data files — and a
-  * `readAsOf` scans exactly one `v=<N>/` directory, inside which
+  * `readAsOf` scans exactly one version directory, inside which
   * Spark's normal pruning (partition dirs, row groups, pushed
   * filters) applies untouched. Full-snapshot versions trade write
-  * amplification for zero-cost reads; a delta-log variant would
-  * change `commit`, not the reader contract.
+  * amplification for zero-cost reads; `commitPartitions` is the
+  * incremental form — it rewrites only the touched partition
+  * directories and records a per-version manifest mapping every live
+  * partition to the version that last wrote it, so a daily MERGE
+  * into one partition of a year-partitioned 100 TB table writes one
+  * partition's bytes, not the table's.
   */
 object Snapshots {
 
@@ -37,6 +59,11 @@ object Snapshots {
     new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def commitDir(base: String) = new Path(base, "_commits")
+
+  private def manifestDir(base: String) = new Path(base, "_manifests")
+
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Committed version numbers, ascending (empty for a fresh base). */
   def versions(s: SparkSession, base: String): Seq[Long] = {
@@ -52,45 +79,82 @@ object Snapshots {
   def latest(s: SparkSession, base: String): Long =
     versions(s, base).lastOption.getOrElse(0L)
 
+  /** The data directory a committed version's marker names (relative
+    * to `base`); falls back to the legacy `v=<N>` layout for markers
+    * with no content. Throws for an uncommitted version. */
+  private def dataDirOf(s: SparkSession, base: String, v: Long): String = {
+    val f = fs(s, base)
+    val marker = new Path(commitDir(base), v.toString)
+    require(f.exists(marker),
+      s"version $v is not committed at $base")
+    val in = f.open(marker)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (content.isEmpty) s"v=$v" else content
+  }
+
+  /** Create the version marker with `overwrite = false` — the atomic
+    * commit point — and record the winning data dir as its content.
+    * Returns true if THIS call created the marker. A lost race (the
+    * marker already exists) returns false; any OTHER IOException is a
+    * genuine write failure and PROPAGATES, so a caller driving a
+    * streaming checkpoint fails and retries the batch instead of
+    * silently losing the version (a swallowed transient failure here
+    * would advance the checkpoint with no marker on disk). */
+  private def tryMarker(s: SparkSession, base: String, v: Long,
+      dataDir: String): Boolean = {
+    val f = fs(s, base)
+    val marker = new Path(commitDir(base), v.toString)
+    try {
+      val out = f.create(marker, false)
+      try out.write(dataDir.getBytes(UTF_8)) finally out.close()
+      true
+    } catch {
+      case e: java.io.IOException =>
+        // only the already-exists race is benign; everything else is a
+        // real failure the caller must see
+        if (f.exists(marker)) false else throw e
+    }
+  }
+
   /** Write `df` as the next version of the table at `base`; returns
-    * the committed version number. Data first, marker last. */
+    * the committed version number. Data first (to a writer-unique
+    * dir), marker last; a lost marker race leaves this writer's dir
+    * an orphan and retries at the next version number. */
   def commit(df: DataFrame, base: String): Long = {
     val s = df.sparkSession
     val f = fs(s, base)
     var v = latest(s, base) + 1
-    var committed = false
-    while (!committed) {
-      df.write.mode("overwrite").parquet(s"$base/v=$v")
-      // atomic commit point; overwrite=false loses the race loudly
-      try {
-        val out = f.create(new Path(commitDir(base), v.toString), false)
-        out.close()
-        committed = true
-      } catch {
-        case _: java.io.IOException => v = latest(s, base) + 1
-      }
+    while (true) {
+      val dir = s"v=$v-${nonce()}"
+      df.write.mode("overwrite").parquet(s"$base/$dir")
+      if (tryMarker(s, base, v, dir)) return v
+      f.delete(new Path(base, dir), true) // lost the race: own dir only
+      v = latest(s, base) + 1
     }
-    v
+    v // unreachable
   }
 
   /** Idempotent commit of a KNOWN version number — the Structured
     * Streaming `foreachBatch` contract (version = batchId + 1): a
     * restarted micro-batch re-offers the same version and must land
     * exactly once. Returns true if THIS call committed the version,
-    * false if it already existed (the restart/no-op path) or another
-    * writer won the marker race. Either way the version exists with
-    * exactly one writer's data when this returns — the marker-last
-    * protocol makes the duplicate write of the SAME deterministic
-    * batch invisible (the loser's dir rewrite happens before any
-    * marker exists, and `mode(overwrite)` makes it idempotent). */
+    * false if it already existed (the restart/no-op path, detected
+    * before any write) or another writer won the marker race — in
+    * the race case the loser wrote only its own uniquely-named dir,
+    * so the winner's committed data is untouched either way. A
+    * transient marker-write failure (not a lost race) THROWS, so the
+    * streaming query fails and re-offers the batch. */
   def commitAs(df: DataFrame, base: String, version: Long): Boolean = {
     val s = df.sparkSession
     val f = fs(s, base)
     val marker = new Path(commitDir(base), version.toString)
     if (f.exists(marker)) return false
-    df.write.mode("overwrite").parquet(s"$base/v=$version")
-    try { f.create(marker, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    val dir = s"v=$version-${nonce()}"
+    df.write.mode("overwrite").parquet(s"$base/$dir")
+    if (tryMarker(s, base, version, dir)) true
+    else { f.delete(new Path(base, dir), true); false }
   }
 
   /** Rollback as a COMMIT, never a delete: re-commits the content of
@@ -106,31 +170,46 @@ object Snapshots {
   /** Retention vacuum: keep the newest `retain` committed versions;
     * delete older versions (marker FIRST, then data — the inverse of
     * marker-last commit, so a crash mid-vacuum leaves an orphan data
-    * dir, never a readable half-deleted version) and orphan `v=N`
-    * dirs whose writer died before its marker — but only orphans
-    * older than `graceMs`, because a missing marker is also what an
-    * IN-FLIGHT commit looks like (the Delta/Iceberg vacuum-retention
-    * rationale). A `readAsOf` at or below a vacuumed version fails
-    * loudly rather than silently resolving to a different snapshot.
-    * Returns the vacuumed version numbers. */
+    * dir, never a readable half-deleted version) and orphan `v=N…`
+    * dirs no live marker references, whose writer died before its
+    * marker (or lost its race) — but only orphans older than
+    * `graceMs`, because an unreferenced dir is also what an IN-FLIGHT
+    * commit looks like (the Delta/Iceberg vacuum-retention
+    * rationale). A partition-manifest version (`commitPartitions`)
+    * pins every data dir its manifest references, so incremental
+    * history chains are never broken by retention. A `readAsOf` at or
+    * below a vacuumed version fails loudly rather than silently
+    * resolving to a different snapshot. Returns the vacuumed version
+    * numbers.
+    *
+    * `now` is injectable for tests and for object stores whose file
+    * mtimes lag wall clock — the grace compare is mtime < now−grace,
+    * so give skewed stores a grace comfortably above the skew bound
+    * (mtime skew shrinks the EFFECTIVE grace by the skew amount). */
   def vacuum(s: SparkSession, base: String, retain: Int,
-      graceMs: Long = 24L * 3600 * 1000): Seq[Long] = {
+      graceMs: Long = 24L * 3600 * 1000,
+      now: Long = System.currentTimeMillis()): Seq[Long] = {
     require(retain >= 1, "vacuum must retain at least the latest version")
     val f = fs(s, base)
     val vs = versions(s, base)
     val dead = vs.dropRight(retain)
+    // every dir a surviving version references stays, including dirs
+    // an incremental manifest borrows from OLDER (even vacuumed)
+    // versions — computed before any delete
+    val live = vs.takeRight(retain)
+      .flatMap(v => referencedDirs(s, base, v)).toSet
     dead.foreach { v =>
+      val dir = dataDirOf(s, base, v)
       f.delete(new Path(commitDir(base), v.toString), false)
-      f.delete(new Path(s"$base/v=$v"), true)
+      f.delete(new Path(manifestDir(base), v.toString), false)
+      if (!live(dir)) f.delete(new Path(base, dir), true)
     }
-    val live = vs.takeRight(retain).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    val cutoff = now - graceMs
     f.listStatus(new Path(base)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filter(st => st.getModificationTime < cutoff)
-      .flatMap(st => st.getPath.getName.stripPrefix("v=").toLongOption
-        .filterNot(live).map(_ => st.getPath))
-      .foreach(p => f.delete(p, true))
+      .filterNot(st => live(st.getPath.getName))
+      .foreach(st => f.delete(st.getPath, true))
     dead
   }
 
@@ -147,13 +226,14 @@ object Snapshots {
     * `read(v).repartition(n)` — a round-robin exchange, no
     * filter/project — and the marker-last protocol means the swap is
     * atomic. At 100 TB you'd compact per PARTITION (only the
-    * small-file partitions `compaction_plan` flags, preserving
-    * partition dirs via partitionBy on the rewrite); whole-table
-    * round-robin is the fixture-scale form of the same commit. */
+    * small-file partitions `compaction_plan` flags) and commit the
+    * rewrite through `commitPartitions`, which touches just those
+    * partitions' dirs; whole-table round-robin is the fixture-scale
+    * form of the same commit. */
   def compact(s: SparkSession, base: String, targetFileBytes: Long): Long = {
     val v = latest(s, base)
     require(v > 0, s"nothing to compact at $base (no committed version)")
-    val dir = s"$base/v=$v"
+    val dir = s"$base/${dataDirOf(s, base, v)}"
     val bytes = fs(s, base).getContentSummary(new Path(dir)).getLength
     val nOut = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -161,22 +241,182 @@ object Snapshots {
   }
 
   /** Data-file count of a committed version (metadata listing only —
-    * the compaction audit metric). */
-  def fileCount(s: SparkSession, base: String, version: Long): Int =
-    fs(s, base).listStatus(new Path(s"$base/v=$version")).count { st =>
-      val n = st.getPath.getName
-      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    }
+    * the compaction audit metric). Counts across every partition dir
+    * the version references (manifest versions may reference dirs
+    * written by earlier versions). */
+  def fileCount(s: SparkSession, base: String, version: Long): Int = {
+    val f = fs(s, base)
+    def countIn(p: Path): Int =
+      f.listStatus(p).map { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+          countIn(st.getPath)
+        else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")) 1
+        else 0
+      }.sum
+    referencedDirs(s, base, version)
+      .map(d => countIn(new Path(base, d))).sum
+  }
 
   /** Time-travel read: the table as of `version` — the greatest
     * committed version ≤ `version` (so `readAsOf(Long.MaxValue)` is
     * the latest snapshot). Throws for a base with no committed
-    * version at or below the ask. */
+    * version at or below the ask. Manifest (partition-incremental)
+    * versions resolve to a pruned union over the source versions
+    * that last wrote each live partition. */
   def readAsOf(s: SparkSession, base: String, version: Long): DataFrame = {
     val vs = versions(s, base).filter(_ <= version)
     require(vs.nonEmpty,
       s"no committed version <= $version at $base " +
         s"(committed: ${versions(s, base).mkString(",")})")
-    s.read.parquet(s"$base/v=${vs.last}")
+    val v = vs.last
+    manifestOf(s, base, v) match {
+      case None => s.read.parquet(s"$base/${dataDirOf(s, base, v)}")
+      case Some(m) => readManifest(s, base, m)
+    }
   }
+
+  // ---- partition-incremental commits -------------------------------
+
+  /** A manifest line: (hive partition dir like "day=2024-01-03",
+    * data dir like "v=3-ab12cd34" that owns its current bytes). */
+  private type Manifest = Seq[(String, String)]
+
+  private def manifestOf(s: SparkSession, base: String,
+      v: Long): Option[Manifest] = {
+    val f = fs(s, base)
+    val p = new Path(manifestDir(base), v.toString)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+        val i = line.lastIndexOf('\t')
+        (line.substring(0, i), line.substring(i + 1))
+      })
+    }
+  }
+
+  /** Every data dir under `base` that `version` references: its own
+    * marker dir plus (for manifest versions) each partition's source
+    * dir. */
+  private def referencedDirs(s: SparkSession, base: String,
+      version: Long): Seq[String] =
+    (dataDirOf(s, base, version) +:
+      manifestOf(s, base, version).toSeq.flatten.map(_._2)).distinct
+
+  private def writeManifest(s: SparkSession, base: String, v: Long,
+      m: Manifest): Unit = {
+    val f = fs(s, base)
+    val out = f.create(new Path(manifestDir(base), v.toString), false)
+    try out.write(
+      m.map { case (p, d) => s"$p\t$d" }.mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** One pruned scan per SOURCE version: partitions are grouped by
+    * the data dir that owns them, each group reads its dir with hive
+    * partition discovery and an `isin` filter on the partition values
+    * (directory pruning — the stale partitions a later version
+    * superseded are never listed into the scan), and the groups
+    * union. At 100 TB this is exactly the file set a format manifest
+    * would enumerate, reached through O(#partitions) metadata. */
+  private def readManifest(s: SparkSession, base: String,
+      m: Manifest): DataFrame = {
+    m.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, parts) =>
+      val partCol = parts.head._1.split('=')(0)
+      val vals = parts.map(_._1.split('=')(1))
+      s.read.option("basePath", s"$base/$dir")
+        .parquet(s"$base/$dir")
+        .filter(org.apache.spark.sql.functions.col(partCol)
+          .cast("string").isin(vals: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Full commit of a hive-partitioned table version: writes every
+    * partition of `df` under one writer-unique dir (partitionBy) and
+    * records the manifest mapping each partition to it. The base
+    * version `commitPartitions` increments from. Returns the version.
+    * Single string partition column (the fixture-scale form; the
+    * manifest format already carries full hive dir names, so nesting
+    * is a reader-side extension, not a layout change). */
+  def commitPartitioned(df: DataFrame, base: String,
+      partCol: String): Long = {
+    val s = df.sparkSession
+    val f = fs(s, base)
+    var v = latest(s, base) + 1
+    while (true) {
+      val dir = s"v=$v-${nonce()}"
+      df.write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$base/$dir")
+      val parts = f.listStatus(new Path(base, dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.contains('=') && !n.startsWith("_"))
+        .sorted.map(p => (p, dir))
+      // manifest before marker: a version is only visible complete
+      writeManifest(s, base, v, parts)
+      if (tryMarker(s, base, v, dir)) return v
+      f.delete(new Path(manifestDir(base), v.toString), false)
+      f.delete(new Path(base, dir), true)
+      v = latest(s, base) + 1
+    }
+    v // unreachable
+  }
+
+  /** INCREMENTAL commit — the 100 TB write path: rewrite ONLY the
+    * partitions present in `df`, inherit every other live partition
+    * from the previous version by manifest reference, and commit the
+    * result as the next version. A daily MERGE into one partition of
+    * a year-partitioned table writes that partition's bytes (+ a
+    * KB-sized manifest + marker), not a full table copy — the write
+    * amplification drops from O(table) to O(touched partitions),
+    * measured in SCALE.md. Old versions stay readable (their
+    * manifests still name the dirs that own their partitions; vacuum
+    * pins every dir a retained manifest references). Returns the
+    * committed version number.
+    *
+    * Requires the table's previous version to be partition-committed
+    * (`commitPartitioned` / `commitPartitions`) on the same column —
+    * the manifest is the inheritance mechanism. */
+  def commitPartitions(df: DataFrame, base: String,
+      partCol: String): Long = {
+    val s = df.sparkSession
+    val f = fs(s, base)
+    var v = latest(s, base) + 1
+    val prev = manifestOf(s, base, v - 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitPartitions needs a partition-committed previous version " +
+          s"at $base (v=${v - 1} has no manifest); seed the table with " +
+          "commitPartitioned"))
+    require(prev.forall(_._1.split('=')(0) == partCol),
+      s"partition column mismatch: table is partitioned on " +
+        s"${prev.head._1.split('=')(0)}, got $partCol")
+    while (true) {
+      val dir = s"v=$v-${nonce()}"
+      df.write.mode("overwrite").partitionBy(partCol)
+        .parquet(s"$base/$dir")
+      val touched = f.listStatus(new Path(base, dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.contains('=') && !n.startsWith("_"))
+        .toSet
+      val merged = (prev.filterNot(p => touched(p._1)) ++
+        touched.toSeq.sorted.map(p => (p, dir))).sortBy(_._1)
+      writeManifest(s, base, v, merged)
+      if (tryMarker(s, base, v, dir)) return v
+      f.delete(new Path(manifestDir(base), v.toString), false)
+      f.delete(new Path(base, dir), true)
+      v = latest(s, base) + 1
+    }
+    v // unreachable
+  }
+
+  /** Bytes under every data dir `version` wrote ITSELF (its marker
+    * dir only — inherited partitions cost nothing): the write-
+    * amplification audit metric for `commitPartitions`. */
+  def bytesWritten(s: SparkSession, base: String, version: Long): Long =
+    fs(s, base).getContentSummary(
+      new Path(base, dataDirOf(s, base, version))).getLength
 }

@@ -502,8 +502,12 @@ object CurationOps extends OpModule {
       docs
         .join(broadcast(counts), "source")
         .crossJoin(broadcast(totW))
+        // every nonzero source keeps a quota of at least 1: α < 1
+        // exists to BOOST small sources, so the integer floor must
+        // not silently drop one (total exceeds the budget by ≤ 1 row
+        // per floored-to-zero source — the documented trade)
         .withColumn("quota",
-          expr("CAST((300 * w) div tot_w AS BIGINT)"))
+          expr("CAST(greatest(1L, (300 * w) div tot_w) AS BIGINT)"))
         .withColumn("rate_ppm",
           least(lit(1000000L),
             expr("CAST((quota * 1000000) div n_src AS BIGINT)")))
@@ -528,10 +532,10 @@ object CurationOps extends OpModule {
       t AS (SELECT SUM(w) AS tot_w FROM counts),
       q AS (
         SELECT source, n_src,
-               CAST((300 * w) // tot_w AS BIGINT) AS quota,
+               CAST(GREATEST(1, (300 * w) // tot_w) AS BIGINT) AS quota,
                CAST(LEAST(1000000,
-                 (((300 * w) // tot_w) * 1000000) // n_src) AS BIGINT)
-                 AS rate_ppm
+                 (GREATEST(1, (300 * w) // tot_w) * 1000000) // n_src)
+                 AS BIGINT) AS rate_ppm
         FROM counts, t)
       SELECT b.source, COUNT(*) AS n_docs,
              MAX(quota) AS quota, MAX(rate_ppm) AS rate_ppm,

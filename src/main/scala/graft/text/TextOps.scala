@@ -107,15 +107,21 @@ object TextOps extends OpModule {
     * the cut.
     *
     * Plan shape (measured, sf10): tf = explode → groupBy(doc_id, w)
-    * exchanges the cell set ONCE and that exchange is REUSED by both
-    * consumers (the df rollup and the scoring join) — one scan total.
-    * The row-local `token_counts` generator variant (zero data-sized
+    * computes the cell set ONCE and is MATERIALIZED (localCheckpoint)
+    * for its two consumers (the df rollup and the scoring join) — one
+    * scan of the corpus text, structurally. Before r12 the single
+    * scan depended on the planner's incidental ReusedExchange; the
+    * checkpoint makes the reuse a property of the plan, not of the
+    * optimizer's mood (the exchange-reuse trap, SCALE.md r11). The
+    * row-local `token_counts` generator variant (zero data-sized
     * exchange) was tried and measured SLOWER here (15.4 s → 20.8 s):
     * with no exchange there is no reuse point, so the scan+generator
     * runs twice (once per consumer), and locally two scans cost more
     * than one scan plus one in-memory exchange. On a network-bound
     * cluster the trade can flip; the generator stays available for
-    * that regime. */
+    * that regime. The n_docs side is a count-star scan that reads
+    * ZERO data columns (row-group metadata only) — cheaper than
+    * re-aggregating the cell table for the count. */
   val tfidfTop = Op(
     "tfidf_top",
     (s, d) => {
@@ -124,6 +130,7 @@ object TextOps extends OpModule {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(df), "w")
@@ -424,16 +431,22 @@ object TextOps extends OpModule {
       val k1 = 1.2
       val b = 0.75
       val docs = Tables(s, d, "documents")
-      val dl = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("double").as("dl"))
-      val stats = dl.agg(round(avg(col("dl")), 6).as("avgdl"),
-        count(lit(1)).as("n_docs"))
-      // same reused-exchange tf shape as tfidf_top (see the measured
-      // note there: the zero-exchange generator variant double-scans)
+      // one structural scan of the corpus text: the cell table is
+      // materialized (localCheckpoint, see tfidf_top's note) and BOTH
+      // derived sides come from it — df by a w-rollup, and dl as the
+      // per-doc SUM of cell counts (sum of per-(doc, w) counts = the
+      // doc's token count, exactly the size(split(...)) it replaces,
+      // in exact integer arithmetic), so document text is never
+      // re-read for the length normalization
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).cast("double").as("dl"))
+      val stats = dl.agg(round(avg(col("dl")), 6).as("avgdl"),
+        count(lit(1)).as("n_docs"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "w")
         .join(dl, "doc_id")

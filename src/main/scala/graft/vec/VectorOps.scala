@@ -755,7 +755,16 @@ object VectorOps extends OpModule {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       // self-dot precompute, same reasoning (and bit-identity
-      // argument) as pq_topk: one dot per scored pair, not three
+      // argument) as pq_topk: one dot per scored pair, not three.
+      // Materialized (localCheckpoint, the semdedup precedent): FOUR
+      // consumers read this frame — the seed assignment, the codebook
+      // rebuild's re-join, the re-encode, and the ADC table — and
+      // with no exchange between the scan and the explode there is no
+      // planner reuse point, so without the checkpoint the
+      // explode+slice+self-dot scan re-executes per consumer (the
+      // exchange-is-a-materialization-point lesson, SCALE.md r11;
+      // measured 53 s -> see SCALE.md r12 at sf10). Identical rows,
+      // one scan.
       val sub = emb
         .select(col("vec_id"),
           explode(sequence(lit(0), lit(7))).as("s"),
@@ -763,6 +772,7 @@ object VectorOps extends OpModule {
         .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
         .withColumn("s2", dot("sv", "sv"))
         .select(col("vec_id"), col("s"), col("sv"), col("s2"))
+        .localCheckpoint()
       val cb0 = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"),
           explode(sequence(lit(0), lit(7))).as("s"),

@@ -112,22 +112,35 @@ class CurationSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString.take(800))
   }
 
-  test("mix_temperature boosts small sources: sampling rate is " +
-    "non-increasing in source size, quotas fit the budget") {
+  test("mix_temperature boosts small sources: quotas recompute exactly, " +
+    "every source keeps at least one row, rates fall with size") {
     val rows = q("mix_temperature", sfDir01).collect()
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("quota"),
         r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept")))
-    // integer-floor quotas never exceed the 300-doc budget
-    assert(rows.map(_._2).sum <= 300)
+    // exact independent recompute of the integer quota arithmetic:
+    // w = floor(sqrt(n)*1000), quota = max(1, floor(300*w / tot_w)),
+    // rate = min(1e6, floor(quota*1e6 / n)) — the strongest property
+    // that is implied for EVERY dataset, unlike pairwise rate
+    // monotonicity, which integer flooring can break near quota
+    // boundaries (only the unfloored rates are exactly monotone)
+    def w(n: Long): Long = math.floor(math.sqrt(n.toDouble) * 1000).toLong
+    val totW = rows.map { case (n, _, _, _) => w(n) }.sum
     rows.foreach { case (n, q0, rate, kept) =>
-      assert(q0 >= 0 && rate >= 0 && rate <= 1000000)
+      val expQ = math.max(1L, 300L * w(n) / totW)
+      assert(q0 == expQ, s"quota $q0 != recomputed $expQ for n=$n")
+      assert(rate == math.min(1000000L, expQ * 1000000L / n))
+      // min-quota guarantee: the floor never silently drops a source
+      assert(q0 >= 1)
       assert(kept <= n)
     }
-    // temperature scaling: a strictly larger source never gets a
-    // strictly larger sampling rate (rate ∝ quota/n ∝ 1/√n)
+    // natural quotas fit the budget; the min-1 bump adds at most one
+    // row per floored-to-zero source
+    assert(rows.map(_._2).sum <= 300 + rows.length)
+    // temperature scaling, asserted where flooring cannot flip it:
+    // at a >= 2x size gap the sqrt-boost dominates the +-1 floor noise
     for {
       (n1, _, r1, _) <- rows; (n2, _, r2, _) <- rows
-      if n1 < n2
+      if n1 * 2 <= n2
     } assert(r1 >= r2, s"source of $n1 docs sampled at $r1 ppm < $r2 " +
       s"ppm of a $n2-doc source")
   }

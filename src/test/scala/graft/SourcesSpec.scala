@@ -217,9 +217,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(sources.Snapshots.latest(spark, base) == 1L)
     assert(sources.Snapshots.readAsOf(spark, base, Long.MaxValue)
       .as[Int].collect().sameElements(Array(1)))
-    // a later successful commit skips PAST the orphan number or
-    // reclaims it — either way the marker decides; here the next
-    // commit overwrites the orphan dir and commits as version 2
+    // a later successful commit reclaims the orphan NUMBER without
+    // ever touching the orphan's bytes: it writes its own
+    // uniquely-named dir and the marker content points there
     val v = sources.Snapshots.commit(Seq(5).toDF("k"), base)
     assert(v == 2L)
     assert(sources.Snapshots.readAsOf(spark, base, 2)
@@ -243,5 +243,74 @@ class SourcesSpec extends AnyFunSuite {
     val v = sources.Snapshots.commit(Seq(3).toDF("k"), base)
     assert(v == 3L)
     assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L, 3L))
+  }
+
+  test("snapshots: two RACING commitAs writers of the same version — " +
+      "exactly one wins, the winner's bytes are never clobbered") {
+    import spark.implicits._
+    val base = tmp() + "/snap_race2"
+    // barrier-synchronized writers with DIFFERENT payloads: under the
+    // old shared-dir protocol the loser's overwrite could delete or
+    // interleave the winner's files between its write and its marker;
+    // writer-unique dirs make cross-contamination structurally
+    // impossible — the committed content must equal EXACTLY the
+    // winning writer's rows
+    val payloads = Seq(Seq(1, 1, 1), Seq(2, 2))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new Array[Boolean](2)
+    val threads = payloads.zipWithIndex.map { case (p, i) =>
+      new Thread(() => {
+        val df = p.toDF("k")
+        barrier.await()
+        results(i) = sources.Snapshots.commitAs(df, base, 1L)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.count(identity) == 1,
+      s"expected exactly one winner, got ${results.toSeq}")
+    val winner = payloads(results.indexOf(true))
+    val got = sources.Snapshots.readAsOf(spark, base, 1L)
+      .as[Int].collect().sorted.toSeq
+    assert(got == winner.sorted,
+      s"committed content $got is not the winner's payload $winner")
+    // exactly one marker; the loser's dir is an unreferenced orphan
+    // that a zero-grace vacuum retires without touching the winner
+    val commits = new java.io.File(s"$base/_commits").listFiles()
+      .filterNot(_.getName.startsWith(".")) // local-FS .crc sidecars
+    assert(commits.length == 1 && commits.head.getName == "1")
+    // the loser deleted its own unique dir on the marker loss (or
+    // never wrote one, if the winner's marker landed first) — only
+    // the winner's dir remains, and vacuum has nothing to reclaim
+    val dirs = new java.io.File(base).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("v="))
+    assert(dirs == 1, "only the winner's dir should remain")
+    sources.Snapshots.vacuum(spark, base, retain = 1, graceMs = 0L)
+    assert(sources.Snapshots.readAsOf(spark, base, 1L)
+      .as[Int].collect().sorted.toSeq == winner.sorted)
+  }
+
+  test("snapshots: two RACING commit() writers serialize to distinct " +
+      "versions with unmixed content") {
+    import spark.implicits._
+    val base = tmp() + "/snap_race3"
+    val payloads = Seq(Seq(10, 11), Seq(20, 21, 22))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val versions = new Array[Long](2)
+    val threads = payloads.zipWithIndex.map { case (p, i) =>
+      new Thread(() => {
+        val df = p.toDF("k")
+        barrier.await()
+        versions(i) = sources.Snapshots.commit(df, base)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // optimistic concurrency: the marker race loser retried at the
+    // next number — both land, on different versions
+    assert(versions.sorted.toSeq == Seq(1L, 2L), versions.toSeq)
+    payloads.zip(versions).foreach { case (p, v) =>
+      val got = sources.Snapshots.readAsOf(spark, base, v)
+        .as[Int].collect().sorted.toSeq
+      assert(got == p.sorted, s"v$v content $got is not its writer's $p")
+    }
   }
 }
