@@ -353,6 +353,7 @@ object Snapshots {
       df.write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$base/$dir")
       val parts = f.listStatus(new Path(base, dir)).toSeq
+        .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(n => n.contains('=') && !n.startsWith("_"))
         .sorted.map(p => (p, dir))
@@ -399,6 +400,7 @@ object Snapshots {
       df.write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$base/$dir")
       val touched = f.listStatus(new Path(base, dir)).toSeq
+        .filter(_.isDirectory)
         .map(_.getPath.getName)
         .filter(n => n.contains('=') && !n.startsWith("_"))
         .toSet

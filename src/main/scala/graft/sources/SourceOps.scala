@@ -420,6 +420,77 @@ object SourceOps extends OpModule {
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY 1"""))
 
+  /** MERGE INTO one partition of a snapshot table, committed
+    * INCREMENTALLY (`Snapshots.commitPartitions`) — the write path a
+    * 100 TB lakehouse actually runs: v1 is a full partition-committed
+    * copy of the events projection (hive layout + manifest), the
+    * merge rewrites ONLY the 'click' partition, and v2's manifest
+    * inherits every other partition from v1's directory by reference.
+    * Write amplification drops from O(table) to O(touched partition)
+    * — `Snapshots.bytesWritten(v2)` is the click partition's bytes,
+    * not the table's (measured in SourcesSpec and SCALE.md) — while
+    * v1 stays readable (its manifest still names its own dirs) and
+    * readers of v2 see one pruned scan per source version. Same
+    * deterministic update/insert split and integer-cent sums as
+    * `merge_partitioned`; the oracle recomputes the post-merge table
+    * straight from `events`, so a lost/duplicated row in either the
+    * rewritten or an inherited partition hash-mismatches. */
+  val snapshotMerge = Op(
+    "snapshot_merge",
+    (s, d) => {
+      val base = tmp("snap_merge", d)
+      fresh(s, base)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+      val v1 = Snapshots.commitPartitioned(ev, base, "event_type")
+      val target = Snapshots.readAsOf(s, base, v1)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("cents").as("t_cents"))
+      val mk = target.agg(max(col("event_id")).as("mk"))
+      val source = target
+        .filter(expr("(event_id % 100000) * 2654435761 % 10 = 0"))
+        .crossJoin(broadcast(mk))
+        .select(
+          when(col("event_id") % 20 === 0, col("event_id"))
+            .otherwise(col("event_id") + col("mk") + 1).as("event_id"),
+          (col("t_cents") + 100L).as("s_cents"))
+      val merged = target.join(source, Seq("event_id"), "full_outer")
+        .select(col("event_id"),
+          coalesce(col("s_cents"), col("t_cents")).as("cents"),
+          lit("click").as("event_type"))
+      val v2 = Snapshots.commitPartitions(merged, base, "event_type")
+      Snapshots.readAsOf(s, base, v2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("cents")) / 100.0, 2).as("total_value"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               event_type
+        FROM events),
+      target AS (
+        SELECT event_id, cents FROM ev WHERE event_type = 'click'),
+      mk AS (SELECT MAX(event_id) AS mk FROM target),
+      source AS (
+        SELECT CASE WHEN event_id % 20 = 0 THEN event_id
+                    ELSE event_id + mk + 1 END AS event_id,
+               cents + 100 AS cents
+        FROM target, mk
+        WHERE (event_id % 100000) * 2654435761 % 10 = 0),
+      merged AS (
+        SELECT COALESCE(s.cents, t.cents) AS cents
+        FROM target t FULL OUTER JOIN source s ON t.event_id = s.event_id),
+      unioned AS (
+        SELECT 'click' AS event_type, cents FROM merged
+        UNION ALL
+        SELECT event_type, cents FROM ev WHERE event_type <> 'click')
+      SELECT event_type, COUNT(*) AS n_rows,
+             ROUND(SUM(cents) / 100.0, 2) AS total_value
+      FROM unioned GROUP BY event_type"""))
+
   /** Recursive delete for a per-run snapshot base: the declared ops
     * re-commit from scratch each run (versions would otherwise
     * accumulate across invocations of the same JVM). */
@@ -433,5 +504,5 @@ object SourceOps extends OpModule {
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
       orcRoundtrip, bucketJoin, compactionPlan, dppJoin, snapshotRead,
-      snapshotDiff, snapshotCompact)
+      snapshotDiff, snapshotCompact, snapshotMerge)
 }

@@ -42,33 +42,138 @@ object VectorOps extends OpModule {
     expr(s"aggregate(zip_with(cast($e as array<double>), $c," +
       " (x, y) -> x * y), 0D, (a, x) -> a + x)")
 
-  /** One Lloyd refinement round over the deterministic first-`k`
-    * seed centroids: MIPS-assign every vector (map-side max_by
-    * argmax), recompute centroids as per-cluster elementwise means
-    * rounded to 4 dp. Returns (c_id, cent: array<double>). The
-    * rounding is what keeps the trained centroids oracle-checkable:
-    * float-associativity drift in avg() can't flip a downstream
-    * assignment. Shared by `kmeans_assign` (whose output IS the
-    * post-refinement assignment) and `ivf_topk_trained` (which
-    * queries against the refined lists). Scale: centroids stay
-    * catalog-sized broadcasts; the only shuffles are the N-row
-    * argmax partials and the (cluster, dim) mean aggregation. */
-  private[graft] def lloydRefine(emb: DataFrame, k: Int): DataFrame = {
-    val seeds = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val assign1 = emb.crossJoin(broadcast(seeds))
-      .withColumn("score", round(dot("embedding", "c_emb"), 4))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("c_id"), col("embedding")),
-        struct(col("score"), -col("c_id"))).as("m"))
-      .select(col("m.embedding").as("embedding"), col("m.c_id").as("c_id"))
-    assign1
-      .select(col("c_id"), posexplode(col("embedding")))
-      .groupBy(col("c_id"), col("pos"))
-      .agg(round(avg(col("col")), 4).as("v"))
-      .groupBy(col("c_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
-        " x -> x.v)").as("cent"))
+  /** Lloyd refinement over the deterministic first-`k` seed
+    * centroids, iterated `rounds` times under a FIXED deterministic
+    * cap (no data-dependent convergence test — the cap is what keeps
+    * the plan static and the oracle an unrolled CTE chain). Each
+    * round MIPS-assigns every vector (map-side max_by argmax) to the
+    * current centroids and recomputes them as per-cluster elementwise
+    * means rounded to 4 dp; a cluster that loses every member KEEPS
+    * its previous centroid (left join + coalesce — deterministic,
+    * expressible identically in both engines, and standard Lloyd
+    * practice; a reseed would inject a new data-dependent point
+    * mid-iteration). Returns (c_id, cent: array<double>).
+    *
+    * The 4 dp rounding is what keeps the trained centroids
+    * oracle-checkable: float-associativity drift in avg() can't flip
+    * a downstream assignment. Shared by `kmeans_assign` (whose output
+    * IS the post-refinement assignment) and `ivf_topk_trained`
+    * (which queries against the refined lists; recall@10 per round
+    * measured in AnnRecallSpec, curve in SCALE.md). Scale: centroids
+    * stay catalog-sized broadcasts; each round costs one N-row
+    * argmax-partial shuffle and one (cluster, dim) mean aggregation —
+    * training is `rounds` passes, amortized over every query against
+    * the index. */
+  private[graft] def lloydRefine(emb: DataFrame, k: Int,
+      rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, "lloydRefine needs at least one round")
+    // round-0 centroids: the seeds, widened float->double (identical
+    // bits — dot against them matches dot_f on the float originals)
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cent"))
+    (1 to rounds).foreach { _ =>
+      val assign = emb.crossJoin(broadcast(cents))
+        .withColumn("score", round(dotD("embedding", "cent"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("score"), -col("c_id"))).as("m"))
+        .select(col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
+      val means = assign
+        .select(col("c_id"), posexplode(col("embedding")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(round(avg(col("col")), 4).as("v"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+          " x -> x.v)").as("newcent"))
+      cents = cents.join(means, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("newcent"), col("cent")).as("cent"))
+    }
+    cents
+  }
+
+  /** DuckDB CTE chain `c0, a1, m1, c1, …, c<rounds>` mirroring
+    * [[lloydRefine]] exactly (same rounding, tie-breaks, and
+    * empty-cell keep-previous coalesce); the caller's query reads the
+    * final centroids from `c<rounds>`. */
+  private def lloydSql(k: Int, rounds: Int): String = {
+    val c0 =
+      s"""c0 AS (
+         |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cent
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, embedding, c_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ROUND(list_dot_product(
+         |               CAST(e.embedding AS DOUBLE[]), c.cent), 4) DESC,
+         |             c.c_id) AS rn
+         |    FROM embeddings e, c${r - 1} c)
+         |  WHERE rn = 1),
+         |m$r AS (
+         |  SELECT c_id, list(v ORDER BY pos) AS cent
+         |  FROM (SELECT c_id, pos, ROUND(AVG(x), 4) AS v
+         |        FROM (SELECT c_id,
+         |                     unnest(range(1, len(embedding) + 1)) AS pos,
+         |                     unnest(CAST(embedding AS DOUBLE[])) AS x
+         |              FROM a$r)
+         |        GROUP BY c_id, pos)
+         |  GROUP BY c_id),
+         |c$r AS (
+         |  SELECT p.c_id, COALESCE(m.cent, p.cent) AS cent
+         |  FROM c${r - 1} p LEFT JOIN m$r m USING (c_id))""".stripMargin
+    }
+    (c0 +: rs).mkString(",\n")
+  }
+
+  /** Lloyd rounds for the trained index ops — 3 is the nprobe=2 peak
+    * of the measured sf0.1 recall@10 curve (AnnRecallSpec: seeds
+    * 0.514; rounds 1..5 → 0.536 / 0.530 / 0.544 / 0.532 / 0.538; at
+    * nprobe=8: 0.830 seeds → 0.842 / 0.854 / 0.846 / 0.844 / 0.846 —
+    * the curve oscillates within ±0.01 past round 1, so a small fixed
+    * cap buys the gain without unbounded training cost, and keeps the
+    * oracle CTE chain short). */
+  private[graft] val LloydRounds = 3
+
+  /** DuckDB CTE chain `p0, pa1, pm1, p1, …, p<rounds>` mirroring the
+    * per-subspace PQ codebook refinement in [[pqTopkTrained]] (seed
+    * sub-vectors, L2 argmin with code tie-break, rounded per-cell
+    * means, keep-previous coalesce); assumes a `sub` CTE with
+    * (vec_id, s, sv DOUBLE[]) is already in scope. */
+  private def pqLloydSql(rounds: Int): String = {
+    val p0 =
+      """p0 AS (
+        |  SELECT vec_id AS code, s, sv AS c_sv
+        |  FROM sub WHERE vec_id < 16)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""pa$r AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT sub.vec_id, sub.s, cb.code,
+         |           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+         |             ORDER BY ROUND(list_dot_product(sv, sv)
+         |               + list_dot_product(c_sv, c_sv)
+         |               - 2 * list_dot_product(sv, c_sv), 4) ASC,
+         |             cb.code) AS rn
+         |    FROM sub JOIN p${r - 1} cb USING (s))
+         |  WHERE rn = 1),
+         |pm$r AS (
+         |  SELECT s, code, list(v ORDER BY pos) AS c_sv
+         |  FROM (SELECT s, code, pos, ROUND(AVG(x), 4) AS v
+         |        FROM (SELECT a.s, a.code,
+         |                     unnest(range(1, len(sub.sv) + 1)) AS pos,
+         |                     unnest(sub.sv) AS x
+         |              FROM pa$r a
+         |              JOIN sub ON a.vec_id = sub.vec_id AND a.s = sub.s)
+         |        GROUP BY s, code, pos)
+         |  GROUP BY s, code),
+         |p$r AS (
+         |  SELECT p.s, p.code, COALESCE(m.c_sv, p.c_sv) AS c_sv
+         |  FROM p${r - 1} p LEFT JOIN pm$r m USING (s, code))""".stripMargin
+    }
+    (p0 +: rs).mkString(",\n")
   }
 
   /** Deterministic sign-bit LSH bucket: bit i set iff dim i+1 > 0.
@@ -312,23 +417,24 @@ object VectorOps extends OpModule {
       ORDER BY score DESC, a.vec_id
       LIMIT 10"""))
 
-  /** IVF with TRAINED centroids: one Lloyd refinement round over the
-    * first-16 seeds (the shared `lloydRefine` kernel — 4dp-rounded
-    * per-cluster means keep it deterministic and oracle-checkable),
-    * then the same invert/probe/score shape as `ivf_topk`. Training
-    * tightens the inverted lists around the data's actual modes, so
-    * the 2-probe candidate set covers more of the true top-k
-    * (recall@10 measured against `vector_topk` ground truth in
-    * AnnRecallSpec; trained-vs-seed delta recorded in SCALE.md).
-    * Scale: identical to `ivf_topk` plus one extra (cluster, dim)
-    * mean shuffle for the refinement — training cost is one pass,
+  /** IVF with TRAINED centroids: `LloydRounds` refinement rounds over
+    * the first-16 seeds (the shared `lloydRefine` kernel — 4dp-rounded
+    * per-cluster means and keep-previous empty cells keep it
+    * deterministic and oracle-checkable), then the same
+    * invert/probe/score shape as `ivf_topk`. Training tightens the
+    * inverted lists around the data's actual modes, so the 2-probe
+    * candidate set covers more of the true top-k (recall@10 per
+    * round measured against `vector_topk` ground truth in
+    * AnnRecallSpec; the rounds curve is in SCALE.md). Scale:
+    * identical to `ivf_topk` plus `LloydRounds` assignment passes +
+    * (cluster, dim) mean shuffles at train time — a one-off cost
     * amortized over every query against the index. */
   val ivfTopkTrained = Op(
     "ivf_topk_trained",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
-      val cents = lloydRefine(emb, 16)
+      val cents = lloydRefine(emb, 16, LloydRounds)
       val assigned = emb.crossJoin(broadcast(cents))
         .withColumn("c_score", round(dotD("embedding", "cent"), 4))
         .groupBy(col("vec_id"))
@@ -352,29 +458,8 @@ object VectorOps extends OpModule {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     },
-    Some("""
-      WITH seeds AS (
-        SELECT vec_id AS c_id, embedding AS c_emb
-        FROM embeddings WHERE vec_id < 16),
-      a1 AS (
-        SELECT vec_id, embedding, c_id FROM (
-          SELECT e.vec_id, e.embedding, s.c_id,
-                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_dot_product(
-                     CAST(e.embedding AS DOUBLE[]),
-                     CAST(s.c_emb AS DOUBLE[])), 4) DESC, s.c_id) AS rn
-          FROM embeddings e, seeds s)
-        WHERE rn = 1),
-      dims AS (
-        SELECT c_id,
-               unnest(range(1, len(embedding) + 1)) AS pos,
-               unnest(CAST(embedding AS DOUBLE[])) AS x
-        FROM a1),
-      newc AS (
-        SELECT c_id, list(v ORDER BY pos) AS cent
-        FROM (SELECT c_id, pos, ROUND(AVG(x), 4) AS v
-              FROM dims GROUP BY c_id, pos)
-        GROUP BY c_id),
+    Some(s"""
+      WITH ${lloydSql(16, LloydRounds)},
       assigned AS (
         SELECT vec_id, embedding, c_id FROM (
           SELECT e.vec_id, e.embedding, c.c_id,
@@ -382,11 +467,11 @@ object VectorOps extends OpModule {
                    ORDER BY ROUND(list_dot_product(
                      CAST(e.embedding AS DOUBLE[]), c.cent), 4) DESC,
                    c.c_id) AS rn
-          FROM embeddings e, newc c)
+          FROM embeddings e, c$LloydRounds c)
         WHERE rn = 1),
       probes AS (
         SELECT c.c_id
-        FROM embeddings t, newc c
+        FROM embeddings t, c$LloydRounds c
         WHERE t.vec_id = 0
         ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
                                         c.cent), 4) DESC, c.c_id
@@ -490,29 +575,8 @@ object VectorOps extends OpModule {
         .agg(count(lit(1)).as("n_vecs"),
           round(avg(col("score")), 4).as("avg_sim"))
     },
-    Some("""
-      WITH seeds AS (
-        SELECT vec_id AS c_id, embedding AS c_emb
-        FROM embeddings WHERE vec_id < 8),
-      a1 AS (
-        SELECT vec_id, embedding, c_id FROM (
-          SELECT e.vec_id, e.embedding, s.c_id,
-                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_dot_product(
-                     CAST(e.embedding AS DOUBLE[]),
-                     CAST(s.c_emb AS DOUBLE[])), 4) DESC, s.c_id) AS rn
-          FROM embeddings e, seeds s)
-        WHERE rn = 1),
-      dims AS (
-        SELECT c_id,
-               unnest(range(1, len(embedding) + 1)) AS pos,
-               unnest(CAST(embedding AS DOUBLE[])) AS x
-        FROM a1),
-      newc AS (
-        SELECT c_id, list(v ORDER BY pos) AS cent
-        FROM (SELECT c_id, pos, ROUND(AVG(x), 4) AS v
-              FROM dims GROUP BY c_id, pos)
-        GROUP BY c_id),
+    Some(s"""
+      WITH ${lloydSql(8, 1)},
       a2 AS (
         SELECT vec_id, c_id, score FROM (
           SELECT e.vec_id, c.c_id,
@@ -522,7 +586,7 @@ object VectorOps extends OpModule {
                    ORDER BY ROUND(list_dot_product(
                      CAST(e.embedding AS DOUBLE[]), c.cent), 4) DESC,
                    c.c_id) AS rn
-          FROM embeddings e, newc c)
+          FROM embeddings e, c1 c)
         WHERE rn = 1)
       SELECT c_id, COUNT(*) AS n_vecs, ROUND(AVG(score), 4) AS avg_sim
       FROM a2 GROUP BY c_id"""))
@@ -738,17 +802,19 @@ object VectorOps extends OpModule {
       ORDER BY adc_score DESC, codes.vec_id
       LIMIT 10"""))
 
-  /** PQ with TRAINED sub-codebooks: per subspace, one Lloyd round
-    * refines the 16 seed code vectors (assign every sub-vector to
-    * its nearest seed by 4dp-rounded L2, recompute codes as rounded
-    * per-cell means), then the standard encode + integer-ADC scoring
-    * of `pq_topk` against the refined codebook. Trained cells sit on
-    * the sub-vector distribution's actual modes, cutting
-    * quantization error vs the arbitrary first-16 seeds (ADC-vs-
-    * exact top-10 overlap measured in AnnRecallSpec; delta in
-    * SCALE.md). Scale: identical to `pq_topk` plus one
-    * (subspace, code, dim) mean shuffle at train time — k·m·8 cells,
-    * catalog-sized; the codebook stays a broadcast. */
+  /** PQ with TRAINED sub-codebooks: per subspace, `LloydRounds` Lloyd
+    * rounds refine the 16 seed code vectors (assign every sub-vector
+    * to its nearest current cell by 4dp-rounded L2, recompute cells
+    * as rounded per-cell means, keep-previous for emptied cells),
+    * then the standard encode + integer-ADC scoring of `pq_topk`
+    * against the refined codebook. Trained cells sit on the
+    * sub-vector distribution's actual modes, cutting quantization
+    * error vs the arbitrary first-16 seeds (ADC-vs-exact top-10
+    * overlap measured in AnnRecallSpec; delta in SCALE.md). Scale:
+    * identical to `pq_topk` plus `LloydRounds` (subspace, code, dim)
+    * mean shuffles at train time — k·m·8 cells, catalog-sized; the
+    * codebook stays a broadcast, and every round re-reads the
+    * checkpointed `sub` frame, never the corpus. */
   val pqTopkTrained = Op(
     "pq_topk_trained",
     (s, d) => {
@@ -773,34 +839,45 @@ object VectorOps extends OpModule {
         .withColumn("s2", dot("sv", "sv"))
         .select(col("vec_id"), col("s"), col("sv"), col("s2"))
         .localCheckpoint()
-      val cb0 = emb.filter(col("vec_id") < 16)
+      // cell self-dot: once per k·m codebook cell in the broadcast,
+      // not once per scored corpus pair
+      val selfDotD = (c: String) => expr(
+        s"aggregate(zip_with($c, $c, (x, y) -> x * y), 0D," +
+          " (a, x) -> a + x)")
+      // round-0 sub-codebooks: seed sub-vectors widened float->double
+      // (identical bits, so round 1 scores exactly as the float seeds
+      // did); train: assign each sub-vector to its nearest current
+      // cell (map-side min_by argmin), recompute cells as rounded
+      // per-(s, code, dim) means, keep-previous for emptied cells
+      var cb = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"),
           explode(sequence(lit(0), lit(7))).as("s"),
           col("embedding"))
-        .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
-        .withColumn("c2", dot("c_sv", "c_sv"))
-        .select(col("code"), col("s"), col("c_sv"), col("c2"))
-      // train: assign each sub-vector to its nearest seed code
-      // (map-side min_by argmin), then per-(s, code, dim) means
-      val a1 = sub.join(broadcast(cb0), "s")
-        .withColumn("d2",
-          round(col("s2") + col("c2") -
-            lit(2.0) * dot("sv", "c_sv"), 4))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code")))
-          .as("code"))
-      val cb = a1.join(sub, Seq("vec_id", "s"))
-        .select(col("s"), col("code"), posexplode(col("sv")))
-        .groupBy(col("s"), col("code"), col("pos"))
-        .agg(round(avg(col("col")), 4).as("v"))
-        .groupBy(col("s"), col("code"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
-          " x -> x.v)").as("c_sv"))
-        // refined-cell self-dot: once per k·m codebook cell in the
-        // broadcast, not once per scored corpus pair
-        .withColumn("c2", expr(
-          "aggregate(zip_with(c_sv, c_sv, (x, y) -> x * y), 0D," +
-            " (a, x) -> a + x)"))
+        .withColumn("c_sv", expr(
+          "transform(slice(embedding, s * 8 + 1, 8)," +
+            " x -> CAST(x AS DOUBLE))"))
+        .select(col("s"), col("code"), col("c_sv"))
+        .withColumn("c2", selfDotD("c_sv"))
+      (1 to LloydRounds).foreach { _ =>
+        val a = sub.join(broadcast(cb), "s")
+          .withColumn("d2",
+            round(col("s2") + col("c2") -
+              lit(2.0) * dotD("sv", "c_sv"), 4))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min_by(col("code"), struct(col("d2"), col("code")))
+            .as("code"))
+        val means = a.join(sub, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sv")))
+          .groupBy(col("s"), col("code"), col("pos"))
+          .agg(round(avg(col("col")), 4).as("v"))
+          .groupBy(col("s"), col("code"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+            " x -> x.v)").as("newsv"))
+        cb = cb.join(means, Seq("s", "code"), "left")
+          .select(col("s"), col("code"),
+            coalesce(col("newsv"), col("c_sv")).as("c_sv"))
+          .withColumn("c2", selfDotD("c_sv"))
+      }
       // encode + ADC against the refined double codebook
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("d2",
@@ -823,34 +900,12 @@ object VectorOps extends OpModule {
         .orderBy(col("adc_score").desc, col("vec_id"))
         .limit(10)
     },
-    Some("""
+    Some(s"""
       WITH sub AS (
         SELECT vec_id, s,
                CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
         FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
-      cb0 AS (
-        SELECT vec_id AS code, s, sv AS c_sv
-        FROM sub WHERE vec_id < 16),
-      a1 AS (
-        SELECT vec_id, s, code FROM (
-          SELECT sub.vec_id, sub.s, cb0.code,
-                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                   ORDER BY ROUND(list_dot_product(sv, sv)
-                     + list_dot_product(c_sv, c_sv)
-                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
-                   cb0.code) AS rn
-          FROM sub JOIN cb0 USING (s))
-        WHERE rn = 1),
-      dims AS (
-        SELECT a1.s, a1.code,
-               unnest(range(1, len(sub.sv) + 1)) AS pos,
-               unnest(sub.sv) AS x
-        FROM a1 JOIN sub ON a1.vec_id = sub.vec_id AND a1.s = sub.s),
-      cb AS (
-        SELECT s, code, list(v ORDER BY pos) AS c_sv
-        FROM (SELECT s, code, pos, ROUND(AVG(x), 4) AS v
-              FROM dims GROUP BY s, code, pos)
-        GROUP BY s, code),
+      ${pqLloydSql(LloydRounds)},
       codes AS (
         SELECT vec_id, s, code FROM (
           SELECT sub.vec_id, sub.s, cb.code,
@@ -859,14 +914,14 @@ object VectorOps extends OpModule {
                      + list_dot_product(c_sv, c_sv)
                      - 2 * list_dot_product(sv, c_sv), 4) ASC,
                    cb.code) AS rn
-          FROM sub JOIN cb USING (s))
+          FROM sub JOIN p$LloydRounds cb USING (s))
         WHERE rn = 1),
       adc AS (
         SELECT cb.s, cb.code,
                CAST(ROUND(list_dot_product(q.sv, cb.c_sv) * 10000, 0)
                  AS BIGINT) AS qdot_i
         FROM (SELECT s, sv FROM sub WHERE vec_id = 0) q
-        JOIN cb USING (s))
+        JOIN p$LloydRounds cb USING (s))
       SELECT codes.vec_id,
              SUM(qdot_i) / 10000.0 AS adc_score
       FROM codes JOIN adc USING (s, code)

@@ -180,25 +180,37 @@ class AnnRecallSpec extends AnyFunSuite {
     val seedCents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("c_id"), col("embedding").as("cent"))
     val seedScore = (v: String) => expr(s"dot_f($v, cent)")
-    val trained = vec.VectorOps.lloydRefine(emb, 16).cache()
     val trainedScore = (v: String) => expr(
       s"aggregate(zip_with(cast($v as array<double>), cent," +
         " (x, y) -> x * y), 0D, (a, x) -> a + x)")
     val rSeed = ivfRecall(seedCents, seedScore, 2)
-    val rTrained = ivfRecall(trained, trainedScore, 2)
     val rSeed8 = ivfRecall(seedCents, seedScore, 8)
-    val rTrained8 = ivfRecall(trained, trainedScore, 8)
-    info(f"sf0.1 nprobe=2 seed=$rSeed%.3f trained=$rTrained%.3f; " +
-      f"nprobe=8 seed=$rSeed8%.3f trained=$rTrained8%.3f")
-    println(f"[ann-recall] sf0.1 trained-vs-seed np2 $rSeed%.4f -> " +
-      f"$rTrained%.4f, np8 $rSeed8%.4f -> $rTrained8%.4f")
-    exact.unpersist(); trained.unpersist()
-    // training must not make the index materially worse at the
-    // declared probe budget, and the curve stays monotone
-    assert(rTrained >= rSeed - 0.02,
-      f"one Lloyd round dropped recall: seed=$rSeed%.3f " +
-        f"trained=$rTrained%.3f")
-    assert(rTrained8 >= rTrained, "recall must be monotone in nprobe")
+    // the rounds curve the declared LloydRounds cap was chosen from:
+    // recall@10 per refinement round at both probe budgets
+    val rounds = 1 to 5
+    val byRound = rounds.map { r =>
+      val cents = vec.VectorOps.lloydRefine(emb, 16, r).cache()
+      val np2 = ivfRecall(cents, trainedScore, 2)
+      val np8 = ivfRecall(cents, trainedScore, 8)
+      cents.unpersist()
+      r -> (np2, np8)
+    }.toMap
+    val curve2 = rounds.map(r => f"$r->${byRound(r)._1}%.3f").mkString(" ")
+    val curve8 = rounds.map(r => f"$r->${byRound(r)._2}%.3f").mkString(" ")
+    info(f"sf0.1 nprobe=2 seed=$rSeed%.3f rounds: $curve2")
+    info(f"sf0.1 nprobe=8 seed=$rSeed8%.3f rounds: $curve8")
+    println(f"[ann-recall] sf0.1 lloyd-rounds np2 seed=$rSeed%.4f " +
+      curve2 + f" | np8 seed=$rSeed8%.4f " + curve8)
+    exact.unpersist()
+    val declared = byRound(vec.VectorOps.LloydRounds)
+    // more training must not make the index materially worse than one
+    // round at the declared probe budget, and never worse than the
+    // untrained seeds
+    assert(declared._1 >= byRound(1)._1 - 0.02,
+      f"rounds=${vec.VectorOps.LloydRounds} dropped recall vs 1: $curve2")
+    assert(declared._1 >= rSeed - 0.02,
+      f"training dropped recall vs seeds: seed=$rSeed%.3f $curve2")
+    assert(declared._2 >= declared._1, "recall must be monotone in nprobe")
   }
 
   test("recall@10 holds at the synthesized sf1 (10x vectors)") {

@@ -313,4 +313,56 @@ class SourcesSpec extends AnyFunSuite {
       assert(got == p.sorted, s"v$v content $got is not its writer's $p")
     }
   }
+
+  test("snapshots: commitPartitions rewrites only the touched " +
+      "partition, inherits the rest, and cuts bytes written") {
+    import spark.implicits._
+    val base = tmp() + "/snap_incr"
+    val full = (1 to 3)
+      .flatMap(p => (1 to 2000).map(i => (p * 10000 + i, s"p$p")))
+      .toDF("k", "part")
+    val v1 = sources.Snapshots.commitPartitioned(full, base, "part")
+    assert(v1 == 1L)
+    assert(sources.Snapshots.readAsOf(spark, base, v1).count() == 6000)
+    // incremental: rewrite ONLY p2 (half the rows, values bumped)
+    val p2new = (1 to 1000).map(i => (20000 + i, "p2")).toDF("k", "part")
+    val v2 = sources.Snapshots.commitPartitions(p2new, base, "part")
+    assert(v2 == 2L)
+    val got2 = sources.Snapshots.readAsOf(spark, base, v2)
+      .groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("p1" -> 2000L, "p2" -> 1000L, "p3" -> 2000L),
+      s"v2 partition counts wrong: $got2")
+    // inherited partitions are v1's exact rows
+    assert(sources.Snapshots.readAsOf(spark, base, v2)
+      .filter(col("part") === "p1").select("k").as[Int]
+      .collect().sorted.toSeq == (1 to 2000).map(10000 + _))
+    // time travel: v1 unchanged, including its own p2
+    assert(sources.Snapshots.readAsOf(spark, base, v1).count() == 6000)
+    assert(sources.Snapshots.readAsOf(spark, base, v1)
+      .filter(col("part") === "p2").count() == 2000)
+    // write amplification: v2 wrote ~one partition's bytes, not ~3
+    val b1 = sources.Snapshots.bytesWritten(spark, base, v1)
+    val b2 = sources.Snapshots.bytesWritten(spark, base, v2)
+    assert(b2 < b1 / 2, s"v2 wrote $b2 bytes vs full-copy $b1")
+    // a further full commit on top of the incremental chain still works
+    val v3 = sources.Snapshots.commitPartitioned(
+      Seq((1, "p9")).toDF("k", "part"), base, "part")
+    assert(sources.Snapshots.readAsOf(spark, base, v3).count() == 1)
+    // vacuum keeping v2+v3 must NOT delete v1's dir: v2 inherits
+    // p1/p3 from it
+    sources.Snapshots.vacuum(spark, base, retain = 2, graceMs = 0L)
+    assert(sources.Snapshots.versions(spark, base) == Seq(2L, 3L))
+    assert(sources.Snapshots.readAsOf(spark, base, v2).count() == 5000)
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.readAsOf(spark, base, v1)
+    }
+    // seeding an incremental commit without a manifest fails loudly
+    val plain = tmp() + "/snap_incr_plain"
+    sources.Snapshots.commit(Seq(1).toDF("k"), plain)
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.commitPartitions(
+        Seq((1, "p1")).toDF("k", "part"), plain, "part")
+    }
+  }
 }
