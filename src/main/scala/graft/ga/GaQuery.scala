@@ -29,7 +29,8 @@ final case class GaQuery(
     maxRows: Option[Int] = None,
     startIndex: Int = 0,
     havingFilters: Seq[Column] = Nil,
-    chunkDayDim: Option[String] = None) {
+    chunkDayDim: Option[String] = None,
+    chunkPeriod: String = "day") {
 
   private def dayUs(day: String): Long =
     LocalDate.parse(day).toEpochDay * 86400L * 1000000L
@@ -101,7 +102,25 @@ final case class GaQuery(
     * `ga:sessions` counts in BOTH forms (the session id is computed on
     * the unchunked stream; grouping is by row day), so the equivalence
     * holds for session metrics too. */
-  def chunkByDay(dayDim: String): GaQuery = copy(chunkDayDim = Some(dayDim))
+  def chunkByDay(dayDim: String): GaQuery = chunkBy(dayDim, "day")
+
+  /** Generalized anti-sampling chunking — the reference client let
+    * callers pick the chunk period so a long range stays under the
+    * server's sampling threshold with as FEW branches as possible
+    * (fewer round-trips there; a smaller union plan here). Splits the
+    * declared range into disjoint [lo, hi) windows: `"day"` (1-day
+    * strides), `"week"` (7-day strides anchored at the range start),
+    * or `"month"` (calendar-month boundaries, first and last windows
+    * clipped to the range). The disjointness contract is unchanged —
+    * `dayDim` must be a declared day-granular dimension, and any
+    * window that is a whole number of days contains each day's group
+    * exactly once, so the union equals the unchunked report at every
+    * granularity (GaChunkSpec locks the equivalence). */
+  def chunkBy(dayDim: String, granularity: String): GaQuery = {
+    require(Set("day", "week", "month")(granularity),
+      s"chunkBy granularity must be day|week|month, got '$granularity'")
+    copy(chunkDayDim = Some(dayDim), chunkPeriod = granularity)
+  }
 
   def toDF(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.events(spark, sfDir)
@@ -165,9 +184,23 @@ final case class GaQuery(
             s"(have: ${dims.map(_._1).mkString(", ")}); the day must be " +
             "part of the group key for per-day chunks to be disjoint")
         val dayUs = 86400L * 1000000L
-        val chunks = (startUs.get until endUs.get by dayUs).map { lo =>
-          aggregated(Some(lo), Some(math.min(lo + dayUs, endUs.get)))
+        val los: Seq[Long] = chunkPeriod match {
+          case "day" => startUs.get until endUs.get by dayUs
+          case "week" => startUs.get until endUs.get by 7 * dayUs
+          case "month" =>
+            val first = LocalDate.ofEpochDay(startUs.get / dayUs)
+            val monthStarts = Iterator
+              .iterate(first.withDayOfMonth(1).plusMonths(1))(
+                _.plusMonths(1))
+              .map(_.toEpochDay * dayUs)
+              .takeWhile(_ < endUs.get)
+              .toSeq
+            startUs.get +: monthStarts
         }
+        val edges = los :+ endUs.get
+        val chunks = edges.sliding(2).map { w =>
+          aggregated(Some(w(0)), Some(w(1)))
+        }.toSeq
         chunks.reduce(_ union _)
     }
 

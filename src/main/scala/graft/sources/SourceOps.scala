@@ -491,6 +491,62 @@ object SourceOps extends OpModule {
              ROUND(SUM(cents) / 100.0, 2) AS total_value
       FROM unioned GROUP BY event_type"""))
 
+  /** Z-order WRITER — the layout half `zorder_bucket` audits: build
+    * the 16-bit Morton key over (l_partkey, l_suppkey) low bytes,
+    * `repartitionByRange(16, zkey)` + `sortWithinPartitions(zkey)` so
+    * each output file owns a contiguous zkey range (both source
+    * dimensions stay range-clustered per file), and COMMIT the
+    * clustered layout as a snapshot version (marker-last — a crashed
+    * rewrite is invisible). The declared query then runs a
+    * both-dimension point-range predicate (px < 32 AND sx < 32)
+    * against the committed layout; under z-ordering every matching
+    * row lives in the low-zkey files, so the parquet min/max stats of
+    * ~15/16 files exclude the predicate on at least one dimension
+    * (file-skip fraction measured per layout in SourcesSpec and
+    * SCALE.md — the clustering changes I/O, never results, which is
+    * exactly what the oracle checks from the unclustered table).
+    * Scale: one range exchange (sampled boundaries) + in-partition
+    * sort — the standard OPTIMIZE ZORDER write shape; file count
+    * scales with data (16 is the fixture-scale stand-in for
+    * bytes/targetFileSize). */
+  val zorderWrite = Op(
+    "zorder_write",
+    (s, d) => {
+      val base = tmp("zorder", d)
+      fresh(s, base)
+      val spread8 = (c: String) =>
+        (0 until 8).map(i =>
+          s"(((($c) >> $i) & 1) << ${2 * i})").mkString(" + ")
+      val z = Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+        .withColumn("px", col("l_partkey") % 256)
+        .withColumn("sx", col("l_suppkey") % 256)
+        .withColumn("zkey",
+          expr(spread8("px")) + expr(spread8("sx")) * 2)
+      val clustered = z
+        .repartitionByRange(16, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+      val v = Snapshots.commit(clustered, base)
+      Snapshots.readAsOf(s, base, v)
+        .filter(col("px") < 32 && col("sx") < 32)
+        .groupBy(expr("px div 8").as("px_band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    },
+    Some("""
+      SELECT CAST(px // 8 AS BIGINT) AS px_band, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+      FROM (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+                   l_quantity, l_orderkey
+            FROM lineitem)
+      WHERE px < 32 AND sx < 32
+      GROUP BY 1"""))
+
   /** Recursive delete for a per-run snapshot base: the declared ops
     * re-commit from scratch each run (versions would otherwise
     * accumulate across invocations of the same JVM). */
@@ -504,5 +560,5 @@ object SourceOps extends OpModule {
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
       orcRoundtrip, bucketJoin, compactionPlan, dppJoin, snapshotRead,
-      snapshotDiff, snapshotCompact, snapshotMerge)
+      snapshotDiff, snapshotCompact, snapshotMerge, zorderWrite)
 }

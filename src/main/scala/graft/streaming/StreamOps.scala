@@ -228,9 +228,15 @@ object StreamOps {
   // ---- streaming funnel (transformWithState + deadline timer) ----
 
   /** Per-user funnel progress: -1 = step not reached. `emitted`
-    * stays true after the funnel resolves so later events can't
-    * restart it (one funnel per user, like the batch first-touch
-    * formulation). */
+    * marks a completed funnel; the state row then lives on as a
+    * tombstone until its deadline timer fires, so in-deadline events
+    * can't restart it. AFTER the timer clears the state, a later view
+    * starts a NEW funnel — recurring-funnel semantics, deliberately:
+    * an all-time tombstone would grow state with every user ever
+    * seen, which an unbounded stream can't afford (state must stay
+    * ∝ users inside the deadline horizon). Over a window shorter
+    * than the deadline this reduces to one funnel per user — the
+    * regime the batch-equivalence test pins. */
   case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long,
       emitted: Boolean)
 

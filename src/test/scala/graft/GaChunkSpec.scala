@@ -74,6 +74,40 @@ class GaChunkSpec extends AnyFunSuite {
     assert(ns.forall(_ > 1))
   }
 
+  test("chunkBy week and month equal the unchunked report; branch " +
+      "counts follow the calendar") {
+    def rep(f: GaQuery => GaQuery) = f(GaQuery()
+      .dateRange("2024-01-03", "2024-02-05")
+      .dimensions("day" -> to_date(col("ts")),
+        "event_type" -> col("event_type"))
+      .metrics("n_events" -> count(lit(1)),
+        "total_value" -> round(sum(col("value")), 2)))
+      .toDF(spark, sfDir)
+    val base = rep(identity).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(base.nonEmpty)
+    for (g <- Seq("day", "week", "month")) {
+      val got = rep(_.chunkBy("day", g)).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(got == base, s"$g-chunked report diverges from unchunked")
+    }
+    // 33-day range (Jan 3 .. Feb 5): 33 day chunks, 5 week chunks
+    // (7-day strides from the range start), 2 calendar-month chunks
+    // ([Jan 3, Feb 1) and [Feb 1, Feb 5))
+    def branches(g: String): Int = {
+      val plan = rep(_.chunkBy("day", g)).queryExecution.optimizedPlan
+      plan.collect { case u: Union => u.children.size }
+        .headOption.getOrElse(1)
+    }
+    assert(branches("day") == 33)
+    assert(branches("week") == 5)
+    assert(branches("month") == 2)
+    // misuse guard: unknown granularity fails at declaration time
+    intercept[IllegalArgumentException] {
+      GaQuery().chunkBy("day", "fortnight")
+    }
+  }
+
   test("chunkByDay without a dateRange or day dimension fails loudly") {
     val e1 = intercept[IllegalArgumentException] {
       GaQuery()

@@ -365,4 +365,49 @@ class SourcesSpec extends AnyFunSuite {
         Seq((1, "p1")).toDF("k", "part"), plain, "part")
     }
   }
+
+  test("zorder_write: the z-clustered layout makes most files " +
+      "skippable for a both-dim predicate; round-robin makes none") {
+    // the pruning evidence behind the declared zorder_write op: write
+    // the SAME rows in the two layouts, recover each file's (px, sx)
+    // min/max — exactly the parquet column stats a reader skips on —
+    // and count the files whose span excludes px<32 AND sx<32 on at
+    // least one dimension
+    val spread8 = (c: String) =>
+      (0 until 8).map(i =>
+        s"(((($c) >> $i) & 1) << ${2 * i})").mkString(" + ")
+    val z = Tables(spark, sfDir01, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("px", col("l_partkey") % 256)
+      .withColumn("sx", col("l_suppkey") % 256)
+      .withColumn("zkey", expr(spread8("px")) + expr(spread8("sx")) * 2)
+    def skippable(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val dir = tmp() + "/layout"
+      df.write.mode("overwrite").parquet(dir)
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("px").as("px_min"), max("px").as("px_max"),
+          min("sx").as("sx_min"), max("sx").as("sx_max"))
+        .collect()
+      val skip = spans.count { r =>
+        r.getAs[Long]("px_min") >= 32 || r.getAs[Long]("px_max") < 0 ||
+          r.getAs[Long]("sx_min") >= 32
+      }
+      (skip.toLong, spans.length.toLong)
+    }
+    val (zSkip, zFiles) = skippable(
+      z.repartitionByRange(16, col("zkey")).sortWithinPartitions(col("zkey"))
+        .drop("zkey"))
+    val (rSkip, rFiles) = skippable(z.repartition(16).drop("zkey"))
+    info(s"zorder skips $zSkip/$zFiles files; round-robin $rSkip/$rFiles")
+    println(s"[zorder] skip_zorder=$zSkip/$zFiles " +
+      s"skip_roundrobin=$rSkip/$rFiles")
+    // z-clustering: all target rows live in the low-zkey files, so
+    // nearly every other file's stats exclude the predicate; a
+    // round-robin layout spreads the target everywhere (0 skippable)
+    assert(zSkip >= zFiles - 3,
+      s"z-order should leave <=3 unskippable files, skipped $zSkip/$zFiles")
+    assert(rSkip == 0,
+      s"round-robin should be unskippable, skipped $rSkip/$rFiles")
+  }
 }

@@ -423,6 +423,80 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup ${"%.0f".format(dRps)} rows/s")
   }
 
+  test("sf1 replay throughput: transformWithState funnel on RocksDB") {
+    // the deadline-timer funnel's throughput row, measured on the
+    // same 1M-row sf1 replay as the sessionize/tumbling/dedup shapes
+    // (every unit-tested stateful shape should carry a rows/s number)
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1/events.parquet").exists(),
+      "synthesized sf1 fixture not present (tools/make_sf.py)")
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev](15, spark, None)
+      val query = StreamOps.funnelTws(in.toDS()).writeStream
+        .format("memory").queryName("t_sf1_funnel")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", freshDir()).start()
+      val chunk = (sf1Events.length + 3) / 4
+      var maxState = 0L
+      sf1Events.grouped(chunk).foreach { c =>
+        in.addData(c.toIndexedSeq)
+        query.processAllAvailable()
+        val st = query.lastProgress.stateOperators
+        if (st.nonEmpty) maxState = math.max(maxState, st(0).numRowsTotal)
+      }
+      // 'view' sentinel: passes the step-type filter, advances the
+      // watermark to 2030 so every open funnel's deadline timer fires
+      in.addData(Ev(-1, Timestamp.valueOf("2030-01-01 00:00:00"), -1L,
+        "view", 0.0))
+      query.processAllAvailable()
+      val batches = query.recentProgress.filter(_.numInputRows > 0).map {
+        p => (p.numInputRows,
+          p.durationMs.getOrDefault("triggerExecution", 0L): Long)
+      }
+      val outRows = spark.table("t_sf1_funnel")
+        .filter(col("user_id") =!= -1L).count()
+      query.stop()
+      val rows = batches.map(_._1).sum
+      val sec = batches.map(_._2).sum / 1e3
+      val nUsers = sf1Events.map(_.user_id).distinct.length
+      assert(rows == sf1Events.length.toLong + 1)
+      // recurring funnels: the 30-day replay spans ~4 deadline
+      // horizons, so a user can resolve several funnels (state clears
+      // after each resolution — see FunnelState's scaladoc); rows
+      // stay ∝ users·horizons, far below the event count
+      assert(outRows >= nUsers.toLong / 2 && outRows < rows / 10,
+        s"funnel rows $outRows implausible for $nUsers users")
+      // state ∝ users (funnel value + deadline timer), never ∝ events
+      assert(maxState > 0 && maxState <= 2L * nUsers,
+        s"funnel state rows $maxState exceed 2x the $nUsers users")
+      assert(maxState < sf1Events.length / 10L,
+        s"funnel state $maxState scales with events")
+      if (sec > 0) {
+        val rps = rows / sec
+        StreamArt.shapes("funnel") =
+          s"""{"shape":"funnel","op":"transformWithState 3-step funnel """ +
+            s"""7d deadline","rows_per_sec":${"%.0f".format(rps)},""" +
+            s""""rows":$rows,"seconds":${"%.2f".format(sec)},""" +
+            s""""state_rows_max":$maxState,"users":$nUsers,""" +
+            s""""out_rows":$outRows,"store":"rocksdb"}"""
+        StreamArt.write()
+        info(s"funnel throughput: ${"%.0f".format(rps)} rows/s " +
+          s"over $rows rows, $outRows funnels")
+      }
+    } finally {
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel equals the declarative batch funnel " +
       "(completion mid-stream, abandonment via deadline timer)") {
     import spark.implicits._
