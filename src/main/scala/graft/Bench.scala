@@ -68,6 +68,12 @@ object Bench {
     "domain_cap", "mix_temperature", "shuffle_shard",
     "ivf_topk_trained", "pq_topk_trained")
 
+  /** The round-12 additions, timed when SPARK_GRAFT_BENCH_SET=r12:
+    * the incremental snapshot merge and the z-order writer (both
+    * timings include their setup commits by design — the write path
+    * IS the op). */
+  val r12: Seq[String] = Seq("snapshot_merge", "zorder_write")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,6 +102,7 @@ object Bench {
       case Some("ga")       => ga
       case Some("r8")       => r8
       case Some("r11")      => r11
+      case Some("r12")      => r12
       // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
       case Some(s) if s.startsWith("custom:") =>
         s.stripPrefix("custom:").split(",").map(_.trim)

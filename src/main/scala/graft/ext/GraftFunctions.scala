@@ -26,6 +26,10 @@ object GraftFunctions {
       require(args.length == 2, "dot_f(arrayA, arrayB)")
       DotProductFloat(args(0), args(1))
     },
+    "dot_fd" -> { args =>
+      require(args.length == 2, "dot_fd(arrayA, arrayB)")
+      DotProductMixed(args(0), args(1))
+    },
     "ngrams" -> { args =>
       require(args.length == 2, "ngrams(array<string>, n)")
       NGramsGenerator(args(0), intArg(args(1), "n"))

@@ -34,13 +34,16 @@ object VectorOps extends OpModule {
   private def dot(a: String, b: String): Column =
     expr(s"dot_f($a, $b)")
 
-  /** float-vector ⋅ double-vector dot (embedding against a
-    * Lloyd-refined double centroid): widen the float side, zip,
-    * fold left-to-right — the same accumulation order as `dot_f`
-    * and DuckDB's list_dot_product. */
+  /** float-or-double ⋅ float-or-double dot (embedding against a
+    * Lloyd-refined double centroid) via the native codegen'd
+    * DotProductMixed expression (graft.ext): widen any float side,
+    * multiply, fold left-to-right — the same accumulation order as
+    * `dot_f`, the aggregate(zip_with(...)) tree it replaces, and
+    * DuckDB's list_dot_product (bit-equality locked in
+    * ExtensionsSpec). The lambda tree this replaces dominated the
+    * multi-round training cost at sf10 (HOF dispatch per element). */
   private def dotD(e: String, c: String): Column =
-    expr(s"aggregate(zip_with(cast($e as array<double>), $c," +
-      " (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    expr(s"dot_fd($e, $c)")
 
   /** Lloyd refinement over the deterministic first-`k` seed
     * centroids, iterated `rounds` times under a FIXED deterministic
@@ -80,6 +83,11 @@ object VectorOps extends OpModule {
           struct(col("score"), -col("c_id"))).as("m"))
         .select(col("m.embedding").as("embedding"),
           col("m.c_id").as("c_id"))
+        // pin 32-way partitioning before the 64x posexplode below:
+        // AQE coalesces the small agg exchange to ~1 partition and
+        // the per-dim mean pass then runs single-task (the same
+        // pre-Generate advisory-size blind spot as pqTopkTrained)
+        .localCheckpoint()
       val means = assign
         .select(col("c_id"), posexplode(col("embedding")))
         .groupBy(col("c_id"), col("pos"))
@@ -87,9 +95,17 @@ object VectorOps extends OpModule {
         .groupBy(col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
           " x -> x.v)").as("newcent"))
+      // materialize each round's k-row centroid frame: it has TWO
+      // consumers (the next round's assignment and the next frame's
+      // keep-previous left join), so an unmaterialized chain
+      // re-executes every earlier round per consumer — 2^rounds full
+      // assignment passes (measured: ivf_topk_trained 18.9 s sf10
+      // forked vs ~8 s materialized). k rows — the checkpoint is a
+      // metadata cost.
       cents = cents.join(means, Seq("c_id"), "left")
         .select(col("c_id"),
           coalesce(col("newcent"), col("cent")).as("cent"))
+        .localCheckpoint()
     }
     cents
   }
@@ -744,18 +760,25 @@ object VectorOps extends OpModule {
         .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
         .withColumn("c2", dot("c_sv", "c_sv"))
         .select(col("code"), col("s"), col("c_sv"), col("c2"))
-      // encode = per-(vec,subspace) argmin over the 16 codes:
-      // map-side min_by (unique ordering (d2, code) reproduces the
-      // window's (d2 asc, code asc) tie-break), so the exchange
-      // carries one partial row per (vec_id, s), never the 16×
-      // scored expansion
+      // encode = per-(vec,subspace) argmin over the 16 codes. The
+      // (d2, code) pair packs into ONE exact long — d2 is 4dp-rounded
+      // so d2·10000 re-rounded is an exact integer, shifted past the
+      // 16-bit code: min(key) IS lexicographic (d2 asc, code asc),
+      // the window's tie-break, recovered by key % 65536. A plain
+      // long min stays in whole-stage-codegen HashAggregate with
+      // map-side partials; min_by(struct) is a TypedImperativeAgg →
+      // ObjectHashAggregate, whose tiny sort-based fallback threshold
+      // turned every encode pass into a 25M-row sort at sf10
+      // (SCALE.md round 12).
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("d2",
           round(col("s2") + col("c2") -
             lit(2.0) * dot("sv", "c_sv"), 4))
+        .withColumn("k",
+          round(col("d2") * 10000, 0).cast("long") * 65536L + col("code"))
         .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code")))
-          .as("code"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
       val adcTable = sub.filter(col("vec_id") === 0)
         .select(col("s"), col("sv").as("q_sv"))
         .join(broadcast(cb), "s")
@@ -841,9 +864,7 @@ object VectorOps extends OpModule {
         .localCheckpoint()
       // cell self-dot: once per k·m codebook cell in the broadcast,
       // not once per scored corpus pair
-      val selfDotD = (c: String) => expr(
-        s"aggregate(zip_with($c, $c, (x, y) -> x * y), 0D," +
-          " (a, x) -> a + x)")
+      val selfDotD = (c: String) => expr(s"dot_fd($c, $c)")
       // round-0 sub-codebooks: seed sub-vectors widened float->double
       // (identical bits, so round 1 scores exactly as the float seeds
       // did); train: assign each sub-vector to its nearest current
@@ -859,13 +880,26 @@ object VectorOps extends OpModule {
         .select(col("s"), col("code"), col("c_sv"))
         .withColumn("c2", selfDotD("c_sv"))
       (1 to LloydRounds).foreach { _ =>
+        // argmin via the exact (d2·10000)·2^16 + code long key — the
+        // codegen'd HashAggregate form of min_by(code, (d2, code));
+        // see pq_topk's codes step for the derivation
         val a = sub.join(broadcast(cb), "s")
           .withColumn("d2",
             round(col("s2") + col("c2") -
               lit(2.0) * dotD("sv", "c_sv"), 4))
+          .withColumn("k",
+            round(col("d2") * 10000, 0).cast("long") * 65536L +
+              col("code"))
           .groupBy(col("vec_id"), col("s"))
-          .agg(min_by(col("code"), struct(col("d2"), col("code")))
-            .as("code"))
+          .agg(min(col("k")).as("k"))
+          .select(col("vec_id"), col("s"),
+            (col("k") % 65536L).as("code"))
+          // pin the assignment's 32-way partitioning: AQE coalesces
+          // the ~tens-of-MB agg exchange to ~1 partition, and the
+          // 8x posexplode BLOWUP downstream then runs single-task
+          // (measured 16 s vs 1 s per means pass at sf10 — the
+          // advisory size is pre-Generate, so AQE can't see it)
+          .localCheckpoint()
         val means = a.join(sub, Seq("vec_id", "s"))
           .select(col("s"), col("code"), posexplode(col("sv")))
           .groupBy(col("s"), col("code"), col("pos"))
@@ -873,19 +907,28 @@ object VectorOps extends OpModule {
           .groupBy(col("s"), col("code"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
             " x -> x.v)").as("newsv"))
+        // materialize the 128-cell codebook each round — same
+        // two-consumer chain fork as lloydRefine (next round's
+        // assignment + the keep-previous join; then codes AND the
+        // ADC table off the final frame): unmaterialized, the chain
+        // re-executes ~2^rounds times (measured: 72 s sf10 forked)
         cb = cb.join(means, Seq("s", "code"), "left")
           .select(col("s"), col("code"),
             coalesce(col("newsv"), col("c_sv")).as("c_sv"))
           .withColumn("c2", selfDotD("c_sv"))
+          .localCheckpoint()
       }
-      // encode + ADC against the refined double codebook
+      // encode + ADC against the refined double codebook (same
+      // long-key argmin as the training rounds)
       val codes = sub.join(broadcast(cb), "s")
         .withColumn("d2",
           round(col("s2") + col("c2") -
             lit(2.0) * dotD("sv", "c_sv"), 4))
+        .withColumn("k",
+          round(col("d2") * 10000, 0).cast("long") * 65536L + col("code"))
         .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(col("code"), struct(col("d2"), col("code")))
-          .as("code"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
       val adcTable = sub.filter(col("vec_id") === 0)
         .select(col("s"), col("sv").as("q_sv"))
         .join(broadcast(cb), "s")

@@ -58,6 +58,39 @@ class ExtensionsSpec extends AnyFunSuite {
     self.foreach(r => assert(r.getDouble(0) > 0.0))
   }
 
+  test("dot_fd equals the cast-to-double zip_with tree bit-for-bit, " +
+      "for every float/double side combination") {
+    // the trained-index kernels score float embeddings against
+    // double centroids; dot_fd must reproduce the widen-then-fold
+    // lambda tree exactly in all four type combinations
+    val t = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("t_emb"))
+    val both = emb.crossJoin(broadcast(t))
+      .withColumn("e_d", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("t_d", expr("transform(t_emb, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"),
+        expr("dot_fd(embedding, t_emb)").as("ff"),
+        expr("dot_fd(embedding, t_d)").as("fd"),
+        expr("dot_fd(e_d, t_emb)").as("df"),
+        expr("dot_fd(e_d, t_d)").as("dd"),
+        expr(lambdaDot).as("lambda"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val ref = r.getDouble(5)
+      Seq(1, 2, 3, 4).foreach(i =>
+        assert(r.getDouble(i) == ref,
+          s"vec ${r.getLong(0)} col $i: ${r.getDouble(i)} != $ref"))
+    }
+    // null + type guards mirror dot_f
+    assert(spark.sql(
+      "SELECT dot_fd(CAST(NULL AS ARRAY<DOUBLE>), array(CAST(1.0 AS DOUBLE)))")
+      .collect().head.isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT dot_fd(array(1, 2), array(3, 4))").collect()
+    }
+  }
+
   test("dot_f rejects wrong input types at analysis time") {
     val e = intercept[Exception] {
       spark.sql("SELECT dot_f(array(1, 2), array(3, 4))").collect()
