@@ -30,6 +30,23 @@ object PqProbe {
     graft.ext.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._
 
+    // stage-level attribution: which stage actually burns the time,
+    // and with how many tasks (the 1-task-after-AQE-coalesce theory
+    // needs direct evidence, not plan-string reading)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val secs = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1e3).getOrElse(-1.0)
+          if (secs > 2.0)
+            println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+              f"${secs}%7.2f s  ${si.name.linesIterator.next().take(90)}")
+        }
+      })
+
     def time(name: String)(mk: => DataFrame): Unit = {
       // warm once, then min-of-2
       mk.count()
@@ -92,8 +109,15 @@ object PqProbe {
         " x -> x.v)").as("newsv"))
 
     val c0 = cb0().localCheckpoint()
-    time("assign1")(assign(c0))
+    // count()-based timings of an Aggregate are pruned lies: count
+    // over groupBy drops the min(k) aggregate, and with it the entire
+    // d2/dot_fd scoring tree. Force the value columns with sum().
+    time("assign_full")(assign(c0).agg(sum(col("code")).as("x")))
+    // the localCheckpoint CALL itself (eager materialization):
+    val tc0 = System.nanoTime()
     val a1 = assign(c0).localCheckpoint()
+    println(f"[pq-probe] a_chk_call ${(System.nanoTime() - tc0) / 1e9}%8.2f s" +
+      s" (${a1.rdd.getNumPartitions} partitions)")
     time("joinonly")(a1.join(sub, Seq("vec_id", "s"))
       .agg(sum(col("code") + size(col("sv"))).as("x")))
     time("join_expl")(a1.join(sub, Seq("vec_id", "s"))
@@ -133,10 +157,6 @@ object PqProbe {
         .limit(10)
     }
     println(s"[pq-probe] sub partitions: ${sub.rdd.getNumPartitions}")
-    val m1 = means(assign(c0).localCheckpoint())
-    m1.count()
-    println("[pq-probe] ---- means over checkpointed assign, FINAL plan:")
-    println(m1.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }

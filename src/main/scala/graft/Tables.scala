@@ -26,8 +26,36 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** The two corpus tables (`documents`, `embeddings`) are spread to
+    * `spark.sql.shuffle.partitions` by a deterministic hash of their
+    * id on read. Why: these tables feed COMPUTE-AMPLIFIED ops (gram
+    * explosion, k-way vector scoring — 10-100x more work than bytes),
+    * and both fixtures are written as a SINGLE parquet row group, so
+    * Spark's byte-range splits put every row in one partition and the
+    * whole downstream op runs on one core of 32 (measured, sf10:
+    * every documents/embeddings op was a single-task stage; the pq
+    * assignment pass alone was 21 s serial vs ~0.7 s spread). This is
+    * not just a fixture artifact: corpora exported as few fat files
+    * are common, and one narrow hash pass of the base table is noise
+    * next to any amplified op. Row-group-rich inputs (events,
+    * lineitem: 10-58 groups) split fine natively and stay untouched —
+    * repartitioning a 100 TB fact table here would be the bug.
+    * Hash-on-id (not round-robin) keeps the exchange deterministic
+    * under task retry; no declared op's results depend on source
+    * partitioning (the exact-rank kernel sorts first; salts are
+    * value-derived). */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "documents" =>
+        raw.repartition(spark.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+      case "embeddings" =>
+        raw.repartition(spark.sessionState.conf.numShufflePartitions,
+          col("vec_id"))
+      case _ => raw
+    }
+  }
 
   /** events with ts normalized to TimestampType(µs). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {

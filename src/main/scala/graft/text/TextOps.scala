@@ -431,25 +431,29 @@ object TextOps extends OpModule {
       val k1 = 1.2
       val b = 0.75
       val docs = Tables(s, d, "documents")
-      // one structural scan of the corpus text: the cell table is
-      // materialized (localCheckpoint, see tfidf_top's note) and BOTH
-      // derived sides come from it — df by a w-rollup, and dl as the
-      // per-doc SUM of cell counts (sum of per-(doc, w) counts = the
-      // doc's token count, exactly the size(split(...)) it replaces,
-      // in exact integer arithmetic), so document text is never
-      // re-read for the length normalization
+      // one structural scan of the corpus text: dl (= the doc's token
+      // count, computed row-locally at tokenize time) rides through
+      // the tf groupBy as a functionally-dependent grouping key, so
+      // the materialized cell table (localCheckpoint, see tfidf_top's
+      // note) already CARRIES the length normalization — no second
+      // text scan, no 75M-row dl rollup, and crucially no tf⋈dl
+      // re-join on doc_id (an exchange of the whole cell table that
+      // both the r11 shape and the first r12 rewrite paid). avgdl
+      // needs one per-doc rollup of (doc_id, dl) — map-side partials
+      // collapse it to ~n_docs rows before the exchange.
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("double").as("dl"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint()
-      val dl = tf.groupBy(col("doc_id"))
-        .agg(sum(col("tf")).cast("double").as("dl"))
-      val stats = dl.agg(round(avg(col("dl")), 6).as("avgdl"),
-        count(lit(1)).as("n_docs"))
+      val stats = tf.groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"))
+        .agg(round(avg(col("dl")), 6).as("avgdl"),
+          count(lit(1)).as("n_docs"))
       val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "w")
-        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /

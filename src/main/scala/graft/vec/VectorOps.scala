@@ -45,6 +45,30 @@ object VectorOps extends OpModule {
   private def dotD(e: String, c: String): Column =
     expr(s"dot_fd($e, $c)")
 
+  /** The PQ argmin key: `floor(d2raw·10⁴ + 0.5)·2¹⁶ + code`, one
+    * codegen'd long per scored (sub-vector, code) pair, where
+    * `d2raw = s2 + c2 − 2·dot` is the UNROUNDED squared distance.
+    * `min(key)` is lexicographic (d2 asc, code asc) — the oracle
+    * window's `ORDER BY ROUND(d2raw, 4), code` tie-break — because
+    * for x ≥ 0, `floor(x·10⁴ + 0.5)` IS the integer DuckDB's
+    * ROUND(x, 4) scales by (std::round = half-away = floor(+0.5) on
+    * non-negatives; d2raw ≥ −1e−8 from float cancellation, so the
+    * scaled value sits far above −0.5 and both engines yield the
+    * same integer). Replaces the previous
+    * `round(round(d2raw,4)·10⁴, 0)` pair: Spark's ROUND on doubles
+    * goes through `BigDecimal.valueOf → Double.toString` — ~800 ns
+    * and two allocations per scored row, which a thread-dump showed
+    * was the entire body of the 21 s/pass sf10 assignment stage
+    * (SCALE.md round 12). The floor form is also STRICTLY closer to
+    * the oracle: it reproduces DuckDB's binary rounding directly
+    * instead of matching it through BigDecimal's decimal-string
+    * rounding. Output-surface roundings (ADC qdot over 128 codebook
+    * rows) keep `round()` — they land in results, not in a 25M-row
+    * hot loop. */
+  private def pqKey(dotCol: Column): Column =
+    (floor((col("s2") + col("c2") - lit(2.0) * dotCol) * 10000 +
+      lit(0.5)).cast("long") * 65536L + col("code"))
+
   /** Lloyd refinement over the deterministic first-`k` seed
     * centroids, iterated `rounds` times under a FIXED deterministic
     * cap (no data-dependent convergence test — the cap is what keeps
@@ -760,22 +784,16 @@ object VectorOps extends OpModule {
         .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
         .withColumn("c2", dot("c_sv", "c_sv"))
         .select(col("code"), col("s"), col("c_sv"), col("c2"))
-      // encode = per-(vec,subspace) argmin over the 16 codes. The
-      // (d2, code) pair packs into ONE exact long — d2 is 4dp-rounded
-      // so d2·10000 re-rounded is an exact integer, shifted past the
-      // 16-bit code: min(key) IS lexicographic (d2 asc, code asc),
-      // the window's tie-break, recovered by key % 65536. A plain
-      // long min stays in whole-stage-codegen HashAggregate with
-      // map-side partials; min_by(struct) is a TypedImperativeAgg →
-      // ObjectHashAggregate, whose tiny sort-based fallback threshold
-      // turned every encode pass into a 25M-row sort at sf10
-      // (SCALE.md round 12).
+      // encode = per-(vec,subspace) argmin over the 16 codes, via the
+      // packed integer key (see pqKey's scaladoc: min(key) IS the
+      // oracle window's (ROUND(d2,4) asc, code asc), with zero
+      // BigDecimal work in the scored loop). A plain long min stays
+      // in whole-stage-codegen HashAggregate with map-side partials;
+      // min_by(struct) is a TypedImperativeAgg → ObjectHashAggregate,
+      // whose tiny sort-based fallback threshold turned every encode
+      // pass into a 25M-row sort at sf10 (SCALE.md round 12).
       val codes = sub.join(broadcast(cb), "s")
-        .withColumn("d2",
-          round(col("s2") + col("c2") -
-            lit(2.0) * dot("sv", "c_sv"), 4))
-        .withColumn("k",
-          round(col("d2") * 10000, 0).cast("long") * 65536L + col("code"))
+        .withColumn("k", pqKey(dot("sv", "c_sv")))
         .groupBy(col("vec_id"), col("s"))
         .agg(min(col("k")).as("k"))
         .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
@@ -880,16 +898,11 @@ object VectorOps extends OpModule {
         .select(col("s"), col("code"), col("c_sv"))
         .withColumn("c2", selfDotD("c_sv"))
       (1 to LloydRounds).foreach { _ =>
-        // argmin via the exact (d2·10000)·2^16 + code long key — the
-        // codegen'd HashAggregate form of min_by(code, (d2, code));
-        // see pq_topk's codes step for the derivation
+        // argmin via the packed integer key (pqKey scaladoc) — the
+        // codegen'd HashAggregate form of min_by(code, (d2, code))
+        // with zero BigDecimal work in the scored loop
         val a = sub.join(broadcast(cb), "s")
-          .withColumn("d2",
-            round(col("s2") + col("c2") -
-              lit(2.0) * dotD("sv", "c_sv"), 4))
-          .withColumn("k",
-            round(col("d2") * 10000, 0).cast("long") * 65536L +
-              col("code"))
+          .withColumn("k", pqKey(dotD("sv", "c_sv")))
           .groupBy(col("vec_id"), col("s"))
           .agg(min(col("k")).as("k"))
           .select(col("vec_id"), col("s"),
@@ -919,13 +932,9 @@ object VectorOps extends OpModule {
           .localCheckpoint()
       }
       // encode + ADC against the refined double codebook (same
-      // long-key argmin as the training rounds)
+      // packed-key argmin as the training rounds)
       val codes = sub.join(broadcast(cb), "s")
-        .withColumn("d2",
-          round(col("s2") + col("c2") -
-            lit(2.0) * dotD("sv", "c_sv"), 4))
-        .withColumn("k",
-          round(col("d2") * 10000, 0).cast("long") * 65536L + col("code"))
+        .withColumn("k", pqKey(dotD("sv", "c_sv")))
         .groupBy(col("vec_id"), col("s"))
         .agg(min(col("k")).as("k"))
         .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))

@@ -202,8 +202,8 @@ class FacadeCoverageSpec extends AnyFunSuite {
   private val coreStorage = Seq("csv_roundtrip", "json_roundtrip",
     "orc_roundtrip", "sink_partitioned", "merge_partitioned",
     "bucket_join", "compaction_plan", "dpp_join", "scan_pruned",
-    "zorder_bucket", "snapshot_read", "snapshot_diff",
-    "snapshot_compact")
+    "zorder_bucket", "zorder_write", "snapshot_read", "snapshot_diff",
+    "snapshot_compact", "snapshot_merge")
 
   test("every facade family names a compile-checked facade reference") {
     val missing =

@@ -63,7 +63,12 @@ class MultimodalSpec extends AnyFunSuite {
     val decoded = MultimodalOps.decodeFeatures(ds)
     decoded.collect()
     val plan = decoded.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
+    // the corpus read itself is hash-spread by Tables() (single-row-
+    // group fixture, SCALE.md r12) — that exchange is UPSTREAM of the
+    // decode. The decode itself must be narrow: nothing between the
+    // MapPartitions and the result may shuffle.
+    val aboveDecode = plan.substring(0, plan.indexOf("MapPartitions"))
+    assert(!aboveDecode.contains("Exchange"),
       s"decode must not shuffle:\n${plan.take(800)}")
     assert(decoded.rdd.getNumPartitions == 4)
   }

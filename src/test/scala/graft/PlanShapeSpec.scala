@@ -198,6 +198,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(800))
   }
 
+  test("tfidf/bm25 read the corpus text ONCE, structurally: the cell " +
+      "table is a materialized RDD scan, not a re-planned parquet read") {
+    // the reuse must not depend on the planner's incidental
+    // ReusedExchange (the exchange-reuse trap, SCALE.md r11): both
+    // consumers of the (doc, w) cell table read the localCheckpoint.
+    // bm25 additionally carries dl through the groupBy key, so NO
+    // parquet scan of documents survives in its final plan at all;
+    // tfidf keeps exactly one — the count-star n_docs scan, which
+    // reads zero data columns.
+    for ((name, maxTextScans) <- Seq("tfidf_top" -> 0, "bm25_top" -> 0)) {
+      val plan = executedPlan(q(name))
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name lost its checkpointed cell table:\n${plan.take(1200)}")
+      val textScans = plan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains("text"))
+      assert(textScans <= maxTextScans,
+        s"$name reads the text column $textScans times:\n${plan.take(1200)}")
+    }
+  }
+
   test("no declared query plans a plain CartesianProduct; nested-loop " +
       "joins only where a bounded side is broadcast by design") {
     // ops whose plan legitimately contains a BroadcastNestedLoopJoin:
@@ -378,8 +398,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"semdedup: assignment fell back to a window:\n${sd.take(1200)}")
     assert(sd.contains("ExistingRDD"),
       s"semdedup: assignment table not checkpointed:\n${sd.take(1200)}")
+    // pq encodes its argmin as min() over the packed (d2·10⁴)·2¹⁶+code
+    // long (SCALE.md r12: plain long min stays in whole-stage codegen;
+    // min_by(struct) is a TypedImperativeAggregate that doesn't) — the
+    // partial form is partial_min, same map-side collapse
     val pq = executedPlan(q("pq_topk"))
-    assert(pq.contains("partial_min_by"),
+    assert(pq.contains("partial_min"),
       s"pq_topk: encode argmin does not partially aggregate:\n${pq.take(1200)}")
     assert(!pq.contains("Window"),
       s"pq_topk: encode fell back to a window:\n${pq.take(1200)}")
