@@ -442,9 +442,14 @@ object TextOps extends OpModule {
       // needs one per-doc rollup of (doc_id, dl) — map-side partials
       // collapse it to ~n_docs rows before the exchange.
       val tf = docs
+        // split once: project the token array, then derive BOTH dl
+        // and the explode from it (two split(text) calls in one
+        // Project would tokenize every doc twice — measured as a
+        // whole extra pass over the corpus bytes at sf10)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("double").as("dl"),
-          explode(split(col("text"), " ")).as("w"))
+          size(col("toks")).cast("double").as("dl"),
+          explode(col("toks")).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint()
