@@ -209,4 +209,46 @@ class TextVecSpec extends AnyFunSuite {
     assert(rows.length <= 8 && rows.nonEmpty)
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
+
+  test("ivf_append: frozen-centroid ingest rewrites only touched list " +
+      "partitions; the merged index equals assign-all; probes prune") {
+    // run the declared op (it commits v1 + v2 as side effects), then
+    // audit the snapshot base it left behind
+    val res = q("ivf_append").collect()
+    assert(res.length == 10)
+    assert(res.forall(_.getLong(0) != 0L)) // target excluded
+    assert(res.map(r => r.getLong(1)).distinct.length <= 2) // nprobe=2
+    val base = s"/tmp/graft_vec_ivf_append_" +
+      s"${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    // ingest write amplification: v2 wrote only the touched list
+    // partitions' bytes — strictly less than the full v1 index
+    val b1 = sources.Snapshots.bytesWritten(spark, base, 1L)
+    val b2 = sources.Snapshots.bytesWritten(spark, base, 2L)
+    assert(b2 < b1, s"ingest rewrote the whole index: v1=$b1 v2=$b2")
+    // the merged index is exactly the full corpus, each vector once
+    val v2 = sources.Snapshots.readAsOf(spark, base, 2L)
+    val nAll = emb.count()
+    assert(v2.count() == nAll)
+    assert(v2.select("vec_id").distinct().count() == nAll)
+    // v1 (the pre-ingest index) stays readable: exactly the 90% base
+    val v1 = sources.Snapshots.readAsOf(spark, base, 1L)
+    assert(v1.count() == emb.filter(col("vec_id") % 10 =!= 0).count())
+    // inheritance is physical: v2's own data dir holds ONLY the
+    // touched list partitions (untouched lists are manifest
+    // references into v1's dir, not copies)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    val v1Dir = dirs.find(_.startsWith("v=1-")).get
+    val v2Dir = dirs.find(_.startsWith("v=2-")).get
+    def listParts(d: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(base, d))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("list=")).toSet
+    assert(listParts(v2Dir).subsetOf(listParts(v1Dir)))
+    assert(listParts(v2Dir).size < listParts(v1Dir).size,
+      "ingest touched every list partition — no inheritance exercised")
+  }
 }
