@@ -106,15 +106,30 @@ object Snapshots {
       dataDir: String): Boolean = {
     val f = fs(s, base)
     val marker = new Path(commitDir(base), v.toString)
+    // Phase 1 — the atomic create. Only HERE does "marker exists" mean
+    // "another writer won": after a successful create, the marker is
+    // OURS, and any later failure must not be misread as a lost race.
+    val out =
+      try f.create(marker, false)
+      catch {
+        case e: java.io.IOException =>
+          // only the already-exists race is benign; everything else is
+          // a real failure the caller must see
+          if (f.exists(marker)) return false else throw e
+      }
+    // Phase 2 — the content write. A failure here is NEVER a lost race
+    // (we hold the marker): leaving the half-written marker in place
+    // would publish a committed version that resolves to nowhere, and
+    // returning false would make the caller delete its own data dir.
+    // Remove our incomplete marker and propagate.
     try {
-      val out = f.create(marker, false)
       try out.write(dataDir.getBytes(UTF_8)) finally out.close()
       true
     } catch {
-      case e: java.io.IOException =>
-        // only the already-exists race is benign; everything else is a
-        // real failure the caller must see
-        if (f.exists(marker)) false else throw e
+      case e: Throwable =>
+        try f.delete(marker, false)
+        catch { case _: Throwable => () } // best-effort; rethrow below
+        throw e
     }
   }
 
@@ -317,22 +332,64 @@ object Snapshots {
     finally out.close()
   }
 
+  /** The hive null-partition sentinel directory name. */
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Decode one hive-escaped path segment: Spark's partitioned writer
+    * escapes each special char (including '=', '%', ':', space) as
+    * `%XX` — two hex digits of the char — so the dir name is NOT the
+    * raw value. Inverse of that per-char escaping. */
+  private def unescapePathName(n: String): String = {
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c == '%' && i + 2 < n.length) {
+        val hex = n.substring(i + 1, i + 3)
+        val code = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The (unescaped) partition column name of a manifest line's hive
+    * dir name ("day=2024-01-03" → "day"). */
+  private def manifestPartCol(hiveDir: String): String =
+    unescapePathName(hiveDir.substring(0, hiveDir.indexOf('=')))
+
   /** One pruned scan per SOURCE version: partitions are grouped by
     * the data dir that owns them, each group reads its dir with hive
     * partition discovery and an `isin` filter on the partition values
     * (directory pruning — the stale partitions a later version
     * superseded are never listed into the scan), and the groups
-    * union. At 100 TB this is exactly the file set a format manifest
-    * would enumerate, reached through O(#partitions) metadata. */
+    * union. Values are UNESCAPED from their hive dir form before the
+    * compare (an escaped name like `a%3Db` never matches the column's
+    * raw `a=b` otherwise) and the hive null sentinel maps to an
+    * `isNull` branch — a null-partition row would silently vanish
+    * through `isin` alone. At 100 TB this is exactly the file set a
+    * format manifest would enumerate, reached through O(#partitions)
+    * metadata. */
   private def readManifest(s: SparkSession, base: String,
       m: Manifest): DataFrame = {
+    require(m.nonEmpty,
+      "empty manifest: this version committed no partitions and owns " +
+        "no inherited ones — an empty partitioned table version is " +
+        "rejected at commit time; use commit() for full snapshots")
     m.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, parts) =>
-      val partCol = parts.head._1.split('=')(0)
-      val vals = parts.map(_._1.split('=')(1))
+      val c = org.apache.spark.sql.functions
+        .col(manifestPartCol(parts.head._1)).cast("string")
+      val raw = parts.map(p => p._1.substring(p._1.indexOf('=') + 1))
+      val (nulls, escaped) = raw.partition(_ == HiveNullPart)
+      val vals = escaped.map(unescapePathName)
+      val pred =
+        if (vals.isEmpty) c.isNull
+        else if (nulls.isEmpty) c.isin(vals: _*)
+        else c.isin(vals: _*) || c.isNull
       s.read.option("basePath", s"$base/$dir")
         .parquet(s"$base/$dir")
-        .filter(org.apache.spark.sql.functions.col(partCol)
-          .cast("string").isin(vals: _*))
+        .filter(pred)
     }.reduce(_ unionByName _)
   }
 
@@ -357,6 +414,16 @@ object Snapshots {
         .map(_.getPath.getName)
         .filter(n => n.contains('=') && !n.startsWith("_"))
         .sorted.map(p => (p, dir))
+      if (parts.isEmpty) {
+        // an empty manifest is unreadable (no partition dirs, no
+        // schema to infer) — refuse to publish it rather than commit
+        // a version readAsOf can never resolve
+        f.delete(new Path(base, dir), true)
+        throw new IllegalArgumentException(
+          "commitPartitioned refuses an empty DataFrame (a version " +
+            "with zero partitions cannot be read back); use commit() " +
+            "for full — possibly empty — snapshots")
+      }
       // manifest before marker: a version is only visible complete
       writeManifest(s, base, v, parts)
       if (tryMarker(s, base, v, dir)) return v
@@ -387,15 +454,20 @@ object Snapshots {
     val s = df.sparkSession
     val f = fs(s, base)
     var v = latest(s, base) + 1
-    val prev = manifestOf(s, base, v - 1).getOrElse(
-      throw new IllegalArgumentException(
-        s"commitPartitions needs a partition-committed previous version " +
-          s"at $base (v=${v - 1} has no manifest); seed the table with " +
-          "commitPartitioned"))
-    require(prev.forall(_._1.split('=')(0) == partCol),
-      s"partition column mismatch: table is partitioned on " +
-        s"${prev.head._1.split('=')(0)}, got $partCol")
     while (true) {
+      // the inherited manifest is re-read EVERY attempt: after a lost
+      // marker race the new latest version may itself have rewritten
+      // partitions, and merging against the pre-race manifest would
+      // silently discard the concurrent winner's rewrites — the lost
+      // update the optimistic retry exists to prevent
+      val prev = manifestOf(s, base, v - 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"commitPartitions needs a partition-committed previous " +
+            s"version at $base (v=${v - 1} has no manifest); seed the " +
+            "table with commitPartitioned"))
+      require(prev.forall(p => manifestPartCol(p._1) == partCol),
+        s"partition column mismatch: table is partitioned on " +
+          s"${manifestPartCol(prev.head._1)}, got $partCol")
       val dir = s"v=$v-${nonce()}"
       df.write.mode("overwrite").partitionBy(partCol)
         .parquet(s"$base/$dir")

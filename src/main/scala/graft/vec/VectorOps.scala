@@ -55,7 +55,12 @@ object VectorOps extends OpModule {
     * ROUND(x, 4) scales by (std::round = half-away = floor(+0.5) on
     * non-negatives; d2raw ≥ −1e−8 from float cancellation, so the
     * scaled value sits far above −0.5 and both engines yield the
-    * same integer). Replaces the previous
+    * same integer — and the `greatest(0, ·)` clamp ENFORCES that
+    * documented non-negativity instead of assuming it: were
+    * cancellation ever to drive d2raw below ~−5e−5, an unclamped
+    * floor would pack a negative key whose `% 65536` decode silently
+    * corrupts the code, where the clamp pins it to the d2=0 bucket
+    * the oracle's ROUND would also produce). Replaces the previous
     * `round(round(d2raw,4)·10⁴, 0)` pair: Spark's ROUND on doubles
     * goes through `BigDecimal.valueOf → Double.toString` — ~800 ns
     * and two allocations per scored row, which a thread-dump showed
@@ -67,7 +72,8 @@ object VectorOps extends OpModule {
     * rows) keep `round()` — they land in results, not in a 25M-row
     * hot loop. */
   private def pqKey(dotCol: Column): Column =
-    (floor((col("s2") + col("c2") - lit(2.0) * dotCol) * 10000 +
+    (floor(greatest(lit(0.0),
+      col("s2") + col("c2") - lit(2.0) * dotCol) * 10000 +
       lit(0.5)).cast("long") * 65536L + col("code"))
 
   /** Lloyd refinement over the deterministic first-`k` seed
@@ -641,9 +647,11 @@ object VectorOps extends OpModule {
           col("m.c_id").as("list"))
       // v1: the base index, clustered by inverted list
       val v1 = Snapshots.commitPartitioned(assignTo(baseEmb), base, "list")
-      // ingest: the 10% batch, assigned to the FROZEN centroids;
-      // merge = full new contents of ONLY the touched list partitions
-      val batch = assignTo(emb.filter(col("vec_id") % 10 === 0))
+      // ingest: the 4 NEWEST vec_ids (the base's complement), assigned
+      // to the FROZEN centroids; merge = full new contents of ONLY the
+      // touched list partitions
+      val batch = assignTo(emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") > col("mxv") - 4).drop("mxv"))
         .localCheckpoint() // 2 consumers: touched-list semi + union
       val touched = batch.select(col("list")).distinct()
       val merged = Snapshots.readAsOf(s, base, v1)
@@ -651,20 +659,24 @@ object VectorOps extends OpModule {
         .unionByName(batch.select(col("list"), col("vec_id"),
           col("embedding")))
       val v2 = Snapshots.commitPartitions(merged, base, "list")
-      // probe the merged index: top-2 lists for the target, then
-      // exact scoring inside those two partitions only
-      val probes = emb.filter(col("vec_id") === 0)
+      // probe the merged index with the NEWEST vector — the
+      // freshly-ingested document immediately querying the index it
+      // just joined: top-2 lists for the target, then exact scoring
+      // inside those two partitions only
+      val newest = emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") === col("mxv")).drop("mxv")
+      val probes = newest
         .crossJoin(broadcast(cents))
         .withColumn("c_score", round(dotD("embedding", "cent"), 4))
         .orderBy(col("c_score").desc, col("c_id"))
         .limit(2)
         .select(col("c_id").as("list"))
-      val target = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("t_emb"))
+      val target = newest
+        .select(col("embedding").as("t_emb"), col("vec_id").as("t_id"))
       Snapshots.readAsOf(s, base, v2)
         .join(broadcast(probes), "list")
-        .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(target))
+        .filter(col("vec_id") =!= col("t_id"))
         .withColumn("score", round(dot("embedding", "t_emb"), 4))
         .select(col("vec_id"), col("list").cast("long").as("list"),
           col("score"))
@@ -672,8 +684,9 @@ object VectorOps extends OpModule {
         .limit(10)
     },
     Some(s"""
-      WITH bemb AS (
-        SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+      WITH mx AS (SELECT max(vec_id) AS mxv FROM embeddings),
+      bemb AS (
+        SELECT e.* FROM embeddings e, mx WHERE e.vec_id <= mx.mxv - 4),
       ${lloydSql(16, LloydRounds, "bemb")},
       assigned AS (
         SELECT vec_id, embedding, c_id FROM (
@@ -686,17 +699,18 @@ object VectorOps extends OpModule {
         WHERE rn = 1),
       probes AS (
         SELECT c.c_id
-        FROM embeddings t, c$LloydRounds c
-        WHERE t.vec_id = 0
+        FROM embeddings t, mx, c$LloydRounds c
+        WHERE t.vec_id = mx.mxv
         ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
                                         c.cent), 4) DESC, c.c_id
         LIMIT 2),
-      t AS (SELECT embedding AS t_emb FROM embeddings WHERE vec_id = 0)
+      t AS (SELECT embedding AS t_emb, vec_id AS t_id
+            FROM embeddings, mx WHERE vec_id = mx.mxv)
       SELECT a.vec_id, CAST(a.c_id AS BIGINT) AS list,
              ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                     CAST(t.t_emb AS DOUBLE[])), 4) AS score
       FROM assigned a JOIN probes USING (c_id), t
-      WHERE a.vec_id <> 0
+      WHERE a.vec_id <> t.t_id
       ORDER BY score DESC, a.vec_id
       LIMIT 10"""))
 

@@ -142,8 +142,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
       "simhash_pairs", "simhash_multiprobe"),
     // Lloyd-trained index variants: same query surface as the facade,
     // different (trained) codebook/centroid construction — related,
-    // not parameter-pinned equivalents (r11)
-    "vectorTopK" -> Seq("ivf_topk_trained"),
+    // not parameter-pinned equivalents (r11); ivf_append is the
+    // PERSISTED index lifecycle (snapshot-committed lists + frozen-
+    // centroid incremental ingest) over the same probe query (r12)
+    "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append"),
     "quantizeInt8" -> Seq("pq_topk_trained"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/

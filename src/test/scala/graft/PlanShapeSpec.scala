@@ -243,6 +243,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "bpe_encode",    // same K 1-row argmax crossJoins as bpe_merges
       "semdedup",      // crossJoin of the 8-row seed centroid set
       "ivf_topk_trained", // crossJoins of the 16-row refined centroids
+      "ivf_append",    // crossJoins of the 1-row max-vec_id scalar,
+      //                  the 16-row frozen centroids, and the 1-row
+      //                  ingest-target vector (theta filter vs t_id)
       "dsir_weights",  // crossJoin of the 1-row corpus-totals scalar
       "mix_temperature", // crossJoin of the 1-row total-weight scalar
       "markov_removal") // 6-row scenario grid × channel-sized graph

@@ -366,6 +366,41 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshots: hive-escaped and NULL partition values survive the " +
+      "manifest round-trip; an empty partitioned commit is refused") {
+    import spark.implicits._
+    val base = tmp() + "/snap_esc"
+    // '=' and ':' hive-escape in dir names (part=x%3Dy); null lands in
+    // __HIVE_DEFAULT_PARTITION__ — both break a raw dir-name isin
+    val full = Seq(
+      (1, "a b"), (2, "a b"), (3, "x=y"), (4, "p:q"),
+      (5, null.asInstanceOf[String]), (6, "plain")
+    ).toDF("k", "part")
+    val v1 = sources.Snapshots.commitPartitioned(full, base, "part")
+    assert(sources.Snapshots.readAsOf(spark, base, v1)
+      .select("k").as[Int].collect().sorted.toSeq == (1 to 6))
+    // incremental rewrite of the escaped partition AND the null one
+    val upd = Seq((30, "x=y"), (50, null.asInstanceOf[String]))
+      .toDF("k", "part")
+    val v2 = sources.Snapshots.commitPartitions(upd, base, "part")
+    val got2 = sources.Snapshots.readAsOf(spark, base, v2)
+      .select("k").as[Int].collect().sorted.toSeq
+    assert(got2 == Seq(1, 2, 4, 6, 30, 50), s"got $got2")
+    // values come back RAW (unescaped) and null stays null
+    val parts = sources.Snapshots.readAsOf(spark, base, v2)
+      .select("part").distinct().collect()
+      .map(r => Option(r.getString(0))).toSet
+    assert(parts ==
+      Set(Some("a b"), Some("x=y"), Some("p:q"), Some("plain"), None))
+    // an empty partitioned commit can never be read back (no dirs, no
+    // schema): refused loudly, nothing published
+    intercept[IllegalArgumentException] {
+      sources.Snapshots.commitPartitioned(
+        full.filter(col("k") > 99), base, "part")
+    }
+    assert(sources.Snapshots.latest(spark, base) == v2)
+  }
+
   test("zorder_write: the z-clustered layout makes most files " +
       "skippable for a both-dim predicate; round-robin makes none") {
     // the pruning evidence behind the declared zorder_write op: write

@@ -216,7 +216,8 @@ class TextVecSpec extends AnyFunSuite {
     // audit the snapshot base it left behind
     val res = q("ivf_append").collect()
     assert(res.length == 10)
-    assert(res.forall(_.getLong(0) != 0L)) // target excluded
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    assert(res.forall(_.getLong(0) != maxId)) // target (newest) excluded
     assert(res.map(r => r.getLong(1)).distinct.length <= 2) // nprobe=2
     val base = s"/tmp/graft_vec_ivf_append_" +
       s"${Integer.toHexString(sfDir.hashCode)}" +
@@ -231,9 +232,10 @@ class TextVecSpec extends AnyFunSuite {
     val nAll = emb.count()
     assert(v2.count() == nAll)
     assert(v2.select("vec_id").distinct().count() == nAll)
-    // v1 (the pre-ingest index) stays readable: exactly the 90% base
+    // v1 (the pre-ingest index) stays readable: exactly the base
+    // corpus — everything but the 4-newest ingest batch
     val v1 = sources.Snapshots.readAsOf(spark, base, 1L)
-    assert(v1.count() == emb.filter(col("vec_id") % 10 =!= 0).count())
+    assert(v1.count() == nAll - 4)
     // inheritance is physical: v2's own data dir holds ONLY the
     // touched list partitions (untouched lists are manifest
     // references into v1's dir, not copies)
