@@ -439,26 +439,46 @@ object TextOps extends OpModule {
       // text scan, no 75M-row dl rollup, and crucially no tf⋈dl
       // re-join on doc_id (an exchange of the whole cell table that
       // both the r11 shape and the first r12 rewrite paid). avgdl
-      // needs one per-doc rollup of (doc_id, dl) — map-side partials
-      // collapse it to ~n_docs rows before the exchange.
+      // rides the df rollup (see below) — the cell table is read
+      // exactly TWICE (df rollup + scoring join), same as tfidf's.
       val tf = docs
-        // split once: project the token array, then derive BOTH dl
-        // and the explode from it (two split(text) calls in one
-        // Project would tokenize every doc twice — measured as a
-        // whole extra pass over the corpus bytes at sf10)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // dl = size(split) and explode(split) in ONE select: split
+        // evaluates twice per row, but BOTH evaluations run after the
+        // corpus-spread exchange, 32-way. The tempting split-once form
+        // (project `toks`, then explode the attribute) is a measured
+        // TRAP: with an attribute generator input,
+        // InferFiltersFromGenerate infers `size(split(text))>0` and
+        // predicate pushdown drags that tokenize BELOW the repartition
+        // exchange — single-threaded on the one-row-group scan side,
+        // 6.5 s of this op's 8.3 s at sf10 (StageProbe, SCALE.md r13);
+        // with the expression input no filter is inferred at all
+        // (tfidf's shape, whose scan stage is 1.1 s on the same
+        // corpus).
         .select(col("doc_id"),
-          size(col("toks")).cast("double").as("dl"),
-          explode(col("toks")).as("w"))
+          size(split(col("text"), " ")).cast("double").as("dl"),
+          col("text"))
+        .select(col("doc_id"), col("dl"),
+          explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("dl"), col("w"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint()
-      val stats = tf.groupBy(col("doc_id"))
-        .agg(first(col("dl")).as("dl"))
-        .agg(round(avg(col("dl")), 6).as("avgdl"),
-          count(lit(1)).as("n_docs"))
-      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "w")
+      // avgdl WITHOUT a third read of the data-sized cell table (the
+      // r12 shape's 8.3 s vs tfidf's 4.3 s at sf10 was exactly that
+      // read + its doc_id exchange): per doc Σtf = dl, so the corpus
+      // token total rides the df rollup as a per-token sum(tf) whose
+      // final rollup is VOCABULARY-sized, and n_docs is a zero-column
+      // count-star scan (row-group metadata only). Numerically
+      // identical to avg-over-docs: dl and the tf sums are integers,
+      // exact in double at any summation order up to 2^53.
+      val df = tf.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("wtf"))
+        .localCheckpoint() // vocab-sized; 2 consumers (stats + join)
+      val stats = df.agg(sum(col("wtf")).as("tot"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(
+          round(col("tot").cast("double") / col("n_docs"), 6).as("avgdl"),
+          col("n_docs"))
+      tf.join(broadcast(df.select(col("w"), col("df"))), "w")
         .crossJoin(broadcast(stats))
         .withColumn("idf",
           log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
