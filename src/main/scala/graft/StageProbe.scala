@@ -54,15 +54,20 @@ object StageProbe {
         }
     })
 
+    // noop sink, not collect(): forces every output column to compute
+    // (count() prunes the aggregate subtree — the r12 "pruned lie")
+    // without shipping data-sized results to the driver
+    def run(key: String): Unit =
+      SparkEntry.queries(key)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     keys.foreach { key =>
-      val fn = SparkEntry.queries(key)
       println(s"== $key warm-up ==")
-      fn(spark, sfDir).collect() // JIT/codegen warm; listener off
+      run(key) // JIT/codegen warm; listener off
       Thread.sleep(300)
       println(s"== $key probed ==")
       live = true
       val t0 = System.nanoTime()
-      fn(spark, sfDir).collect()
+      run(key)
       val t1 = System.nanoTime()
       live = false
       println(f"[total] $key ${(t1 - t0) / 1e9}%6.2f s")

@@ -39,7 +39,19 @@ object Ranks {
     * both read the SAME materialized shuffle stage (DAGScheduler
     * reuses shuffle map output across jobs) with a deterministic
     * within-partition total-order sort, so offsets and data can never
-    * diverge. */
+    * diverge.
+    *
+    * Known, accepted cost: shuffle MAP output is reused across
+    * zipWithIndex's two jobs but the reduce-side SORT is not, so each
+    * partition sorts twice (~2.4 s wall of equi_depth_hist's 8 s at
+    * sf10 — StageProbe r13). Materializing the sorted frame
+    * (`localCheckpoint`) to dodge the re-sort was MEASURED WORSE:
+    * it leaks ~2 GB of materialized rows per call (nothing can
+    * unpersist them — the final pass is lazy, inside the caller's
+    * job) and bench runs went 8.3 s → min 10.7 s with 30–36 s
+    * spreads under the resulting memory pressure. The double sort is
+    * the deterministic-layout price; it scales as one extra in-memory
+    * sort pass, never as data motion (SCALE.md r13). */
   def withGlobalRank(df: DataFrame, rankCol: String,
       sortCols: Column*): DataFrame = {
     val spark = df.sparkSession

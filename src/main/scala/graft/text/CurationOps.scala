@@ -623,10 +623,17 @@ object CurationOps extends OpModule {
         .withColumn("is_tgt",
           expr("CASE WHEN pmod((doc_id % 100000) * 2654435761, 100) < 10" +
             " THEN 1 ELSE 0 END"))
-        .filter(size(col("toks")) >= 2)
+      // the single-token guard lives INSIDE the generator (empty array
+      // → row dropped), not as a filter: a `size(split(text)) >= 2`
+      // Filter is pushdown-eligible and lands BELOW the corpus-spread
+      // exchange, tokenizing the whole corpus single-threaded on the
+      // one-row-group scan side — twice here, since this op scans the
+      // corpus twice by design (the bm25 r13 lesson, SCALE.md)
       val bg = t
         .select(col("doc_id"), col("is_tgt"), col("toks"),
-          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+          explode(when(size(col("toks")) >= 2,
+            sequence(lit(1), size(col("toks")) - 1))
+            .otherwise(expr("CAST(array() AS array<int>)"))).as("i"))
         .select(col("doc_id"), col("is_tgt"),
           xxhash64(concat(element_at(col("toks"), col("i")), lit(" "),
             element_at(col("toks"), col("i") + 1))).as("g"))

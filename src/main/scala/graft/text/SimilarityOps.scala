@@ -581,7 +581,18 @@ object SimilarityOps extends OpModule {
     * 10 copies of every name) multiply the expansion join, not the
     * O(|n1|·|n2|) levenshtein work. Pair orientation: a name pair is
     * generated once (n1 ≤ n2, keys within a tied name ordered
-    * k1 < k2), and least/greatest canonicalizes the emitted key pair. */
+    * k1 < k2), and least/greatest canonicalizes the emitted key pair.
+    *
+    * The sf10 lesson (StageProbe r13, 173 s → 9.8 s): the block
+    * join's shuffle is BYTES-small but COMPUTE-huge, so AQE's
+    * byte-based coalescing folded it to ONE partition running 1.6 G
+    * levenshtein calls single-threaded — coalescing is blind to
+    * compute amplification. The explicit user-numbered repartition on
+    * the block key is AQE-exempt and pins the quadratic work at full
+    * width. (Threshold levenshtein — levenshtein(n1, n2, 3), banded
+    * DP with early exit — was A/B-measured SLOWER on these ~20-char
+    * names: 11.5 s wall / 225 s task-sum vs plain's 9.8 s / 179 s;
+    * the banding bookkeeping beats its savings at short strings.) */
   val editDistPairs = Op(
     "edit_dist_pairs",
     (s, d) => {
@@ -590,6 +601,8 @@ object SimilarityOps extends OpModule {
           col("p_name"))
       val names = p.select(col("p_brand"), col("p_size"), col("p_name"))
         .distinct()
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("p_brand"), col("p_size"))
       val a = names.select(col("p_brand"), col("p_size"),
         col("p_name").as("n1"))
       val b = names.select(col("p_brand"), col("p_size"),
