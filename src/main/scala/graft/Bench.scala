@@ -74,6 +74,13 @@ object Bench {
     * IS the op). */
   val r12: Seq[String] = Seq("snapshot_merge", "zorder_write")
 
+  /** The round-13 additions, timed when SPARK_GRAFT_BENCH_SET=r13:
+    * partition-scoped compaction (timing includes its three setup
+    * commits by design — the write path IS the op) and the two new
+    * corpus-statistics ops. */
+  val r13: Seq[String] =
+    Seq("compact_partitions", "bigram_logprob", "kl_source_divergence")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +110,7 @@ object Bench {
       case Some("r8")       => r8
       case Some("r11")      => r11
       case Some("r12")      => r12
+      case Some("r13")      => r13
       // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
       case Some(s) if s.startsWith("custom:") =>
         s.stripPrefix("custom:").split(",").map(_.trim)
@@ -110,8 +118,21 @@ object Bench {
       case _                => headline
     }
     val queries = SparkEntry.queries
+    // Sink choice (SPARK_GRAFT_BENCH_SINK): `count` (default) keeps
+    // methodology parity with BASELINE.md, whose PySpark baseline
+    // consumed results the same way — apples-to-apples for the 2x
+    // headline gate. `noop` forces EVERY output column to compute
+    // (count() prunes aggregate values and final-projection compute —
+    // edit_dist_pairs measured 11.5 s counted vs 173 s real at sf10,
+    // SCALE.md r13) — the honest sink for per-op scale evidence.
+    val consume: org.apache.spark.sql.DataFrame => Unit =
+      sys.env.get("SPARK_GRAFT_BENCH_SINK") match {
+        case Some("noop") =>
+          df => df.write.format("noop").mode("overwrite").save()
+        case _ => df => { df.count(); () }
+      }
     set.filter(queries.contains).foreach { name =>
-      try queries(name)(spark, sfDir).count()
+      try consume(queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
     // min-of-3 within the warm session: a single-shot time cannot
@@ -123,7 +144,7 @@ object Bench {
       val fn = queries(name)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { consume(fn(spark, sfDir)); true }
           catch { case _: Throwable => false }
         // a failed query must not masquerade as a fast one: report -1
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

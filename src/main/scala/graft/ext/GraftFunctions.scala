@@ -46,6 +46,10 @@ object GraftFunctions {
       require(args.length == 1, "token_counts(array<string>)")
       TokenCountsGenerator(args(0))
     },
+    "winnow_stats" -> { args =>
+      require(args.length == 1, "winnow_stats(array<string>)")
+      WinnowStats(args(0))
+    },
     "kmv_distinct" -> { args =>
       require(args.nonEmpty && args.length <= 2, "kmv_distinct(col[, k])")
       if (args.length == 1) KmvDistinct(args(0))

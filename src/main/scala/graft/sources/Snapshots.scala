@@ -493,4 +493,63 @@ object Snapshots {
   def bytesWritten(s: SparkSession, base: String, version: Long): Long =
     fs(s, base).getContentSummary(
       new Path(base, dataDirOf(s, base, version))).getLength
+
+  /** Per-partition file count of a committed manifest version: one
+    * (hive partition, n_files, bytes) row per live partition, from
+    * metadata listing only — the audit `compactPartitions` selects
+    * its rewrite set from. */
+  def partitionFiles(s: SparkSession, base: String,
+      version: Long): Seq[(String, Int, Long)] = {
+    val f = fs(s, base)
+    val m = manifestOf(s, base, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"partitionFiles needs a partition-committed version at $base"))
+    m.map { case (part, dir) =>
+      val p = new Path(base, s"$dir/$part")
+      val files = f.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      (part, files, f.getContentSummary(p).getLength)
+    }
+  }
+
+  /** Partition-scoped OPTIMIZE — the 100 TB compaction form the
+    * whole-table `compact` scaladoc promises: audit every live
+    * partition of the latest (manifest) version by metadata listing,
+    * rewrite ONLY the partitions carrying more files than
+    * ceil(bytes / targetFileBytes), each to exactly its target count,
+    * and commit the rewrites through `commitPartitions` so every
+    * healthy partition is inherited by manifest reference — zero
+    * bytes moved for it. A 100 TB table where one day's ingest
+    * fragmented three partitions compacts those three partitions'
+    * bytes, not the table's. Untouched versions stay readable (time
+    * travel across compaction, as with `compact`). Returns
+    * (committed version, rewritten partitions); no commit happens
+    * when nothing is fragmented (the latest version is returned).
+    *
+    * Row identity is structural, like `compact`'s: each flagged
+    * partition is re-read through its own pruned hive scan and
+    * round-robin `repartition(n)` — no filter, no project beyond the
+    * partition column the writer re-derives. */
+  def compactPartitions(s: SparkSession, base: String,
+      targetFileBytes: Long): (Long, Seq[String]) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val v = latest(s, base)
+    val audit = partitionFiles(s, base, v)
+    val m = manifestOf(s, base, v).get // partitionFiles proved it exists
+    val owner = m.toMap
+    val flagged = audit.filter { case (_, files, bytes) =>
+      files > math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    }
+    if (flagged.isEmpty) return (v, Seq.empty)
+    val partCol = manifestPartCol(m.head._1)
+    val rewritten = flagged.map { case (part, _, bytes) =>
+      val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      s.read.option("basePath", s"$base/${owner(part)}")
+        .parquet(s"$base/${owner(part)}/$part")
+        .repartition(n.toInt)
+    }.reduce(_ unionByName _)
+    (commitPartitions(rewritten, base, partCol), flagged.map(_._1))
+  }
 }

@@ -547,6 +547,53 @@ object SourceOps extends OpModule {
       WHERE px < 32 AND sx < 32
       GROUP BY 1"""))
 
+  /** Partition-scoped compaction (`Snapshots.compactPartitions`) —
+    * the selective OPTIMIZE a 100 TB table actually runs, closing the
+    * loop `compaction_plan` (planning) and `snapshot_compact`
+    * (whole-table rewrite) opened: v1 commits the events projection
+    * hive-partitioned and DELIBERATELY fragmented (repartition(8)
+    * before the partitionBy write → 8 round-robin files in every
+    * partition at any SF), v2's
+    * incremental merge rewrites ONLY the 'click' partition compactly
+    * (1 file), and the compaction pass then audits v3 = latest by
+    * metadata listing, finds every partition EXCEPT click over its
+    * file target, rewrites exactly those, and inherits click by
+    * manifest reference — the one partition that was already healthy
+    * moves zero bytes. The declared query reads the compacted
+    * version; the oracle recomputes the same rollup straight from
+    * `events`, so a row lost or duplicated by any of the three write
+    * paths hash-mismatches. SourcesSpec asserts the file-count drops,
+    * the selectivity (click untouched), and v1/v2 time travel. */
+  val compactPartitions = Op(
+    "compact_partitions",
+    (s, d) => {
+      val base = tmp("compact_parts", d)
+      fresh(s, base)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+      Snapshots.commitPartitioned(ev.repartition(8), base, "event_type")
+      // an incremental merge leaves 'click' compact (1 file) while
+      // every other partition keeps its 8 commit-time task files
+      val click1 = Snapshots.readAsOf(s, base, 1L)
+        .filter(col("event_type") === "click")
+        .withColumn("cents", col("cents") + 1L)
+        .repartition(1)
+      Snapshots.commitPartitions(click1, base, "event_type")
+      val (v3, _) = Snapshots.compactPartitions(s, base, 1L << 30)
+      Snapshots.readAsOf(s, base, v3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("total_cents"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)
+                      + CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS total_cents
+      FROM events GROUP BY event_type"""))
+
   /** Recursive delete for a per-run snapshot base: the declared ops
     * re-commit from scratch each run (versions would otherwise
     * accumulate across invocations of the same JVM). */
@@ -560,5 +607,6 @@ object SourceOps extends OpModule {
   override def ops: Seq[Op] =
     Seq(csvRoundtrip, jsonRoundtrip, sinkPartitioned, mergePartitioned,
       orcRoundtrip, bucketJoin, compactionPlan, dppJoin, snapshotRead,
-      snapshotDiff, snapshotCompact, snapshotMerge, zorderWrite)
+      snapshotDiff, snapshotCompact, snapshotMerge, zorderWrite,
+      compactPartitions)
 }

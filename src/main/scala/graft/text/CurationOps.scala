@@ -678,8 +678,69 @@ object CurationOps extends OpModule {
       FROM bg JOIN cnt USING (g), tot
       GROUP BY doc_id"""))
 
+  /** Per-source unigram KL divergence vs the corpus mixture —
+    * KL(P_source ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)) — the
+    * domain-shift diagnostic read BEFORE choosing `mix_uniform` /
+    * `mix_temperature` weights: a source whose KL ≈ 0 is
+    * distributionally redundant with the mixture; a high-KL source is
+    * the one temperature-flattening would starve. No smoothing needed:
+    * every source vocabulary is a subset of the corpus vocabulary, so
+    * p(w) > 0 wherever p_s(w) > 0 and every term is finite.
+    *
+    * Scale shape: tokens shuffle ONCE as xxhash64 longs into the
+    * (source, token) count table, which is dictionary-sized
+    * (|sources|·|vocab|) and `localCheckpoint`ed for its three
+    * consumers (source totals, corpus rollup, scoring) — without the
+    * materialization each consumer would re-tokenize the corpus. The
+    * corpus-count and per-source-total sides broadcast; the KL sum is
+    * a vocabulary-sized aggregation per source. */
+  val klSourceDivergence = Op(
+    "kl_source_divergence",
+    (s, d) => {
+      val cnt = Tables(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .select(col("source"), xxhash64(col("w")).as("g"))
+        .groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("sc"))
+        .localCheckpoint()
+      val stot = cnt.groupBy(col("source")).agg(sum(col("sc")).as("sn"))
+      val corpus = cnt.groupBy(col("g")).agg(sum(col("sc")).as("cc"))
+      val ctot = stot.agg(sum(col("sn")).as("cn"))
+      cnt
+        .join(broadcast(corpus), "g")
+        .join(broadcast(stot), "source")
+        .crossJoin(broadcast(ctot))
+        .withColumn("term",
+          (col("sc") * lit(1.0) / col("sn")) *
+            log((col("sc") * lit(1.0) / col("sn")) /
+              (col("cc") * lit(1.0) / col("cn"))))
+        .groupBy(col("source"), col("sn"))
+        .agg(count(lit(1)).as("n_types"),
+          round(sum(col("term")), 6).as("kl"))
+        .select(col("source"), col("sn").as("n_tokens"),
+          col("n_types"), col("kl"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      cnt AS (
+        SELECT source, w, COUNT(*) AS sc FROM toks GROUP BY source, w),
+      stot AS (
+        SELECT source, CAST(SUM(sc) AS BIGINT) AS sn
+        FROM cnt GROUP BY source),
+      corpus AS (
+        SELECT w, CAST(SUM(sc) AS BIGINT) AS cc FROM cnt GROUP BY w),
+      ctot AS (SELECT CAST(SUM(sn) AS BIGINT) AS cn FROM stot)
+      SELECT c.source, sn AS n_tokens, COUNT(*) AS n_types,
+             ROUND(SUM((sc * 1.0 / sn)
+                       * LN((sc * 1.0 / sn) / (cc * 1.0 / cn))), 6)
+               AS kl
+      FROM cnt c JOIN corpus USING (w) JOIN stot USING (source), ctot
+      GROUP BY c.source, sn"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
-    domainCap, mixTemperature, shuffleShard)
+    domainCap, mixTemperature, shuffleShard, klSourceDivergence)
 }

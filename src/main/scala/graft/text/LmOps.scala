@@ -149,6 +149,95 @@ object LmOps extends OpModule {
       FROM toks JOIN cu USING (w), nu
       GROUP BY doc_id"""))
 
+  /** Bigram-LM document scoring with stupid backoff — the next rung
+    * up from `unigram_logprob` on the perplexity-filter ladder, and
+    * the shape that actually exercises OOV handling: the LM trains on
+    * the 80% `split_hash` train slice (same Knuth-multiplicative
+    * bucket — membership is a pure function of doc_id) and scores
+    * EVERY document, so held-out docs hit unseen bigrams and fall
+    * back to 0.4·(c(w)+1)/(N+V) add-one unigram mass (Brants et al.'s
+    * stupid backoff: no discounting, one multiplicative penalty —
+    * the standard web-scale choice because it needs no second pass
+    * over the counts).
+    *
+    * Scale shape: bigrams shuffle as xxhash64 longs (the dsir/gram
+    * lesson — no gram string in any output); the unigram table and
+    * the scalar totals broadcast; the single data-sized exchange is
+    * the scoring join on the 8-byte bigram key, whose payload is
+    * (doc_id, two ints) because both broadcast unigram joins run
+    * BEFORE the shuffle. The single-token guard lives inside the
+    * generator (empty array), not in a pushdown-eligible filter
+    * (the r13 corpus-spread lesson). */
+  val bigramLogprob = Op(
+    "bigram_logprob",
+    (s, d) => {
+      val t = Tables(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("is_train",
+          expr("pmod((doc_id % 100000) * 2654435761, 100) < 80"))
+      val bg = t
+        .select(col("doc_id"), col("is_train"), col("toks"),
+          explode(when(size(col("toks")) >= 2,
+            sequence(lit(1), size(col("toks")) - 1))
+            .otherwise(expr("CAST(array() AS array<int>)"))).as("i"))
+        .select(col("doc_id"), col("is_train"),
+          element_at(col("toks"), col("i")).as("w1"),
+          element_at(col("toks"), col("i") + 1).as("w2"),
+          xxhash64(concat(element_at(col("toks"), col("i")), lit(" "),
+            element_at(col("toks"), col("i") + 1))).as("g"))
+      val cb = bg.filter(col("is_train"))
+        .groupBy(col("g")).agg(count(lit(1)).as("bc"))
+      val cu = t.filter(col("is_train"))
+        .select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = cu.agg(sum(col("c")).as("tn"), count(lit(1)).as("tv"))
+      bg
+        .join(broadcast(cu.select(col("w").as("w1"), col("c").as("c1"))),
+          Seq("w1"), "left")
+        .join(broadcast(cu.select(col("w").as("w2"), col("c").as("c2"))),
+          Seq("w2"), "left")
+        .select(col("doc_id"), col("g"), col("c1"), col("c2"))
+        .join(cb, Seq("g"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          when(col("bc").isNotNull,
+            log(col("bc") * lit(1.0) / col("c1")))
+            .otherwise(log(lit(0.4) *
+              (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+              (col("tn") + col("tv")))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 4).as("avg_logprob"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               ((doc_id % 100000) * 2654435761 % 100 + 100) % 100 < 80
+                 AS is_train
+        FROM documents),
+      bg AS (
+        SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2),
+      cb AS (
+        SELECT w1, w2, COUNT(*) AS bc FROM bg WHERE is_train
+        GROUP BY w1, w2),
+      cu AS (
+        SELECT w, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM t WHERE is_train)
+        GROUP BY w),
+      tot AS (SELECT SUM(c) AS tn, COUNT(*) AS tv FROM cu)
+      SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(CASE WHEN bc IS NOT NULL
+                            THEN LN(bc * 1.0 / u1.c)
+                            ELSE LN(0.4 * (COALESCE(u2.c, 0) + 1.0)
+                                    / (tn + tv)) END), 4) AS avg_logprob
+      FROM bg
+      LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+      LEFT JOIN cu u1 ON bg.w1 = u1.w
+      LEFT JOIN cu u2 ON bg.w2 = u2.w, tot
+      GROUP BY bg.doc_id"""))
+
   private val BpeRounds = 8
 
   /** Adjacent symbol-pair counts over a segmentation table
@@ -490,6 +579,6 @@ object LmOps extends OpModule {
       FROM ranked"""))
 
   override def ops: Seq[Op] =
-    Seq(chunkDocs, pmiBigrams, unigramLogprob, bpeMerges, cooccurTopk,
-      bpeEncode, zipfFit)
+    Seq(chunkDocs, pmiBigrams, unigramLogprob, bigramLogprob, bpeMerges,
+      cooccurTopk, bpeEncode, zipfFit)
 }

@@ -267,48 +267,31 @@ object TextOps extends OpModule {
     * (count, min, xor) — the selected hashes are exactly what a
     * plagiarism/overlap index shuffles on at scale.
     *
-    * Scale shape: pure per-row array arithmetic inside
-    * WholeStageCodegen — token hashes, gram hashes, window minima and
-    * the distinct fold never leave the row; zero shuffle, zero UDF.
-    * All hashing is the engine-neutral polynomial fold (tokHash's
-    * char fold, then a 1000003 fold over the gram's 4 token hashes),
-    * so the oracle is exact. */
+    * Scale shape: pure per-row array arithmetic — token hashes, gram
+    * hashes, window minima and the distinct fold never leave the row;
+    * zero shuffle, zero UDF. All hashing is the engine-neutral
+    * polynomial fold (tokHash's char fold, then a 1000003 fold over
+    * the gram's 4 token hashes), so the oracle is exact. Since r13
+    * the kernel is the native fused `winnow_stats` expression
+    * (graft.ext.WinnowStats): the equivalent HOF chain pays
+    * interpreted-lambda dispatch per CHAR/gram/window and was this
+    * op's entire 282 s sf10 task-time (StageProbe); the facade keeps
+    * the HOF form, so ApiSpec's equivalence test locks the two
+    * kernels against each other. */
   val winnowingFingerprint = Op(
     "winnowing_fingerprint",
-    (s, d) =>
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
       Tables(s, d, "documents")
-        .withColumn("ths",
-          expr("""transform(split(text, ' '),
-                    tk -> aggregate(
-                            transform(split(tk, ''),
-                                      c -> CAST(ascii(c) AS BIGINT)),
-                            CAST(7 AS BIGINT),
-                            (acc, x) -> (acc * 31 + x) % 1073741824))"""))
-        .withColumn("gh",
-          expr("""CASE WHEN size(ths) >= 4 THEN
-                    transform(sequence(1, size(ths) - 3),
-                      i -> aggregate(slice(ths, i, 4),
-                             CAST(7 AS BIGINT),
-                             (acc, x) -> (acc * 1000003 + x) % 1073741824))
-                  ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
-        .withColumn("nw",
-          expr("""CASE WHEN size(gh) = 0 THEN 0
-                       WHEN size(gh) <= 4 THEN 1
-                       ELSE size(gh) - 3 END"""))
-        .withColumn("sel",
-          expr("""array_distinct(
-                    CASE WHEN nw = 0 THEN CAST(array() AS ARRAY<BIGINT>)
-                         ELSE transform(sequence(1, nw),
-                                j -> array_min(slice(gh, j,
-                                       least(4, size(gh) - j + 1))))
-                    END)"""))
+        .select(col("doc_id"),
+          expr("winnow_stats(split(text, ' '))").as("ws"))
         .select(
           col("doc_id"),
-          expr("CAST(size(gh) AS BIGINT)").as("n_grams"),
-          expr("CAST(size(sel) AS BIGINT)").as("n_fp"),
-          expr("COALESCE(array_min(sel), CAST(0 AS BIGINT))").as("fp_min"),
-          expr("""aggregate(sel, CAST(0 AS BIGINT),
-                            (acc, x) -> acc ^ x)""").as("fp_xor")),
+          col("ws.n_grams").as("n_grams"),
+          col("ws.n_fp").as("n_fp"),
+          col("ws.fp_min").as("fp_min"),
+          col("ws.fp_xor").as("fp_xor"))
+    },
     Some("""
       WITH t AS (
         SELECT doc_id,

@@ -138,6 +138,14 @@ class FacadeCoverageSpec extends AnyFunSuite {
   private val facadeRelated: Map[String, Seq[String]] = Map(
     "funnel" -> Seq("funnel_seq", "cart_abandonment"),
     "attribution" -> Seq("first_touch", "conversion_lag"),
+    // LM-scoring ladder: bigram stupid-backoff shares the
+    // unigram facade's kernel shape (count tables + broadcast join),
+    // not its output contract (r13)
+    "unigramLogprob" -> Seq("bigram_logprob"),
+    // distribution-divergence curation diagnostics: same
+    // count-table-vs-corpus shape as the DSIR importance weights,
+    // different statistic (per-source KL, not per-doc weights) (r13)
+    "importanceWeights" -> Seq("kl_source_divergence"),
     "minhashPairs" -> Seq("dedup_minhash", "ngram_jaccard",
       "simhash_pairs", "simhash_multiprobe"),
     // Lloyd-trained index variants: same query surface as the facade,
@@ -205,7 +213,7 @@ class FacadeCoverageSpec extends AnyFunSuite {
     "orc_roundtrip", "sink_partitioned", "merge_partitioned",
     "bucket_join", "compaction_plan", "dpp_join", "scan_pruned",
     "zorder_bucket", "zorder_write", "snapshot_read", "snapshot_diff",
-    "snapshot_compact", "snapshot_merge")
+    "snapshot_compact", "snapshot_merge", "compact_partitions")
 
   test("every facade family names a compile-checked facade reference") {
     val missing =

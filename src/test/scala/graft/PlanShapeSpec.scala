@@ -247,6 +247,8 @@ class PlanShapeSpec extends AnyFunSuite {
       //                  the 16-row frozen centroids, and the 1-row
       //                  ingest-target vector (theta filter vs t_id)
       "dsir_weights",  // crossJoin of the 1-row corpus-totals scalar
+      "bigram_logprob", // crossJoin of the 1-row train-totals scalar
+      "kl_source_divergence", // crossJoin of the 1-row corpus-total
       "mix_temperature", // crossJoin of the 1-row total-weight scalar
       "markov_removal") // 6-row scenario grid × channel-sized graph
       //                  + the 1-row base-cvr scalar

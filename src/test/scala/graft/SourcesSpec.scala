@@ -366,6 +366,43 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("compact_partitions: only fragmented partitions rewrite; the " +
+      "healthy one is inherited by reference and moves zero bytes") {
+    val res = q("compact_partitions").collect()
+    assert(res.length == 5) // one row per event_type
+    val base = s"/tmp/graft_src_compact_parts_" +
+      s"${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    // v2 left 'click' at 1 file, everything else fragmented; v3 is
+    // the compaction commit
+    assert(sources.Snapshots.latest(spark, base) == 3L)
+    val audit3 = sources.Snapshots.partitionFiles(spark, base, 3L)
+      .map { case (p, files, _) => p -> files }.toMap
+    assert(audit3.values.forall(_ == 1), s"not compacted: $audit3")
+    // selectivity: v3's OWN data dir holds every partition EXCEPT
+    // click (click was already healthy and is inherited from v2)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v3Dir = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v=3-")).head
+    val ownParts = fs.listStatus(
+      new org.apache.hadoop.fs.Path(base, v3Dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("event_type=")).toSet
+    assert(!ownParts.contains("event_type=click"),
+      "click was rewritten despite being healthy")
+    assert(ownParts.size == 4, s"expected 4 rewritten partitions: $ownParts")
+    // pre-compaction versions stay readable (time travel)
+    val n = sources.Snapshots.readAsOf(spark, base, 3L).count()
+    assert(sources.Snapshots.readAsOf(spark, base, 1L).count() == n)
+    assert(sources.Snapshots.readAsOf(spark, base, 2L).count() == n)
+    // a second pass finds nothing fragmented: no new version
+    val (v4, parts) =
+      sources.Snapshots.compactPartitions(spark, base, 1L << 30)
+    assert(v4 == 3L && parts.isEmpty)
+  }
+
   test("snapshots: hive-escaped and NULL partition values survive the " +
       "manifest round-trip; an empty partitioned commit is refused") {
     import spark.implicits._

@@ -202,6 +202,35 @@ class TextVecSpec extends AnyFunSuite {
     assert(rows.forall(r => (r.getLong(2) > 0) == (r.getDouble(3) > 0)))
   }
 
+  test("bigram_logprob: every multi-token doc scored; log-probs " +
+      "non-positive; held-out docs exercise the backoff") {
+    val rows = q("bigram_logprob").collect()
+    val multi = docs.filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == multi)
+    // probabilities are <= 1 in both branches (bc <= c1 structurally;
+    // backoff mass 0.4*(c+1)/(tn+tv) < 1), so every avg log is <= 0
+    assert(rows.forall(_.getDouble(2) <= 0.0))
+    // the 80/20 split leaves genuinely held-out docs in the scored set
+    val trainBucket = docs.withColumn("b",
+      expr("pmod((doc_id % 100000) * 2654435761, 100)"))
+    assert(trainBucket.filter(col("b") >= 80).count() > 0)
+  }
+
+  test("kl_source_divergence: KL is non-negative per source (Gibbs) " +
+      "and token totals partition the corpus") {
+    val rows = q("kl_source_divergence").collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length == nSources)
+    // Gibbs' inequality: KL(P_s || P_corpus) >= 0, = 0 only if the
+    // source's unigram distribution equals the mixture's
+    assert(rows.forall(_.getDouble(3) >= 0.0),
+      rows.map(r => s"${r.getString(0)}:${r.getDouble(3)}").mkString(","))
+    val totalToks = docs
+      .select(size(split(col("text"), " ")).as("n")).agg(sum("n"))
+      .head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalToks)
+  }
+
   test("kmeans_assign: partition of the corpus into k nonempty-sum clusters") {
     val rows = q("kmeans_assign").collect()
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
