@@ -46,6 +46,10 @@ object GraftFunctions {
       require(args.length == 1, "token_counts(array<string>)")
       TokenCountsGenerator(args(0))
     },
+    "char_entropy" -> { args =>
+      require(args.length == 1, "char_entropy(string)")
+      CharEntropy(args(0))
+    },
     "winnow_stats" -> { args =>
       require(args.length == 1, "winnow_stats(array<string>)")
       WinnowStats(args(0))

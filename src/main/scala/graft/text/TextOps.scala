@@ -507,28 +507,28 @@ object TextOps extends OpModule {
     * rounded to 4dp before the threshold compare so both engines
     * make the identical keep decision.
     *
-    * Scale: positions explode per row, then the only shuffle carries
-    * (doc_id, char) keys — ≤ alphabet-size rows per doc, map-side
-    * combined, bytes ∝ rows·|Σ|, never corpus text bytes. The final
-    * per-doc rollup shuffles (doc_id, 2 doubles). Nothing global. */
+    * Scale: since r13 the whole computation is the native row-local
+    * `char_entropy` expression (graft.ext.CharEntropy) — zero explode,
+    * zero shuffle, the corpus is scanned once and only
+    * (doc_id, double) rows leave the stage. The plan it replaced
+    * generated ONE ROW PER CHARACTER (sequence + substring explode,
+    * ~100× row amplification carrying text through the Generate) and
+    * shuffled (doc, char) count pairs: 192 s of sf10 task time for a
+    * per-row statistic (StageProbe r13; 8.5 → ~1 s). The per-doc sum
+    * order changes from shuffle-arrival to ascending code point —
+    * both engines meet at the 4 dp output rounding, as before. */
   val entropyFilter = Op(
     "entropy_filter",
-    (s, d) =>
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
       Tables(s, d, "documents")
         .filter(col("n_chars") > 0)
-        .select(col("doc_id"), col("n_chars"),
-          explode(sequence(lit(1), col("n_chars").cast("int"))).as("i"),
-          col("text"))
-        .select(col("doc_id"), col("n_chars"),
-          expr("substring(text, i, 1)").as("ch"))
-        .groupBy(col("doc_id"), col("n_chars"), col("ch"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n_chars"))
-        .agg(round(-sum(col("c") / col("n_chars") *
-          log(col("c") / col("n_chars"))), 4).as("entropy"))
+        .select(col("doc_id"),
+          round(expr("char_entropy(text)"), 4).as("entropy"))
         .select(col("doc_id"), col("entropy"),
           when(col("entropy") >= 2.0, lit(1)).otherwise(lit(0))
-            .as("keep")),
+            .as("keep"))
+    },
     Some("""
       WITH ch AS (
         SELECT doc_id, n_chars, substr(text, i, 1) AS ch

@@ -178,4 +178,94 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT token_counts(CAST(array() AS ARRAY<STRING>))").count()
     assert(empty == 0)
   }
+
+  test("winnow_stats equals the HOF chain bit-for-bit, incl. edges") {
+    // the HOF original the native kernel replaced (r13)
+    def hof(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ths",
+        expr("""transform(toks,
+                  tk -> aggregate(
+                          transform(split(tk, ''),
+                                    c -> CAST(ascii(c) AS BIGINT)),
+                          CAST(7 AS BIGINT),
+                          (acc, x) -> (acc * 31 + x) % 1073741824))"""))
+      .withColumn("gh",
+        expr("""CASE WHEN size(ths) >= 4 THEN
+                  transform(sequence(1, size(ths) - 3),
+                    i -> aggregate(slice(ths, i, 4),
+                           CAST(7 AS BIGINT),
+                           (acc, x) -> (acc * 1000003 + x) % 1073741824))
+                ELSE CAST(array() AS ARRAY<BIGINT>) END"""))
+      .withColumn("nw",
+        expr("""CASE WHEN size(gh) = 0 THEN 0
+                     WHEN size(gh) <= 4 THEN 1
+                     ELSE size(gh) - 3 END"""))
+      .withColumn("sel",
+        expr("""array_distinct(
+                  CASE WHEN nw = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+                       ELSE transform(sequence(1, nw),
+                              j -> array_min(slice(gh, j,
+                                     least(4, size(gh) - j + 1))))
+                  END)"""))
+      .select(col("id"),
+        expr("CAST(size(gh) AS BIGINT)").as("n_grams"),
+        expr("CAST(size(sel) AS BIGINT)").as("n_fp"),
+        expr("COALESCE(array_min(sel), CAST(0 AS BIGINT))").as("fp_min"),
+        expr("aggregate(sel, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)")
+          .as("fp_xor"))
+    import spark.implicits._
+    // edges: empty token, < 4 tokens (no grams), exactly 4, repeats
+    // (distinct fires), and real fixture docs
+    val edges = Seq("", "a", "a b c", "a b c d", "x x x x x x x x x x",
+      "one two three four five six seven eight")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").withColumn("toks", split(col("text"), " "))
+    val docs = Tables(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    for (df <- Seq(edges, docs)) {
+      val native = df
+        .select(col("id"), expr("winnow_stats(toks)").as("ws"))
+        .select(col("id"), col("ws.n_grams"), col("ws.n_fp"),
+          col("ws.fp_min"), col("ws.fp_xor"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted
+      val viaHof = hof(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted
+      assert(native.sameElements(viaHof))
+    }
+  }
+
+  test("char_entropy equals the substring-explode rollup at 4 dp") {
+    import spark.implicits._
+    val edges = Seq("a", "ab", "aaaa", "abab", "the quick brown fox")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val docs = Tables(spark, sfDir, "documents").limit(100)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id").as("id"), col("text"))
+    for (df <- Seq(edges, docs)) {
+      val native = df
+        .select(col("id"), round(expr("char_entropy(text)"), 4).as("e"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      val viaExplode = df
+        .withColumn("L", length(col("text")))
+        .select(col("id"), col("L"),
+          explode(sequence(lit(1), col("L"))).as("i"), col("text"))
+        .select(col("id"), col("L"), expr("substring(text, i, 1)").as("ch"))
+        .groupBy(col("id"), col("L"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"), col("L"))
+        .agg(round(-sum(col("c") / col("L") *
+          log(col("c") / col("L"))), 4).as("e"))
+        .select(col("id"), col("e"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(native.sameElements(viaExplode))
+    }
+    // entropy facts: uniform over k chars = ln(k); single char = 0
+    val one = spark.sql("SELECT char_entropy('aaaa')").head.getDouble(0)
+    assert(one == 0.0)
+    val two = spark.sql("SELECT char_entropy('abab')").head.getDouble(0)
+    assert(math.abs(two - math.log(2.0)) < 1e-12)
+  }
 }
