@@ -46,6 +46,10 @@ object GraftFunctions {
       require(args.length == 1, "token_counts(array<string>)")
       TokenCountsGenerator(args(0))
     },
+    "rep_stats" -> { args =>
+      require(args.length == 1, "rep_stats(array<string>)")
+      RepStats(args(0))
+    },
     "char_entropy" -> { args =>
       require(args.length == 1, "char_entropy(string)")
       CharEntropy(args(0))

@@ -56,24 +56,30 @@ object CurationOps extends OpModule {
     * docs; at 100 TB this stays embarrassingly parallel row work). */
   val repRatio = Op(
     "rep_ratio",
-    (s, d) =>
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      // one linear native pass (rep_stats) replaces the HOF chain
+      // whose top1 term re-scanned the token array per distinct token
+      // (quadratic per doc in interpreted lambdas); the ≥2-token
+      // guard lives inside the generator, not in a pushdown-eligible
+      // filter that would tokenize below the corpus-spread exchange
+      // (both r13 lessons, SCALE.md)
       Tables(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 2)
-        .withColumn("bg", expr(
-          """transform(sequence(0, size(toks) - 2),
-               i -> concat_ws(' ', toks[i], toks[i+1]))"""))
+        .select(col("doc_id"),
+          expr("rep_stats(split(text, ' '))").as("rs"),
+          explode(when(size(split(col("text"), " ")) >= 2,
+            array(lit(1))).otherwise(expr("CAST(array() AS array<int>)")))
+            .as("__keep"))
         .select(
           col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
-            / size(col("toks")), 6).as("dup_word_ratio"),
-          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double")
-            / size(col("bg")), 6).as("dup_bigram_ratio"),
-          round(expr(
-            """array_max(transform(array_distinct(toks),
-                 w -> size(filter(toks, x -> x = w))))""").cast("double")
-            / size(col("toks")), 6).as("top1_ratio")),
+          col("rs.n_tokens").as("n_tokens"),
+          round(lit(1.0) - col("rs.n_distinct").cast("double")
+            / col("rs.n_tokens"), 6).as("dup_word_ratio"),
+          round(lit(1.0) - col("rs.n_bg_distinct").cast("double")
+            / col("rs.n_bg"), 6).as("dup_bigram_ratio"),
+          round(col("rs.top1").cast("double")
+            / col("rs.n_tokens"), 6).as("top1_ratio"))
+    },
     Some("""
       SELECT doc_id,
              CAST(len(toks) AS INT) AS n_tokens,

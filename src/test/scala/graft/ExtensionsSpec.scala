@@ -236,6 +236,44 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("rep_stats equals the HOF counts, incl. the concat-collision " +
+      "bigram semantics") {
+    import spark.implicits._
+    // ("a b","c") and ("a","b c") produce the SAME joined bigram
+    // string — rep_stats must count them as one, like array_distinct
+    // over concat_ws did
+    val edges = Seq("a", "a a", "a b a b", "a b c b a",
+      "x y z w x y z w", "t t t")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").withColumn("toks", split(col("text"), " "))
+    val docs = Tables(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    for (df <- Seq(edges, docs)) {
+      val native = df
+        .select(col("id"), expr("rep_stats(toks)").as("rs"))
+        .select(col("id"), col("rs.n_tokens"), col("rs.n_distinct"),
+          col("rs.n_bg"), col("rs.n_bg_distinct"), col("rs.top1"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getInt(5))).sorted
+      val viaHof = df
+        .withColumn("bg", expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(0, size(toks) - 2),
+                 i -> concat_ws(' ', toks[i], toks[i+1]))
+             ELSE CAST(array() AS ARRAY<STRING>) END"""))
+        .select(col("id"), size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          size(col("bg")).as("n_bg"),
+          size(array_distinct(col("bg"))).as("n_bg_distinct"),
+          expr("""COALESCE(array_max(transform(array_distinct(toks),
+                    w -> size(filter(toks, x -> x = w)))), 0)""")
+            .as("top1"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getInt(5))).sorted
+      assert(native.sameElements(viaHof))
+    }
+  }
+
   test("char_entropy equals the substring-explode rollup at 4 dp") {
     import spark.implicits._
     val edges = Seq("a", "ab", "aaaa", "abab", "the quick brown fox")
