@@ -1113,8 +1113,102 @@ object VectorOps extends OpModule {
       ORDER BY adc_score DESC, codes.vec_id
       LIMIT 10"""))
 
+  /** Power-iteration rounds for `pca_topcomp` — fixed, deterministic
+    * (the Lloyd-cap rationale: a static plan and a short unrolled
+    * oracle CTE chain; convergence on the fixture is effectively
+    * complete by round 3, PcaSpec checks the unit norm). */
+  private val PcaRounds = 3
+
+  /** DuckDB CTE chain `v0, s1, w1, n1, v1, …, v<rounds>` mirroring
+    * the power iteration in [[pcaTopcomp]] (same seed, rounding
+    * points, and normalization). */
+  private def pcaSql(rounds: Int): String = {
+    val v0 =
+      """v0 AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id = 0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT e.embedding,
+         |         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                                p.v), 4) AS sc
+         |  FROM embeddings e, v${r - 1} p),
+         |w$r AS (
+         |  SELECT pos, ROUND(SUM(sc * x), 4) AS w
+         |  FROM (SELECT sc, unnest(range(1, len(embedding) + 1)) AS pos,
+         |               unnest(CAST(embedding AS DOUBLE[])) AS x
+         |        FROM s$r)
+         |  GROUP BY pos),
+         |n$r AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w$r),
+         |v$r AS (
+         |  SELECT list(ROUND(w / nrm, 4) ORDER BY pos) AS v
+         |  FROM w$r, n$r)""".stripMargin
+    }
+    (v0 +: rs).mkString(",\n")
+  }
+
+  /** Top principal component by DETERMINISTIC power iteration — the
+    * dimensionality-reduction primitive of the vector-index family
+    * (PCA'd embeddings are how a 100 TB store cuts ANN scan bytes
+    * before IVF/PQ): v ← Σᵢ eᵢ(eᵢ·v) / ‖·‖ from the fixed vec_id-0
+    * seed, `PcaRounds` rounds, every intermediate rounded to 4 dp at
+    * the same points in both engines (the Lloyd determinism recipe —
+    * no RNG, no convergence test, a static plan). The declared output
+    * is the catalog-sized per-label projection profile onto the
+    * learned component (count / mean / spread), which moves iff the
+    * component or any projection drifts.
+    *
+    * Scale shape per round: the 64-double component broadcasts; one
+    * pass scores every vector (codegen'd mixed dot); the per-dim
+    * weighted sum is an (n·d)-row posexplode with map-side partial
+    * sums into d rows — the lloydRefine aggregation shape, with the
+    * same pre-Generate materialization pin (AQE would coalesce the
+    * small scored exchange and run the 64× explode single-task). */
+  val pcaTopcomp = Op(
+    "pca_topcomp",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      var v = emb.filter(col("vec_id") === 0)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+          .as("v"))
+        .localCheckpoint()
+      (1 to PcaRounds).foreach { _ =>
+        val scored = emb.crossJoin(broadcast(v))
+          .withColumn("sc", round(dotD("embedding", "v"), 4))
+          .select(col("sc"), col("embedding"))
+          .localCheckpoint() // pin 32-way before the 64x posexplode
+        val w = scored
+          .select(col("sc"), posexplode(col("embedding")))
+          .groupBy(col("pos"))
+          .agg(round(sum(col("sc") * col("col")), 4).as("w"))
+          .localCheckpoint() // 2 consumers: the norm and the rebuild
+        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("pos"), round(col("w") / col("nrm"), 4).as("x"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, x)))," +
+            " s -> s.x)").as("v"))
+          .localCheckpoint()
+      }
+      emb.crossJoin(broadcast(v))
+        .withColumn("proj", round(dotD("embedding", "v"), 4))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("proj")), 4).as("avg_proj"),
+          round(max(col("proj")) - min(col("proj")), 4).as("spread"))
+    },
+    Some(s"""
+      WITH ${pcaSql(PcaRounds)}
+      SELECT label, COUNT(*) AS n, ROUND(AVG(proj), 4) AS avg_proj,
+             ROUND(MAX(proj) - MIN(proj), 4) AS spread
+      FROM (SELECT e.label,
+                   ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          p.v), 4) AS proj
+            FROM embeddings e, v$PcaRounds p)
+      GROUP BY label"""))
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
       ivfTopkTrained, ivfAppend, embedQuantize, kmeansAssign, semdedup,
-      pqTopk, pqTopkTrained)
+      pqTopk, pqTopkTrained, pcaTopcomp)
 }

@@ -153,7 +153,9 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // not parameter-pinned equivalents (r11); ivf_append is the
     // PERSISTED index lifecycle (snapshot-committed lists + frozen-
     // centroid incremental ingest) over the same probe query (r12)
-    "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append"),
+    // pca_topcomp is the family's dimensionality-reduction half —
+    // same broadcast-component/scored-pass kernel shape (r13)
+    "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append", "pca_topcomp"),
     "quantizeInt8" -> Seq("pq_topk_trained"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/

@@ -243,6 +243,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "bpe_encode",    // same K 1-row argmax crossJoins as bpe_merges
       "semdedup",      // crossJoin of the 8-row seed centroid set
       "ivf_topk_trained", // crossJoins of the 16-row refined centroids
+      "pca_topcomp",   // crossJoins of the 1-row component vector /
+      //                  1-row norm scalar per power-iteration round
       "ivf_append",    // crossJoins of the 1-row max-vec_id scalar,
       //                  the 16-row frozen centroids, and the 1-row
       //                  ingest-target vector (theta filter vs t_id)

@@ -231,6 +231,22 @@ class TextVecSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == totalToks)
   }
 
+  test("pca_topcomp: label profiles partition the corpus and the " +
+      "projections are non-degenerate") {
+    val rows = q("pca_topcomp").collect()
+    assert(rows.map(_.getLong(1)).sum == emb.count()) // each vector once
+    assert(rows.forall(_.getDouble(3) >= 0.0)) // spread = max - min
+    // a real (non-zero) component separates something: at least one
+    // label has nonzero spread, and label means are not all identical
+    assert(rows.exists(_.getDouble(3) > 0.0), "all projections constant")
+    assert(rows.map(_.getDouble(2)).distinct.length > 1 ||
+      rows.length == 1, "all labels project identically — degenerate")
+    // determinism: a second run returns the identical profile
+    val again = q("pca_topcomp").collect()
+    assert(rows.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("kmeans_assign: partition of the corpus into k nonempty-sum clusters") {
     val rows = q("kmeans_assign").collect()
     val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
