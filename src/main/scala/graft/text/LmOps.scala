@@ -187,8 +187,17 @@ object LmOps extends OpModule {
             element_at(col("toks"), col("i") + 1))).as("g"))
       val cb = bg.filter(col("is_train"))
         .groupBy(col("g")).agg(count(lit(1)).as("bc"))
-      val cu = t.filter(col("is_train"))
-        .select(explode(col("toks")).as("w"))
+      // the unigram side builds from the scan directly, with the
+      // train-slice guard INSIDE the generator: `t.filter(is_train)
+      // .select(explode(toks))` sinks both the filter and the
+      // attribute-explode's inferred size(split(text))>0 below the
+      // corpus-spread exchange — 5.3 s of single-task tokenize at
+      // sf10 (StageProbe; the third face of the r13 pushdown lesson)
+      val cu = Tables(s, d, "documents")
+        .select(explode(when(
+          expr("pmod((doc_id % 100000) * 2654435761, 100) < 80"),
+          split(col("text"), " "))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val tot = cu.agg(sum(col("c")).as("tn"), count(lit(1)).as("tv"))
       bg
