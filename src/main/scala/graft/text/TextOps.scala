@@ -457,7 +457,7 @@ object TextOps extends OpModule {
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("wtf"))
         .localCheckpoint() // vocab-sized; 2 consumers (stats + join)
       val stats = df.agg(sum(col("wtf")).as("tot"))
-        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
         .select(
           round(col("tot").cast("double") / col("n_docs"), 6).as("avgdl"),
           col("n_docs"))
