@@ -68,7 +68,10 @@ object Generators extends OpModule {
       graft.ext.GraftFunctions.register(s)
       Tables(s, d, "documents")
         .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
+        // no size filter: the generator itself emits nothing for
+        // sub-n docs (NGramsGenerator.eval), and a size(toks)>=3
+        // Filter is pushdown-eligible — it would tokenize the corpus
+        // below the spread exchange, single-threaded (r13 lesson)
         .select(expr("ngrams(toks, 3)"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))

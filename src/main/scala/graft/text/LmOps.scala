@@ -66,10 +66,13 @@ object LmOps extends OpModule {
       val bg = toks
         // single-token docs: sequence(1, 0) DESCENDS to [1, 0] in
         // Spark (element_at then throws); DuckDB's generate_series is
-        // empty — filter to match
-        .filter(size(col("toks")) >= 2)
+        // empty — the guard lives INSIDE the generator (empty array →
+        // row dropped), not in a pushdown-eligible filter that would
+        // tokenize below the corpus-spread exchange (r13 lesson)
         .select(col("toks"),
-          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+          explode(when(size(col("toks")) >= 2,
+            sequence(lit(1), size(col("toks")) - 1))
+            .otherwise(expr("CAST(array() AS array<int>)"))).as("i"))
         .select(element_at(col("toks"), col("i")).as("w1"),
           element_at(col("toks"), col("i") + 1).as("w2"))
       val cb = bg.groupBy(col("w1"), col("w2"))
@@ -407,10 +410,16 @@ object LmOps extends OpModule {
     (s, d) => {
       val toks = Tables(s, d, "documents")
         .select(split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
       toks
+        // ≥2-token guard inside the generator (empty array → row
+        // dropped): a size filter would tokenize below the
+        // corpus-spread exchange (r13 lesson); the second explode's
+        // sequence(1, least(3, size-i)) is nonempty for every i ≤
+        // size-1, so only the first needs the guard
         .select(col("toks"),
-          explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+          explode(when(size(col("toks")) >= 2,
+            sequence(lit(1), size(col("toks")) - 1))
+            .otherwise(expr("CAST(array() AS array<int>)"))).as("i"))
         .select(col("toks"), col("i"),
           explode(sequence(lit(1),
             least(lit(3), size(col("toks")) - col("i")))).as("k"))
