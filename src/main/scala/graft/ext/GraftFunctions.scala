@@ -42,6 +42,10 @@ object GraftFunctions {
       require(args.length == 2, "ngram_hashes(array<string>, n)")
       NGramHashesGenerator(args(0), intArg(args(1), "n"))
     },
+    "ngram_hash_pos" -> { args =>
+      require(args.length == 2, "ngram_hash_pos(array<string>, n)")
+      NGramHashesGenerator(args(0), intArg(args(1), "n"), withPos = true)
+    },
     "token_counts" -> { args =>
       require(args.length == 1, "token_counts(array<string>)")
       TokenCountsGenerator(args(0))

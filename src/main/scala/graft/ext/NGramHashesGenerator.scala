@@ -24,14 +24,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * map-side-combines on the 8-byte key and NO distinct exchange
   * exists at all. Registered as `ngram_hashes` via
   * [[GraftFunctions.register]].
+  *
+  * `withPos = true` (registered as `ngram_hash_pos`) is the
+  * positional variant for span-coverage ops (`dedup_spans`): it
+  * emits `(pos, g)` for EVERY span start — no dedup, because the
+  * start position makes each row unique by construction — with the
+  * SAME seed-42 xxhash64 over the space-joined gram, so its `g`
+  * joins directly against `ngram_hashes` output. A fused generator
+  * beats `posexplode(transform(sequence(...), i -> xxhash64(...)))`
+  * for the same reason the dedup variant beats its HOF chain:
+  * higher-order lambdas pay interpreted dispatch per element
+  * (SCALE.md round 13, winnow_stats), and a Generator's input cannot
+  * be re-split by CollapseProject.
   */
-case class NGramHashesGenerator(child: Expression, n: Int)
+case class NGramHashesGenerator(child: Expression, n: Int,
+    withPos: Boolean = false)
     extends UnaryExpression with CollectionGenerator with CodegenFallback {
 
   require(n >= 1, s"n must be >= 1, got $n")
 
   override def elementSchema: StructType =
-    StructType(StructField("g", LongType, nullable = false) :: Nil)
+    if (withPos)
+      StructType(StructField("pos", IntegerType, nullable = false) ::
+        StructField("g", LongType, nullable = false) :: Nil)
+    else
+      StructType(StructField("g", LongType, nullable = false) :: Nil)
 
   override def collectionType: DataType = ArrayType(elementSchema)
 
@@ -59,6 +76,20 @@ case class NGramHashesGenerator(child: Expression, n: Int)
       toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
         else arr.getUTF8String(i)
       i += 1
+    }
+    if (withPos) {
+      // positional mode: one row per span start, no dedup (pos is
+      // already a unique key within the row)
+      val out = new Array[InternalRow](toks.length - n + 1)
+      var j = 0
+      while (j <= toks.length - n) {
+        val window = java.util.Arrays.copyOfRange(toks, j, j + n)
+        val gram = UTF8String.concatWs(NGramsGenerator.Space,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(window): _*)
+        out(j) = InternalRow(j, XxHash64Function.hash(gram, StringType, 42L))
+        j += 1
+      }
+      return out.iterator
     }
     // LinkedHashSet: dedup with deterministic (first-occurrence)
     // emission order — row output order is plan-invisible but

@@ -568,6 +568,103 @@ object SimilarityOps extends OpModule {
                       0.0) AS dup_frac
       FROM documents d LEFT JOIN per USING (doc_id)"""))
 
+  /** Token-level duplicated-span coverage — the span-REMOVAL
+    * primitive next to `dup_span_frac`'s span-counting diagnostic
+    * (the "dedup exact substrings across documents" pass of
+    * large-corpus curation, PAPERS.md): for every document, the
+    * number of token positions covered by at least one 8-gram that
+    * also appears in ANOTHER document. `dup_span_frac` counts how
+    * many of a doc's spans are duplicated; this op resolves the
+    * overlapping spans into their union of covered tokens — i.e.
+    * exactly how much text a span-stripping rewrite would delete —
+    * so `1 - dup_token_frac` is the kept-text fraction.
+    *
+    * Plan: (a) cross-doc duplicated grams from the row-local-distinct
+    * `ngram_hashes` generator (each (doc, gram) emitted once, so a
+    * plain `count ≥ 2` over the 8-byte key IS the distinct-doc count
+    * — no data-sized distinct exchange, the r11 GramProbe lesson);
+    * (b) span starts from the positional `ngram_hash_pos` generator
+    * (fused hashing, no HOF lambda dispatch, CollapseProject-proof);
+    * (c) an equi-join on the hashed gram keeps only duplicated
+    * starts; (d) per doc, the sorted start list folds once through a
+    * left-to-right interval-union `aggregate` — O(spans) row-local
+    * work bounded by document length, the same bound that lets the
+    * text itself sit in one row. Shuffles: the gram rollup + the
+    * gram join (both on 8-byte keys) + one per-doc rollup — nothing
+    * carries gram strings, nothing is quadratic, so the plan is the
+    * same one you'd run at 100 TB (where the dup-gram side would
+    * additionally be bloom-prefiltered as in `contamination_bloom`).
+    *
+    * The oracle computes coverage as COUNT(DISTINCT pos+offset) over
+    * an 8-way position unnest — a row-amplified form that is only
+    * viable at oracle scale; the interval-union fold is the
+    * scale-path equivalent (equal by construction: both compute
+    * |union of [p, p+8) over dup starts p|). 6dp rounding cannot hit
+    * a half-way decimal: n_tokens ≤ 99 in every fixture and no
+    * q ≤ 99 admits a 7-decimal terminating p/q (that needs a 2⁷ or
+    * 5⁷ factor ≥ 128). */
+  val dedupSpans = Op(
+    "dedup_spans",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val docs = Tables(s, d, "documents")
+      val toked = docs.withColumn("toks", split(col("text"), " "))
+      // (gram hash, #docs containing it) — per-doc-distinct by the
+      // generator, so count(*) counts documents
+      val dup = toked
+        .select(expr("ngram_hashes(toks, 8)"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("g"))
+      // every span start (doc_id, pos, g)
+      val starts = toked
+        .select(col("doc_id"), expr("ngram_hash_pos(toks, 8)"))
+      val covered = starts.join(dup, "g")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        .withColumn("covered", expr(
+          """aggregate(ps,
+               named_struct('cov', CAST(0 AS BIGINT), 'e', CAST(-1 AS BIGINT)),
+               (acc, p) -> named_struct(
+                 'cov', acc.cov + greatest(CAST(0 AS BIGINT),
+                   CAST(p AS BIGINT) + 8 - greatest(acc.e, CAST(p AS BIGINT))),
+                 'e', greatest(acc.e, CAST(p AS BIGINT) + 8)),
+               acc -> acc.cov)"""))
+        .select(col("doc_id"), col("covered"))
+      docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered"), lit(0L)).cast("double") /
+            col("n_tokens"), 6).as("dup_token_frac"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+               toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+               toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' ||
+               toks[i+7] || ' ' || toks[i+8] AS gram
+        FROM tok, UNNEST(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+      nd AS (
+        SELECT gram FROM (
+          SELECT gram, COUNT(DISTINCT doc_id) AS cd FROM g GROUP BY gram)
+        WHERE cd >= 2),
+      cov AS (
+        SELECT doc_id, COUNT(DISTINCT pos + o) AS covered
+        FROM g JOIN nd USING (gram), UNNEST(range(0, 8)) AS u2(o)
+        GROUP BY doc_id),
+      n AS (SELECT doc_id, len(toks) AS n_tokens FROM tok)
+      SELECT n.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+             ROUND(CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens, 6)
+               AS dup_token_frac
+      FROM n LEFT JOIN cov USING (doc_id)"""))
+
   /** Blocked fuzzy matching by edit distance: near-identical part
     * names (levenshtein ≤ 3) found inside (brand, size) blocks — the
     * record-linkage idiom where an equi-join key bounds the quadratic
@@ -733,6 +830,6 @@ object SimilarityOps extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, shingleContainment,
-      neardupCluster, minhashDet, langId, dupSpanFrac, editDistPairs,
-      sourceOverlap, nameClusters)
+      neardupCluster, minhashDet, langId, dupSpanFrac, dedupSpans,
+      editDistPairs, sourceOverlap, nameClusters)
 }

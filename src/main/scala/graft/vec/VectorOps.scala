@@ -1207,8 +1207,187 @@ object VectorOps extends OpModule {
             FROM embeddings e, v$PcaRounds p)
       GROUP BY label"""))
 
+  /** IVF × PQ — the two index halves composed the way a
+    * billion-vector store actually runs them (FAISS's IVFPQ layout,
+    * PAPERS.md): the coarse quantizer (16 inverted lists, `ivf_topk`'s
+    * assignment rule) prunes WHICH vectors are scored, and the product
+    * quantizer (8 sub-spaces × 16 codes, `pq_topk`'s encoding) decides
+    * HOW each survivor is scored — 8 code bytes + one broadcast ADC
+    * table lookup instead of a 64-dim dot. nprobe=2 of 16 lists means
+    * the query touches ~1/8 of the corpus rows AND reads ~1/8 of the
+    * bytes a flat scan would; at 100 TB the codes live hive-partitioned
+    * by list (exactly the `ivf_append` snapshot layout), so the probe
+    * IS partition pruning and the scoring input is code bytes, never
+    * raw vectors. Both halves reuse this module's verified kernels:
+    * map-side `max_by` coarse assignment (no N·k exchange), the packed
+    * long `pqKey` argmin encode (codegen'd HashAggregate), hoisted
+    * invariant self-dots, and broadcast probes/codebooks/ADC — the
+    * only data-sized exchanges are the assignment rollup, the encode
+    * rollup, and the candidate semi-join on vec_id. */
+  val ivfpqTopk = Op(
+    "ivfpq_topk",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      // ---- coarse half (ivf_topk's rule): vector -> nearest of 16
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"),
+          struct(col("c_score"), -col("c_id"))).as("c_id"))
+      val probes = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .orderBy(col("c_score").desc, col("c_id"))
+        .limit(2)
+        .select(col("c_id"))
+      // ---- PQ half (pq_topk's encode + ADC, shared hoisted self-dots)
+      val sub = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .withColumn("s2", dot("sv", "sv"))
+        .select(col("vec_id"), col("s"), col("sv"), col("s2"))
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .withColumn("c2", dot("c_sv", "c_sv"))
+        .select(col("code"), col("s"), col("c_sv"), col("c2"))
+      val codes = sub.join(broadcast(cb), "s")
+        .withColumn("k", pqKey(dot("sv", "c_sv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
+      val adcTable = sub.filter(col("vec_id") === 0)
+        .select(col("s"), col("sv").as("q_sv"))
+        .join(broadcast(cb), "s")
+        .withColumn("qdot_i",
+          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("s"), col("code"), col("qdot_i"))
+      // ---- query: probed lists only, scored by ADC over code bytes
+      val cands = assigned.join(broadcast(probes), "c_id")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("c_id"))
+      codes.join(cands, "vec_id")
+        .join(broadcast(adcTable), Seq("s", "code"))
+        .groupBy(col("vec_id"), col("c_id"))
+        .agg((sum(col("qdot_i")) / 10000.0).as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, c_id FROM (
+          SELECT e.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS c_rn
+          FROM embeddings e, c)
+        WHERE c_rn = 1),
+      probes AS (
+        SELECT c.c_id
+        FROM embeddings t, c
+        WHERE t.vec_id = 0
+        ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                        CAST(c.c_emb AS DOUBLE[])), 4) DESC,
+                 c.c_id
+        LIMIT 2),
+      sub AS (
+        SELECT vec_id, s,
+               CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
+      cb AS (
+        SELECT vec_id AS code, s, sv AS c_sv
+        FROM sub WHERE vec_id < 16),
+      codes AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN cb USING (s))
+        WHERE rn = 1),
+      adc AS (
+        SELECT cb.s, cb.code,
+               CAST(ROUND(list_dot_product(q.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT s, sv FROM sub WHERE vec_id = 0) q
+        JOIN cb USING (s))
+      SELECT a.vec_id, a.c_id, SUM(qdot_i) / 10000.0 AS adc_score
+      FROM assigned a
+      JOIN probes USING (c_id)
+      JOIN codes ON codes.vec_id = a.vec_id
+      JOIN adc USING (s, code)
+      WHERE a.vec_id <> 0
+      GROUP BY a.vec_id, a.c_id
+      ORDER BY adc_score DESC, a.vec_id
+      LIMIT 10"""))
+
+  /** Hard-negative mining — the contrastive-training data op: for
+    * each query vector (the first 8 ids), the 5 most-similar vectors
+    * carrying a DIFFERENT label. High-similarity/wrong-label pairs
+    * are exactly the "hard negatives" a contrastive or reranker
+    * trainer wants beside each anchor, and the op is the labeled-data
+    * twin of `vector_topk` (same partitioned brute-force scoring,
+    * REPOSE-style per-partition heaps). Plan: the bounded probe set
+    * broadcasts (like `knn_label`), every (vector, probe) pair scores
+    * in one codegen'd pass with the label-mismatch predicate applied
+    * BEFORE ranking (no wasted rank work on positives), and the
+    * per-query top-5 is a `row_number ≤ 5` that the WindowTopKRewrite
+    * turns into the bounded-heap TopKPerKey exec — no full sort, no
+    * global shuffle beyond the per-query rollup. At 100 TB the probe
+    * set stays a broadcast (mining runs in anchor batches) and the
+    * scan parallelizes per partition; an IVF/PQ prefilter (see
+    * `ivfpq_topk`) would cap the scored candidates per anchor. */
+  val hardNegatives = Op(
+    "hard_negatives",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .withColumn("score", round(dot("embedding", "q_emb"), 4))
+        .select(col("q_id"), col("vec_id"), col("label"), col("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .drop("rn")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < 8)
+      SELECT q_id, vec_id, label, score FROM (
+        SELECT q.q_id, e.vec_id, e.label,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.q_emb AS DOUBLE[])), 4)
+                 AS score,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.q_emb AS DOUBLE[])), 4) DESC,
+                   e.vec_id) AS rn
+        FROM embeddings e, q
+        WHERE e.label <> q.q_label)
+      WHERE rn <= 5"""))
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
       ivfTopkTrained, ivfAppend, embedQuantize, kmeansAssign, semdedup,
-      pqTopk, pqTopkTrained, pcaTopcomp)
+      pqTopk, pqTopkTrained, pcaTopcomp, ivfpqTopk, hardNegatives)
 }

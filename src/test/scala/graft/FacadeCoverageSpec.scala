@@ -155,8 +155,17 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // centroid incremental ingest) over the same probe query (r12)
     // pca_topcomp is the family's dimensionality-reduction half —
     // same broadcast-component/scored-pass kernel shape (r13)
-    "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append", "pca_topcomp"),
-    "quantizeInt8" -> Seq("pq_topk_trained"))
+    // hard_negatives is the labeled-mining twin of the brute-force
+    // top-k (same scoring kernel, cross-label contract) (r14)
+    "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append", "pca_topcomp",
+      "hard_negatives"),
+    // ivfpq_topk composes the PQ facade family's codes/ADC kernel
+    // with the IVF coarse quantizer (r14)
+    "quantizeInt8" -> Seq("pq_topk_trained", "ivfpq_topk"),
+    // dedup_spans resolves dup_span_frac's duplicated spans into
+    // their token-coverage union — same gram kernel, span-removal
+    // contract (r14)
+    "qualityScore" -> Seq("dedup_spans"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report

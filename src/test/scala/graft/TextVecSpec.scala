@@ -202,6 +202,91 @@ class TextVecSpec extends AnyFunSuite {
     assert(rows.forall(r => (r.getLong(2) > 0) == (r.getDouble(3) > 0)))
   }
 
+  test("dedup_spans: coverage bounded by doc length; clones fully covered; " +
+      "unique-vocab doc untouched") {
+    val rows = q("dedup_spans").collect()
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == n)
+    // covered_tokens in [0, n_tokens]; a nonzero coverage is at least
+    // one full 8-gram span
+    assert(rows.forall { r =>
+      val cov = r.getLong(2)
+      cov >= 0 && cov <= r.getLong(1) && (cov == 0 || cov >= 8)
+    })
+    // synthetic fixture: two exact clones are 100% covered, a doc on
+    // a disjoint vocabulary is 0% covered, and a half-overlap doc
+    // (first 8 tokens shared with the clones, rest unique) is covered
+    // on exactly its shared span
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val half = ((1 to 8).map(i => s"s$i") ++
+      (1 to 12).map(i => s"u$i")).mkString(" ")
+    val lone = (1 to 20).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spans").toString
+    Seq((1L, shared), (2L, shared), (3L, half), (9L, lone))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.SimilarityOps.dedupSpans.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (20L, 20L) && out(2L) == (20L, 20L))
+    assert(out(3L) == (20L, 8L)) // only the one shared 8-gram span
+    assert(out(9L) == (20L, 0L))
+  }
+
+  test("ivfpq_topk: 10 distinct candidates from the 2 probed cells, " +
+      "ADC scores non-increasing") {
+    val rows = q("ivfpq_topk").collect()
+    assert(rows.length == 10)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == 10 && !ids.contains(0L))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the probed cells: top-2 centroids for vec 0 by exact dot
+    val e = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val t = e(0L)
+    val probed = (0L until 16L).sortBy(c =>
+      (-math.rint(dot(e(c), t) * 10000) / 10000, c)).take(2).toSet
+    assert(rows.forall(r => probed.contains(r.getLong(1))))
+  }
+
+  test("hard_negatives: 5 per query, labels all differ from the " +
+      "query's, scores non-increasing; top-1 matches brute force") {
+    val rows = q("hard_negatives").collect()
+    assert(rows.length == 40)
+    val lbl = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5)
+      assert(rs.forall(_.getInt(2) != lbl(qid)))
+      val sc = rs.map(_.getDouble(3)).sorted(Ordering[Double].reverse)
+      assert(rs.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+        .map(_.getDouble(3)).sameElements(sc))
+    }
+    // brute-force the q_id=0 winner
+    val e = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val t = e.find(_._1 == 0L).get
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val best = e.filter(_._3 != t._3)
+      .map(x => (x._1, math.rint(dot(x._2, t._2) * 10000) / 10000))
+      .sortBy(x => (-x._2, x._1)).head
+    val got = byQ(0L).minBy(r => (-r.getDouble(3), r.getLong(1)))
+    assert(got.getLong(1) == best._1)
+  }
+
   test("bigram_logprob: every multi-token doc scored; log-probs " +
       "non-positive; held-out docs exercise the backoff") {
     val rows = q("bigram_logprob").collect()
