@@ -81,6 +81,10 @@ object Bench {
   val r13: Seq[String] =
     Seq("compact_partitions", "bigram_logprob", "kl_source_divergence")
 
+  /** The round-14 additions, timed when SPARK_GRAFT_BENCH_SET=r14. */
+  val r14: Seq[String] =
+    Seq("dedup_spans", "ivfpq_topk", "hard_negatives")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,6 +115,7 @@ object Bench {
       case Some("r11")      => r11
       case Some("r12")      => r12
       case Some("r13")      => r13
+      case Some("r14")      => r14
       // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
       case Some(s) if s.startsWith("custom:") =>
         s.stripPrefix("custom:").split(",").map(_.trim)

@@ -102,6 +102,40 @@ object StreamOps {
         unix_micros(col("purchase_ts")).as("purchase_us"))
   }
 
+  /** The documents table replayed as a file-based stream — the
+    * ingest-side twin of [[replay]] for corpus-curation shapes. */
+  def replayDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val reader = spark.readStream.schema(schema)
+    if (new java.io.File(path).isDirectory) reader.parquet(path)
+    else reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+  }
+
+  /** Streaming decontamination screen — `contamination_bloom`'s
+    * prefilter as an ingest-time gate: every arriving document is
+    * flagged when any of its hashed 8-grams MIGHT be in a bloom
+    * filter compiled (in batch) from the static eval/reference
+    * corpus. The screen is a STATELESS row-local map — no state
+    * store, no watermark, no shuffle — so it runs at scan throughput
+    * and is exactly the shape a 100 TB crawl ingest wants: quarantine
+    * probable hits at the door (no false negatives by bloom
+    * construction; fpp-rate false positives go to a cheaper exact
+    * recheck downstream, which is the batch `contamination_bloom`
+    * join). The bloom bytes ride the plan as a literal, shipped once
+    * per task binary like a broadcast. */
+  def contaminationScreen(docs: DataFrame, bloom: Array[Byte]): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bl", lit(bloom))
+      .select(col("doc_id"), col("source"),
+        when(size(col("toks")) >= 8, expr(
+          """exists(
+               transform(sequence(0, size(toks) - 8),
+                 i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8)))),
+               h -> bloom_contains(bl, h))"""))
+          .otherwise(lit(false)).as("flagged"))
+
   /** Stateful exact dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events

@@ -745,8 +745,82 @@ object CurationOps extends OpModule {
       FROM cnt c JOIN corpus USING (w) JOIN stot USING (source), ctot
       GROUP BY c.source, sn"""))
 
+  private def tmpBase(name: String, sfDir: String): String =
+    s"/tmp/graft_cur_${name}_${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+
+  /** The PERSISTED exact-dedup index with incremental ingest — how a
+    * rolling-crawl dedup actually lives at 100 TB: the index is a
+    * snapshot table of (content hash → keeper doc, group count),
+    * hive-partitioned by hash prefix, built once from the base corpus
+    * (`commitPartitioned`) and maintained by MERGING each ingest
+    * batch's rolled-up hashes into it (`commitPartitions`) — keeper =
+    * least(old, new), count = sum. Only the partitions that received
+    * batch hashes rewrite (write amplification O(touched)·index/16,
+    * never O(corpus)); no document text is ever stored or re-read on
+    * the ingest path, the index rows are ~50 B each regardless of doc
+    * size. The batch is the 10 NEWEST doc_ids — a bounded ingest
+    * tick, so touched partitions ≤ 10 of 16 at every SF. Because the
+    * merge is associative (min and + over disjoint doc sets), the
+    * merged index is row-identical to hashing the full corpus at once
+    * — which is what the oracle computes — so any hash lost,
+    * double-counted, or mis-kept by the incremental path
+    * hash-mismatches. Output = the ENTIRE merged index (singletons
+    * included): every (hash, keeper, count) row must equal the
+    * one-shot build — stronger than reporting only dup groups, and
+    * non-empty at every SF (the fixtures below sf0.1 contain no exact
+    * clones, so a dup-only report would gate on empty-vs-empty). */
+  val dedupAppend = Op(
+    "dedup_append",
+    (s, d) => {
+      import graft.sources.Snapshots
+      val docs = Tables(s, d, "documents")
+      val base = tmpBase("dedup_append", d)
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val mx = docs.agg(max(col("doc_id")).as("mxd"))
+      def index(dd: org.apache.spark.sql.DataFrame) = dd
+        .withColumn("h", md5(col("text")))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .withColumn("hp", substring(col("h"), 1, 1))
+      // v1: the base index (all but the 10 newest docs)
+      val v1 = Snapshots.commitPartitioned(
+        index(docs.crossJoin(broadcast(mx))
+          .filter(col("doc_id") <= col("mxd") - 10).drop("mxd")),
+        base, "hp")
+      // ingest tick: the 10 newest docs, rolled up within-batch, then
+      // merged into ONLY the touched hash-prefix partitions
+      val batch = index(docs.crossJoin(broadcast(mx))
+          .filter(col("doc_id") > col("mxd") - 10).drop("mxd"))
+        .localCheckpoint() // 2 consumers: touched-partition semi + merge
+      val touched = batch.select(col("hp")).distinct()
+      val merged = Snapshots.readAsOf(s, base, v1)
+        .join(broadcast(touched), Seq("hp"), "left_semi")
+        .select(col("hp"), col("h"), col("keeper").as("p_keeper"),
+          col("n").as("p_n"))
+        .join(batch.select(col("hp"), col("h"),
+          col("keeper").as("b_keeper"), col("n").as("b_n")),
+          Seq("hp", "h"), "full_outer")
+        .select(col("hp"), col("h"),
+          least(col("p_keeper"), col("b_keeper")).as("keeper"),
+          (coalesce(col("p_n"), lit(0L)) +
+            coalesce(col("b_n"), lit(0L))).as("n"))
+      val v2 = Snapshots.commitPartitions(merged, base, "hp")
+      // the merged index itself — row-identical to the one-shot build
+      Snapshots.readAsOf(s, base, v2)
+        .select(col("h"), col("keeper"), col("n").cast("long").as("n"))
+    },
+    Some("""
+      SELECT md5(text) AS h, MIN(doc_id) AS keeper,
+             COUNT(*) AS n
+      FROM documents
+      GROUP BY 1"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
-    domainCap, mixTemperature, shuffleShard, klSourceDivergence)
+    domainCap, mixTemperature, shuffleShard, klSourceDivergence,
+    dedupAppend)
 }

@@ -161,4 +161,43 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Int]("shard") == expShard)
     }
   }
+
+  test("dedup_append: incrementally merged index equals the one-shot " +
+      "full-corpus dedup, across base-batch and within-batch groups") {
+    import spark.implicits._
+    // ids 1..30: batch = the 10 newest (21..30). Dup groups planted
+    // across the base/batch boundary (21 clones 3 -> keeper 3) and
+    // entirely within the batch (22/23 share text -> keeper 22).
+    val docs = ((1 to 20).map(i => (i.toLong, s"base text $i")) ++
+      Seq((21L, "base text 3"), (22L, "fresh dup"), (23L, "fresh dup")) ++
+      (24 to 30).map(i => (i.toLong, s"new text $i"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_append").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = text.CurationOps.dedupAppend.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expect = docs.withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expect)
+    assert(got.size == 28) // 30 docs, 2 of them clone earlier texts
+    val dups = got.filter(_._3 >= 2)
+    assert(dups.size == 2)
+    assert(dups.exists { case (_, k, n) => k == 3L && n == 2L })
+    assert(dups.exists { case (_, k, n) => k == 22L && n == 2L })
+    // fixture corpus: the incremental path reproduces the one-shot
+    // index there too
+    val fix = q("dedup_append", sfDir01).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fixExpect = Tables(spark, sfDir01, "documents")
+      .withColumn("h", md5(col("text")))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(fix == fixExpect)
+  }
 }

@@ -165,7 +165,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // dedup_spans resolves dup_span_frac's duplicated spans into
     // their token-coverage union — same gram kernel, span-removal
     // contract (r14)
-    "qualityScore" -> Seq("dedup_spans"))
+    "qualityScore" -> Seq("dedup_spans"),
+    // dedup_append is the facade's hash-dedup contract as a PERSISTED
+    // incrementally-merged snapshot index (the ivf_append lifecycle
+    // pattern) (r14)
+    "dedupExact" -> Seq("dedup_append"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report

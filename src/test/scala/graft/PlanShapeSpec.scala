@@ -252,8 +252,11 @@ class PlanShapeSpec extends AnyFunSuite {
       "bigram_logprob", // crossJoin of the 1-row train-totals scalar
       "kl_source_divergence", // crossJoin of the 1-row corpus-total
       "mix_temperature", // crossJoin of the 1-row total-weight scalar
-      "markov_removal") // 6-row scenario grid × channel-sized graph
+      "markov_removal", // 6-row scenario grid × channel-sized graph
       //                  + the 1-row base-cvr scalar
+      "ivfpq_topk",    // crossJoins of the 16-row centroid set and
+      //                  the 1-row query vector (ivf_topk's shape)
+      "hard_negatives") // crossJoin of the 8-row anchor batch
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are

@@ -636,6 +636,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L).isEmpty) // left join keeps unmatched stream rows
   }
 
+  test("streaming contamination screen equals the batch screen and " +
+      "never misses a true gram hit") {
+    ext.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // batch-compiled bloom over the eval slice's distinct gram hashes
+    val bloom = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select(expr("ngram_hashes(toks, 8)"))
+      .agg(expr("bloom_agg(g)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val got = runToEnd(
+      StreamOps.contaminationScreen(StreamOps.replayDocs(spark, sfDir),
+        bloom),
+      "t_contam", OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got.size == docs.count())
+    // stream equals the same stateless screen applied in batch
+    val batch = StreamOps.contaminationScreen(docs, bloom)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == batch)
+    // bloom guarantee: every doc that truly shares an 8-gram with the
+    // eval slice must be flagged (false positives allowed, negatives not)
+    val g = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr("ngram_hashes(toks, 8)"))
+    val evalG = docs.filter(col("doc_id") % 10 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select(expr("ngram_hashes(toks, 8)")).distinct()
+    val trueHits = g.join(evalG, "g").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(trueHits.nonEmpty)
+    assert(trueHits.forall(got(_)))
+  }
+
   test("foreachBatch + Snapshots.commitAs: exactly-once versioned " +
       "table commits across a checkpoint restart") {
     import spark.implicits._
