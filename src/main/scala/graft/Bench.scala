@@ -81,9 +81,11 @@ object Bench {
   val r13: Seq[String] =
     Seq("compact_partitions", "bigram_logprob", "kl_source_divergence")
 
-  /** The round-14 additions, timed when SPARK_GRAFT_BENCH_SET=r14. */
+  /** The round-14 additions, timed when SPARK_GRAFT_BENCH_SET=r14
+    * (`dedup_append`'s timing includes its two snapshot commits by
+    * design — the write path IS the op). */
   val r14: Seq[String] =
-    Seq("dedup_spans", "ivfpq_topk", "hard_negatives")
+    Seq("dedup_spans", "ivfpq_topk", "hard_negatives", "dedup_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
