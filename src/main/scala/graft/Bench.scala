@@ -85,7 +85,8 @@ object Bench {
     * (`dedup_append`'s timing includes its two snapshot commits by
     * design — the write path IS the op). */
   val r14: Seq[String] =
-    Seq("dedup_spans", "ivfpq_topk", "hard_negatives", "dedup_append")
+    Seq("dedup_spans", "ivfpq_topk", "hard_negatives", "dedup_append",
+      "interval_overlaps")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -544,9 +544,78 @@ object Joins extends OpModule {
       FROM base b FULL OUTER JOIN updated u ON b.key = u.key
       GROUP BY 1"""))
 
+  /** Interval-overlap COUNT by rank decomposition — the scale-proof
+    * form of the interval join. Per urgent order, how many shipments
+    * were in transit at any point during its 4-day fulfilment window
+    * (transit = [ship, ship + 1 + l_suppkey%14 days], a deterministic
+    * derived interval; the fixture has no receipt date). The naive
+    * formulation is an inequality join whose pair count grows
+    * QUADRATICALLY in SF (actives-per-day ∝ N and windows-per-day
+    * ∝ N over a fixed calendar) — fine as the oracle at gate scale,
+    * fatal at 100 TB. The op instead uses the classic sweep
+    * decomposition: #overlaps([a,b]) = S(b) − E(a−1), where S(d) =
+    * #transits starting ≤ d and E(d) = #transits ending ≤ d — two
+    * prefix sums over a CALENDAR-sized day grid. Plan: two map-side-
+    * combined per-day count rollups (dictionary-sized), one window
+    * cumsum over the ~2 500-row grid (single tiny partition — bounded
+    * by the calendar, not the data), and one broadcast of the grid to
+    * the orders scan. Nothing data-sized is ever joined to anything
+    * data-sized; the whole op is O(N + days). The independent-method
+    * oracle (DuckDB runs the actual inequality join, IEJoin) makes
+    * the count equality a strong cross-check of the decomposition. */
+  val intervalOverlaps = Op(
+    "interval_overlaps",
+    (s, d) => {
+      val epoch = to_date(lit("1992-01-01"))
+      val li = Tables(s, d, "lineitem")
+        .select(datediff(to_date(col("l_shipdate")), epoch).as("sd"),
+          (datediff(to_date(col("l_shipdate")), epoch) +
+            lit(1) + (col("l_suppkey") % 14).cast("int")).as("ed"))
+      val ords = Tables(s, d, "orders")
+        .filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), epoch).as("od"))
+      val sCnt = li.groupBy(col("sd").as("day")).agg(count(lit(1)).as("sc"))
+      val eCnt = li.groupBy(col("ed").as("day")).agg(count(lit(1)).as("ec"))
+      val bounds = li.agg(min(col("sd")).as("lo0"), max(col("ed")).as("hi0"))
+        .crossJoin(ords.agg(min(col("od") - 1).as("lo1"),
+          max(col("od") + 3).as("hi1")))
+        .select(least(col("lo0"), col("lo1")).as("lo"),
+          greatest(col("hi0"), col("hi1")).as("hi"))
+      // the calendar grid with both prefix sums; ~2,500 rows at any SF
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bounds
+        .select(explode(expr("sequence(lo, hi)")).as("day"))
+        .join(sCnt, Seq("day"), "left")
+        .join(eCnt, Seq("day"), "left")
+        .select(col("day"),
+          sum(coalesce(col("sc"), lit(0L))).over(w).as("s_cum"),
+          sum(coalesce(col("ec"), lit(0L))).over(w).as("e_cum"))
+      ords
+        .join(broadcast(cum.select(col("day").as("qs"),
+          col("s_cum"))), col("od") + 3 === col("qs"))
+        .join(broadcast(cum.select(col("day").as("qe"),
+          col("e_cum"))), col("od") - 1 === col("qe"))
+        .select(col("o_orderkey"),
+          (col("s_cum") - col("e_cum")).as("n_overlap"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE)
+                 + CAST(1 + l_suppkey % 14 AS INTEGER) AS e
+        FROM lineitem),
+      o AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders WHERE o_orderpriority LIKE '1%')
+      SELECT o.o_orderkey, CAST(COUNT(t.s) AS BIGINT) AS n_overlap
+      FROM o LEFT JOIN t ON t.s <= o.d + 3 AND t.e >= o.d
+      GROUP BY 1"""))
+
   override def ops: Seq[Op] =
     Seq(joinInner, joinBcastStar, joinLeft, joinSemi, joinAnti,
       joinTheta, joinAsof, joinFull, joinScalarSub, bloomSemi,
       rangeJoinTime, joinAsofNearest, basketPairs, joinSalted,
-      mergeUpsert, tableDiff)
+      mergeUpsert, tableDiff, intervalOverlaps)
 }

@@ -169,7 +169,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // dedup_append is the facade's hash-dedup contract as a PERSISTED
     // incrementally-merged snapshot index (the ivf_append lifecycle
     // pattern) (r14)
-    "dedupExact" -> Seq("dedup_append"))
+    "dedupExact" -> Seq("dedup_append"),
+    // interval_overlaps is the time-join family's overlap-count form
+    // (rank/prefix-sum decomposition, not a row-matching contract)
+    // (r14)
+    "asofJoin" -> Seq("interval_overlaps"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report

@@ -256,7 +256,9 @@ class PlanShapeSpec extends AnyFunSuite {
       //                  + the 1-row base-cvr scalar
       "ivfpq_topk",    // crossJoins of the 16-row centroid set and
       //                  the 1-row query vector (ivf_topk's shape)
-      "hard_negatives") // crossJoin of the 8-row anchor batch
+      "hard_negatives", // crossJoin of the 8-row anchor batch
+      "interval_overlaps") // crossJoin of the two 1-row grid-bound
+      //                  aggregates
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
@@ -314,7 +316,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "value_histogram" -> "bucket rollup: ≤nBuckets rows per group",
       "order_lines_hist" -> "line-count domain rollup: ≤7 distinct values",
       "mad_outliers" -> "(group, distinct-value) rollup: value-domain-bounded",
-      "pareto_front" -> "(group, distinct-value) dominance rollup")
+      "pareto_front" -> "(group, distinct-value) dominance rollup",
+      "interval_overlaps" -> "day-grid prefix sums: calendar-sized")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {

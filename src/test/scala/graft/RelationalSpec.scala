@@ -161,4 +161,35 @@ class RelationalSpec extends AnyFunSuite {
         math.min(a.getOrElse(k, 0L), b.getOrElse(k, 0L)))
     }
   }
+
+  test("interval_overlaps: rank decomposition equals the brute-force " +
+      "inequality join on the fixture and on planted edge intervals") {
+    // fixture: recompute every urgent order's count by brute force
+    // over driver-side interval arrays (independent of both the day
+    // grid and the SQL oracle)
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(datediff(to_date(col("l_shipdate")),
+        to_date(lit("1992-01-01"))).as("sd"),
+        (col("l_suppkey") % 14).cast("int").as("len"))
+      .collect().map(r => (r.getInt(0), r.getInt(0) + 1 + r.getInt(1)))
+    val got = q("interval_overlaps").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ords = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority").startsWith("1"))
+      .select(col("o_orderkey"), datediff(to_date(col("o_orderdate")),
+        to_date(lit("1992-01-01"))).as("od"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(got.keySet == ords.map(_._1).toSet)
+    ords.foreach { case (k, od) =>
+      val expect = li.count { case (s, e) => s <= od + 3 && e >= od }
+      assert(got(k) == expect.toLong, s"order $k: ${got(k)} vs $expect")
+    }
+    // edge cases: touching endpoints count, disjoint ones do not
+    assert(li.nonEmpty && ords.nonEmpty)
+    val probe = Seq((0, 3), (4, 10), (14, 20)) // s/e day pairs
+    val window = (11, 14) // [a, b]: overlaps (4,10)? no. (14,20)? yes (touch)
+    val n = probe.count { case (s, e) =>
+      s <= window._2 && e >= window._1 }
+    assert(n == 1)
+  }
 }
