@@ -596,7 +596,84 @@ object LmOps extends OpModule {
                     * SUM(x)) / COUNT(*), 4) AS intercept
       FROM ranked"""))
 
+  /** Perplexity-bucketed corpus mixing (the CCNet move: split the
+    * corpus by LM quality and keep more of the good tail): every doc
+    * scored by the `unigram_logprob` kernel, exact global quality
+    * QUARTILES by rank — bucket = ⌊(rank−1)·4/N⌋ over the (score,
+    * doc_id) total order — then a deterministic per-bucket keep rate
+    * (100/250/500/1000 ‰, worst→best) on the `mix_uniform` Knuth
+    * hash, so membership stays a pure function of doc_id (re-runs and
+    * appends never resample). Output = the per-bucket audit (counts,
+    * kept, score range).
+    *
+    * Scale: the ranking is the ONLY data-sized ordered step and it
+    * runs on the distributed exact-rank kernel
+    * (`Ranks.withGlobalRank`: repartitionByRange + per-partition
+    * zipWithIndex — no single-task global window, the zipf_fit/
+    * vocab_build precedent); scoring is the unigram kernel's one
+    * broadcast join; the rest is per-row hash arithmetic and a
+    * 4-row rollup. Rank-based buckets beat value cutoffs here
+    * because they are exactly reproducible in both engines with no
+    * quantile-interpolation convention to match. */
+  val perplexityMix = Op(
+    "perplexity_mix",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = cu.agg(sum(col("c")).as("nu"))
+      val scored = toks
+        .join(broadcast(cu), "w")
+        .crossJoin(broadcast(nu))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("c") * lit(1.0) / col("nu"))), 4).as("lp"))
+      val ranked = graft.ops.Ranks.withGlobalRank(
+        scored, "rk", col("lp"), col("doc_id"))
+      val total = scored.agg(count(lit(1)).as("nn"))
+      ranked.crossJoin(broadcast(total))
+        .withColumn("bucket", expr("((rk - 1) * 4 - ((rk - 1) * 4) % nn) DIV nn"))
+        .withColumn("rate", expr(
+          "CASE bucket WHEN 0 THEN 100 WHEN 1 THEN 250 " +
+            "WHEN 2 THEN 500 ELSE 1000 END"))
+        .withColumn("keep", expr(
+          "pmod((doc_id % 100000) * 2654435761, 1000) < rate"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          min(col("lp")).as("lo_lp"),
+          max(col("lp")).as("hi_lp"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      cu AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+      nu AS (SELECT SUM(c) AS nu FROM cu),
+      scored AS (
+        SELECT doc_id, ROUND(AVG(LN(c * 1.0 / nu)), 4) AS lp
+        FROM toks JOIN cu USING (w), nu
+        GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id, lp,
+               ROW_NUMBER() OVER (ORDER BY lp, doc_id) AS rk
+        FROM scored),
+      tot AS (SELECT COUNT(*) AS nn FROM scored),
+      b AS (
+        SELECT doc_id, lp,
+               ((rk - 1) * 4) // nn AS bucket,
+               CASE ((rk - 1) * 4) // nn
+                 WHEN 0 THEN 100 WHEN 1 THEN 250
+                 WHEN 2 THEN 500 ELSE 1000 END AS rate
+        FROM ranked, tot)
+      SELECT bucket, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN (doc_id % 100000) * 2654435761 % 1000
+                             < rate THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             MIN(lp) AS lo_lp, MAX(lp) AS hi_lp
+      FROM b GROUP BY bucket"""))
+
   override def ops: Seq[Op] =
     Seq(chunkDocs, pmiBigrams, unigramLogprob, bigramLogprob, bpeMerges,
-      cooccurTopk, bpeEncode, zipfFit)
+      cooccurTopk, bpeEncode, zipfFit, perplexityMix)
 }

@@ -173,7 +173,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // interval_overlaps is the time-join family's overlap-count form
     // (rank/prefix-sum decomposition, not a row-matching contract)
     // (r14)
-    "asofJoin" -> Seq("interval_overlaps"))
+    "asofJoin" -> Seq("interval_overlaps"),
+    // perplexity_mix is the mixing family's quality-bucketed form
+    // (rank quartiles over the unigram-LM score, per-bucket Knuth
+    // keep rates) (r14)
+    "mixTemperature" -> Seq("perplexity_mix"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report

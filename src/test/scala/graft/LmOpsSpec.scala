@@ -157,4 +157,28 @@ class LmOpsSpec extends AnyFunSuite {
     val mm = out.agg(min(col("avg_logprob")), max(col("avg_logprob"))).first()
     assert(mm.getDouble(0) < mm.getDouble(1))
   }
+
+  test("perplexity_mix: rank quartiles partition the corpus, score " +
+      "ranges are ordered, keep rates behave") {
+    val rows = q("perplexity_mix").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    val n = Tables(spark, sfDir, "documents").count()
+    assert(rows.values.map(_._1).sum == n)
+    // quartile sizes differ by at most 1 from N/4 rounding
+    rows.values.foreach { case (nd, _, _, _) =>
+      assert(math.abs(nd - n / 4.0) <= 1.0, s"quartile size $nd vs $n/4")
+    }
+    // kept <= docs everywhere; the best bucket (rate 1000 permil)
+    // keeps everything
+    rows.foreach { case (_, (nd, nk, _, _)) => assert(nk <= nd) }
+    assert(rows(3L)._2 == rows(3L)._1)
+    // score ranges tile in bucket order (ties may touch, never cross)
+    for (b <- 0L to 2L) {
+      assert(rows(b)._4 <= rows(b + 1L)._3 + 1e-12,
+        s"bucket $b hi ${rows(b)._4} > bucket ${b + 1} lo ${rows(b + 1L)._3}")
+      assert(rows(b)._3 <= rows(b)._4)
+    }
+  }
 }

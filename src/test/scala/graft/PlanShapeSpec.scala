@@ -257,8 +257,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "ivfpq_topk",    // crossJoins of the 16-row centroid set and
       //                  the 1-row query vector (ivf_topk's shape)
       "hard_negatives", // crossJoin of the 8-row anchor batch
-      "interval_overlaps") // crossJoin of the two 1-row grid-bound
+      "interval_overlaps", // crossJoin of the two 1-row grid-bound
       //                  aggregates
+      "perplexity_mix") // crossJoins of the 1-row corpus-total and
+      //                  1-row doc-count scalars
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are
