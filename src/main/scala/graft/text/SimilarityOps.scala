@@ -359,33 +359,50 @@ object SimilarityOps extends OpModule {
     * out so PropertySpec can drive it with synthetic corpora (exact
     * duplicates share every signature, hence every band: recall of
     * identical texts is 1 by construction, and the test asserts it). */
+  /** Per-doc-distinct trigram rows — grams exploded ONCE via the
+    * native ngrams Generator (no per-doc gram array is ever
+    * materialized; the old array_min(transform(grams, md5...)) ×8
+    * form, which after CollapseProject re-derived the trigram array
+    * and its embedded split inside every signature expression, is
+    * gone). Shared by the one-shot pair kernel and the persisted
+    * band index. */
+  private def gramRows(input: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = input
+    .withColumn("toks", split(col("text"), " "))
+    .select(col("doc_id"), expr("ngrams(toks, 3)"))
+    .select(col("doc_id"), col("ngram").as("g"))
+    .distinct()
+
+  /** The per-doc signature table (doc_id, h0..h7, n): 8 salted-md5
+    * min-hash signatures as min-aggregates over the exploded grams;
+    * `n` is the doc's distinct-gram count. A doc's signature depends
+    * only on its own text — the property that makes the incremental
+    * index (`minhash_append`) row-identical to the one-shot build. */
+  private def sigTable(grams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sigAggs = (0 until 8).map { i =>
+      min(md5(concat(lit(s"$i:"), col("g")))).as(s"h$i")
+    } :+ count(lit(1)).as("n")
+    grams.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) rows from the signature table, banded 4×2. */
+  private def bandRows(sig: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bandArr = (0 until 4)
+      .map(j => s"struct($j as band, concat(h${2 * j}, h${2 * j + 1}) as bkey)")
+      .mkString("array(", ", ", ")")
+    sig.select(col("doc_id"), explode(expr(bandArr)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.bkey").as("bkey"))
+  }
+
   private[graft] def minhashDetPairs(input: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
       graft.ext.GraftFunctions.register(input.sparkSession)
-      val nBands = 4
-      // grams exploded ONCE via the native ngrams Generator, then the
-      // 8 signatures as min-aggregates over the exploded rows — no
-      // per-doc gram array is ever materialized, and the old
-      // array_min(transform(grams, md5...)) x8 form (which after
-      // CollapseProject re-derived the trigram array, and its
-      // embedded split, inside every signature expression) is gone
-      val grams = input
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), expr("ngrams(toks, 3)"))
-        .select(col("doc_id"), col("ngram").as("g"))
-        .distinct()
-      val sigAggs = (0 until 2 * nBands).map { i =>
-        min(md5(concat(lit(s"$i:"), col("g")))).as(s"h$i")
-      } :+ count(lit(1)).as("n")
-      val sig = grams.groupBy(col("doc_id"))
-        .agg(sigAggs.head, sigAggs.tail: _*)
-      val bandArr = (0 until nBands)
-        .map(j => s"struct($j as band, concat(h${2 * j}, h${2 * j + 1}) as bkey)")
-        .mkString("array(", ", ", ")")
-      val bands = sig
-        .select(col("doc_id"), explode(expr(bandArr)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"),
-          col("b.bkey").as("bkey"))
+      val grams = gramRows(input)
+      val sig = sigTable(grams)
+      val bands = bandRows(sig)
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
           Seq("band", "bkey"))
@@ -435,6 +452,145 @@ object SimilarityOps extends OpModule {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      grams AS (SELECT doc_id, unnest(grams) AS g FROM docs),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+        FROM cand
+        JOIN grams ga ON ga.doc_id = cand.doc_a
+        JOIN grams gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+              >= 0.4"""
+    })
+
+  private def tmpBase(name: String, sfDir: String): String =
+    s"/tmp/graft_sim_${name}_${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+
+  /** The PERSISTED MinHash-LSH band index with incremental ingest —
+    * `dedup_append`'s near-dup twin, and together with it the full
+    * rolling-crawl dedup lifecycle: the index is a snapshot table of
+    * (doc_id, band, bkey) rows hive-partitioned by (band, bkey
+    * nibble) (64 partitions), built once from the base corpus and
+    * maintained by `commitPartitions`-merging each ingest batch's
+    * band rows — only partitions receiving batch buckets rewrite.
+    * Because a doc's signature is a pure function of its own text
+    * (deterministic salted-md5 family, no training), batch signatures
+    * computed in isolation are IDENTICAL to full-corpus signatures,
+    * so the merged index is row-identical to the one-shot build.
+    *
+    * At ingest the batch's band rows immediately probe the merged
+    * index: candidates = bucket-join (batch side × whole index, so a
+    * new doc pairs with base docs AND its batch-mates), verified by
+    * exact Jaccard — and the verify stage re-reads ONLY the candidate
+    * docs' texts (a left-semi-pruned corpus read; the index itself
+    * stores no text). Output = the newly-discovered near-dup pairs
+    * (jaccard ≥ 0.4, at least one side in the batch), which the
+    * oracle reproduces by running the FULL one-shot `minhash_det`
+    * chain and keeping batch-involving pairs — any band row lost or
+    * duplicated by the incremental commit, or any drift between
+    * isolated and full-corpus signatures, changes the candidate set
+    * and hash-mismatches. Batch = the 50 newest doc_ids (a bounded
+    * ingest tick; the sf0.01 fixture's planted near-dups give the
+    * gate 5 discovered pairs). */
+  val minhashAppend = Op(
+    "minhash_append",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      import graft.sources.Snapshots
+      val docs = Tables(s, d, "documents")
+      val base = tmpBase("minhash_append", d)
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val mx = docs.agg(max(col("doc_id")).as("mxd"))
+      def pb(df: org.apache.spark.sql.DataFrame) = df.withColumn("pb",
+        (col("band") * 16 +
+          conv(substring(col("bkey"), 1, 1), 16, 10).cast("int")).cast("int"))
+      // v1: the base index (all but the 50 newest docs)
+      val baseBands = pb(bandRows(sigTable(gramRows(
+        docs.crossJoin(broadcast(mx))
+          .filter(col("doc_id") <= col("mxd") - 50).drop("mxd")))))
+      val v1 = Snapshots.commitPartitioned(baseBands, base, "pb")
+      // ingest tick: the 50 newest docs' band rows, merged into ONLY
+      // the touched (band, nibble) partitions
+      val batchBands = pb(bandRows(sigTable(gramRows(
+        docs.crossJoin(broadcast(mx))
+          .filter(col("doc_id") > col("mxd") - 50).drop("mxd")))))
+        .localCheckpoint() // 3 consumers: touched semi, merge, probe
+      val touched = batchBands.select(col("pb")).distinct()
+      val merged = Snapshots.readAsOf(s, base, v1)
+        .join(broadcast(touched), Seq("pb"), "left_semi")
+        .select(col("pb"), col("doc_id"), col("band"), col("bkey"))
+        .unionByName(batchBands
+          .select(col("pb"), col("doc_id"), col("band"), col("bkey")))
+      val v2 = Snapshots.commitPartitions(merged, base, "pb")
+      // discovery: batch buckets probe the merged index
+      val cand = Snapshots.readAsOf(s, base, v2)
+        .select(col("doc_id").as("ia"), col("band"), col("bkey"))
+        .join(batchBands.select(col("doc_id").as("ib"), col("band"),
+          col("bkey")), Seq("band", "bkey"))
+        .filter(col("ia") =!= col("ib"))
+        .select(least(col("ia"), col("ib")).as("doc_a"),
+          greatest(col("ia"), col("ib")).as("doc_b"))
+        .distinct()
+      // exact verify over ONLY the candidate docs' grams
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b")))
+        .distinct()
+      val g = gramRows(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .localCheckpoint() // 3 consumers: sizes + both intersection sides
+      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      cand
+        .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("g")),
+          Seq("doc_b", "g"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          "doc_b")
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+    Some {
+      val sigSql = (0 until 8).map(i =>
+        s"list_aggregate(list_transform(grams, g -> md5('$i:' || g)), 'min') AS h$i")
+        .mkString(",\n               ")
+      val bandSql = (0 until 4).map(j =>
+        s"SELECT doc_id, $j AS band, h${2 * j} || h${2 * j + 1} AS bkey FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH mxc AS (SELECT max(doc_id) AS mxd FROM documents),
+      docs AS (
+        SELECT doc_id,
+               list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                              FOR i IN range(0, len(toks) - 2)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+               $sigSql
+        FROM docs),
+      bands AS (
+        $bandSql),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id,
+        mxc
+        WHERE a.doc_id > mxc.mxd - 50 OR b.doc_id > mxc.mxd - 50),
       grams AS (SELECT doc_id, unnest(grams) AS g FROM docs),
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
       inter AS (
@@ -830,6 +986,6 @@ object SimilarityOps extends OpModule {
 
   override def ops: Seq[Op] =
     Seq(simhashPairs, simhashMultiprobe, ngramJaccard, shingleContainment,
-      neardupCluster, minhashDet, langId, dupSpanFrac, dedupSpans,
-      editDistPairs, sourceOverlap, nameClusters)
+      neardupCluster, minhashDet, minhashAppend, langId, dupSpanFrac,
+      dedupSpans, editDistPairs, sourceOverlap, nameClusters)
 }

@@ -146,8 +146,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // count-table-vs-corpus shape as the DSIR importance weights,
     // different statistic (per-source KL, not per-doc weights) (r13)
     "importanceWeights" -> Seq("kl_source_divergence"),
+    // minhash_append is the facade family's PERSISTED band index with
+    // incremental ingest (the dedup_append/ivf_append lifecycle) (r14)
     "minhashPairs" -> Seq("dedup_minhash", "ngram_jaccard",
-      "simhash_pairs", "simhash_multiprobe"),
+      "simhash_pairs", "simhash_multiprobe", "minhash_append"),
     // Lloyd-trained index variants: same query surface as the facade,
     // different (trained) codebook/centroid construction — related,
     // not parameter-pinned equivalents (r11); ivf_append is the

@@ -235,6 +235,20 @@ class TextVecSpec extends AnyFunSuite {
     assert(out(9L) == (20L, 0L))
   }
 
+  test("minhash_append: incremental at-ingest discovery equals the " +
+      "one-shot pair kernel restricted to batch-involving pairs") {
+    val got = q("minhash_append").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mx = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val full = q("minhash_det").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) =>
+      a > mx - 50 || b > mx - 50 }
+    assert(got == expected)
+    // and the base-base pairs the tick must NOT re-report exist
+    assert(full.exists { case (a, b, _) => a <= mx - 50 && b <= mx - 50 })
+  }
+
   test("ivfpq_topk: 10 distinct candidates from the 2 probed cells, " +
       "ADC scores non-increasing") {
     val rows = q("ivfpq_topk").collect()
