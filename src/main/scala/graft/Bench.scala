@@ -86,7 +86,8 @@ object Bench {
     * design — the write path IS the op). */
   val r14: Seq[String] =
     Seq("dedup_spans", "ivfpq_topk", "hard_negatives", "dedup_append",
-      "interval_overlaps", "perplexity_mix", "minhash_append")
+      "interval_overlaps", "perplexity_mix", "minhash_append",
+      "gopher_filter", "epoch_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

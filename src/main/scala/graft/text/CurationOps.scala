@@ -745,6 +745,142 @@ object CurationOps extends OpModule {
       FROM cnt c JOIN corpus USING (w) JOIN stot USING (source), ctot
       GROUP BY c.source, sn"""))
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", §A.1.1 — public paper): unlike
+    * `quality_score`'s single blended score, each document gets a
+    * per-rule pass/fail flag (length band, mean-word-length band,
+    * stopword floor, top-word dominance cap, distinct-token floor)
+    * plus the conjunction `keep` — the per-rule attribution is what a
+    * curation run actually reports ("which rule killed how much of
+    * the crawl"). Thresholds are tuned to the synthetic corpus so
+    * every rule both passes and fails real rows at the gate SFs.
+    *
+    * Scale shape: ONE codegen'd row-local pass — token counts,
+    * distinct count and top-word frequency from the linear native
+    * `rep_stats` kernel (the r13 lesson: never the quadratic HOF
+    * top1), stopword counts from two codegen'd `array_remove` size
+    * deltas, mean word length from arithmetic on `n_chars`. Zero
+    * shuffles, zero joins; at 100 TB the op is scan-bound and
+    * embarrassingly parallel, exactly like the production filter
+    * it models. */
+  val gopherFilter = Op(
+    "gopher_filter",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("rs", expr("rep_stats(toks)"))
+        .withColumn("n", col("rs.n_tokens"))
+        .withColumn("n_stop",
+          (col("n") - size(array_remove(col("toks"), "the"))) +
+            (col("n") - size(array_remove(col("toks"), "a"))))
+        .withColumn("mwl",
+          (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
+        .withColumn("r_len", col("n").between(20, 90))
+        .withColumn("r_wordlen", col("mwl") >= 4.0 && col("mwl") <= 5.0)
+        .withColumn("r_stop",
+          col("n_stop").cast("double") / col("n") >= 0.02)
+        .withColumn("r_dom",
+          col("rs.top1").cast("double") / col("n") <= 0.12)
+        .withColumn("r_distinct",
+          col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          col("r_len"), col("r_wordlen"), col("r_stop"), col("r_dom"),
+          col("r_distinct"),
+          (col("r_len") && col("r_wordlen") && col("r_stop") &&
+            col("r_dom") && col("r_distinct")).as("keep"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n,
+               CAST(len(list_distinct(toks)) AS INT) AS nd,
+               CAST(list_aggregate(
+                 list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w))),
+                 'max') AS INT) AS top1,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+                 AS INT) AS n_stop,
+               CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 AS mwl
+        FROM t)
+      SELECT doc_id, n AS n_tokens,
+             (n BETWEEN 20 AND 90) AS r_len,
+             (mwl >= 4.0 AND mwl <= 5.0) AS r_wordlen,
+             (CAST(n_stop AS DOUBLE) / n >= 0.02) AS r_stop,
+             (CAST(top1 AS DOUBLE) / n <= 0.12) AS r_dom,
+             (CAST(nd AS DOUBLE) / n >= 0.4) AS r_distinct,
+             ((n BETWEEN 20 AND 90) AND (mwl >= 4.0 AND mwl <= 5.0)
+              AND (CAST(n_stop AS DOUBLE) / n >= 0.02)
+              AND (CAST(top1 AS DOUBLE) / n <= 0.12)
+              AND (CAST(nd AS DOUBLE) / n >= 0.4)) AS keep
+      FROM s"""))
+
+  /** Epoch planning for a temperature-weighted source mixture — the
+    * "how many repeats of each source hit the token budget" calc
+    * every pre-training data plan starts from (the τ-weighting is
+    * `mix_temperature`'s exponent family; this op outputs the PLAN
+    * rather than sampling rows): per-source token counts c_s, τ=0.5
+    * weights w_s ∝ √c_s, budget B = 2·Σc, target tokens B·w_s and
+    * epochs (repeat factor) B·w_s/c_s — small sources repeat more,
+    * the classic up-weighting trade-off made explicit.
+    *
+    * Cross-engine determinism: √c_s is quantized to an integer at 4dp
+    * (`round(sqrt·10⁴) → long`) so the weight denominator is an EXACT
+    * integer sum — float sums over per-source doubles would be
+    * order-sensitive and could differ between engines in the last
+    * ulp; integer sums cannot. All downstream arithmetic is then
+    * identical IEEE double ops on identical operands.
+    *
+    * Scale shape: one map-side-combined rollup keyed by source (20
+    * keys — partial aggregation makes the shuffle bytes, not rows),
+    * a 1-row total broadcast back, output O(sources). One pass over
+    * the corpus at any SF. */
+  val epochPlan = Op(
+    "epoch_plan",
+    (s, d) => {
+      val per = Tables(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+        .withColumn("sq",
+          round(sqrt(col("n_tokens").cast("double")) * 10000)
+            .cast("long"))
+      val tot = per.agg(sum(col("sq")).as("den"),
+        sum(col("n_tokens")).as("corpus"))
+      per.crossJoin(broadcast(tot))
+        .select(
+          col("source"),
+          col("n_tokens"),
+          round(col("sq").cast("double") / col("den"), 6).as("weight"),
+          round(lit(2.0) * col("corpus") * col("sq") / col("den"), 2)
+            .as("target_tokens"),
+          round(lit(2.0) * col("corpus") * col("sq") /
+            (col("den") * col("n_tokens")), 4).as("epochs"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM documents GROUP BY source),
+      per2 AS (
+        SELECT source, n_tokens,
+               CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 10000)
+                 AS BIGINT) AS sq
+        FROM per),
+      tot AS (
+        SELECT CAST(SUM(sq) AS BIGINT) AS den,
+               CAST(SUM(n_tokens) AS BIGINT) AS corpus
+        FROM per2)
+      SELECT source, n_tokens,
+             ROUND(CAST(sq AS DOUBLE) / den, 6) AS weight,
+             ROUND(2.0 * corpus * sq / den, 2) AS target_tokens,
+             ROUND(2.0 * corpus * sq / (den * n_tokens), 4) AS epochs
+      FROM per2, tot"""))
+
   private def tmpBase(name: String, sfDir: String): String =
     s"/tmp/graft_cur_${name}_${Integer.toHexString(sfDir.hashCode)}" +
       s"_p${ProcessHandle.current().pid()}"
@@ -822,5 +958,5 @@ object CurationOps extends OpModule {
     sampleStratified, packSequences, dedupKeepBest, contamination,
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
     domainCap, mixTemperature, shuffleShard, klSourceDivergence,
-    dedupAppend)
+    dedupAppend, gopherFilter, epochPlan)
 }

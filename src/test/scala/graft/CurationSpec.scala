@@ -200,4 +200,61 @@ class CurationSpec extends AnyFunSuite {
       .toSet
     assert(fix == fixExpect)
   }
+
+  test("gopher_filter: keep is exactly the rule conjunction, every " +
+      "rule discriminates, and flags reconcile with a HOF recompute") {
+    val out = q("gopher_filter").cache()
+    try {
+      // keep = AND of the five rules, row by row
+      val bad = out.filter(col("keep") =!=
+        (col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_dom") && col("r_distinct"))).count()
+      assert(bad == 0)
+      // the fixture thresholds are live: every rule passes AND fails
+      // at least one real document (an all-pass rule tests nothing)
+      for (r <- Seq("r_len", "r_wordlen", "r_stop", "r_dom",
+          "r_distinct")) {
+        assert(out.filter(col(r)).count() > 0, s"$r never passes")
+        assert(out.filter(!col(r)).count() > 0, s"$r never fails")
+      }
+      assert(out.filter(col("keep")).count() > 0)
+      assert(out.filter(!col("keep")).count() > 0)
+      // rep_stats-derived flags reconcile with an independent HOF
+      // formulation (distinct ratio + stopword count)
+      val hof = Tables(spark, sfDir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          (expr("size(array_distinct(toks))").cast("double") /
+            expr("size(toks)") >= 0.4).as("e_distinct"),
+          (expr("size(filter(toks, x -> x = 'the' or x = 'a'))")
+            .cast("double") / expr("size(toks)") >= 0.02).as("e_stop"))
+      val mismatch = out.join(hof, "doc_id")
+        .filter(col("r_distinct") =!= col("e_distinct") ||
+          col("r_stop") =!= col("e_stop")).count()
+      assert(mismatch == 0)
+    } finally out.unpersist()
+  }
+
+  test("epoch_plan: weights sum to ~1, epochs inversely order with " +
+      "size, and target tokens reproduce budget * weight") {
+    val rows = q("epoch_plan").collect()
+    assert(rows.length > 1) // one row per source
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    // τ=0.5 up-weights small sources: the smallest source must have
+    // strictly more epochs than the largest
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySize.head.getAs[Double]("epochs") >
+      bySize.last.getAs[Double]("epochs"))
+    // budget identity: Σ target_tokens ≈ 2 · Σ n_tokens
+    val corpus = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val tsum = rows.map(_.getAs[Double]("target_tokens")).sum
+    assert(math.abs(tsum - 2.0 * corpus) / (2.0 * corpus) < 1e-3)
+    // and each row: epochs = target / own tokens (to rounding)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("target_tokens") /
+        r.getAs[Long]("n_tokens")
+      assert(math.abs(e - r.getAs[Double]("epochs")) < 1e-3)
+    }
+  }
 }

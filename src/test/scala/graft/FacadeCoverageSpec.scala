@@ -166,8 +166,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
     "quantizeInt8" -> Seq("pq_topk_trained", "ivfpq_topk"),
     // dedup_spans resolves dup_span_frac's duplicated spans into
     // their token-coverage union — same gram kernel, span-removal
-    // contract (r14)
-    "qualityScore" -> Seq("dedup_spans"),
+    // contract (r14); gopher_filter is the facade's score as a
+    // per-rule pass/fail battery (same row-local signal kernel,
+    // attribution contract) (r14)
+    "qualityScore" -> Seq("dedup_spans", "gopher_filter"),
     // dedup_append is the facade's hash-dedup contract as a PERSISTED
     // incrementally-merged snapshot index (the ivf_append lifecycle
     // pattern) (r14)
@@ -178,8 +180,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
     "asofJoin" -> Seq("interval_overlaps"),
     // perplexity_mix is the mixing family's quality-bucketed form
     // (rank quartiles over the unigram-LM score, per-bucket Knuth
-    // keep rates) (r14)
-    "mixTemperature" -> Seq("perplexity_mix"))
+    // keep rates) (r14); epoch_plan is the same τ-exponent weighting
+    // emitted as the per-source repeat PLAN instead of sampled rows
+    // (r14)
+    "mixTemperature" -> Seq("perplexity_mix", "epoch_plan"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report
