@@ -87,7 +87,8 @@ object Bench {
   val r14: Seq[String] =
     Seq("dedup_spans", "ivfpq_topk", "hard_negatives", "dedup_append",
       "interval_overlaps", "perplexity_mix", "minhash_append",
-      "gopher_filter", "epoch_plan")
+      "gopher_filter", "epoch_plan", "semdedup_append",
+      "curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -954,9 +954,157 @@ object CurationOps extends OpModule {
       FROM documents
       GROUP BY 1"""))
 
+  /** The curation funnel report — stage-by-stage document/token
+    * attrition through the standard pre-training pipeline order
+    * (raw → quality battery → exact dedup → near-dup), the one table
+    * every curation run publishes ("we started with X tokens and
+    * shipped Y, and here is which stage took what"). Stages reuse the
+    * declared kernels verbatim so the report is consistent with the
+    * ops a user runs individually: the quality gate is
+    * `gopher_filter`'s keep conjunction (same thresholds, same native
+    * `rep_stats` pass), exact dedup is `dedup_exact`'s md5-group
+    * min-id keeper, near-dup is the `minhash_det` band→verify kernel
+    * (jaccard ≥ 0.4) with the EXISTS-lower-id drop rule (`semdedup`'s
+    * keep contract).
+    *
+    * Fixture note: the driver-gate SF's 500 texts are all distinct
+    * (FIXTURES.md), so the exact stage shows zero attrition there by
+    * construction — at the synthetic sf1/sf10, where `make_sf.py`
+    * replicates non-key attributes verbatim, it removes ~90%/99% of
+    * surviving docs, which is exactly the regime the stage exists for.
+    *
+    * Scale shape: stage signals are ONE row-local codegen pass
+    * (re-derived per consumer rather than checkpointing data-sized
+    * text — scan-bound and embarrassingly parallel; in production
+    * each stage materializes its survivor corpus as a snapshot
+    * version and the report reads manifests, not data). The only
+    * data-sized shuffles are dedup_exact's md5 rollup and the minhash
+    * chain's banded candidate join, both established scale-clean
+    * kernels; every stage row is a map-side-combined 1-row rollup. */
+  val curationFunnel = Op(
+    "curation_funnel",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val base = Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("rs", expr("rep_stats(toks)"))
+        .withColumn("n", col("rs.n_tokens"))
+        .withColumn("n_stop",
+          (col("n") - size(array_remove(col("toks"), "the"))) +
+            (col("n") - size(array_remove(col("toks"), "a"))))
+        .withColumn("mwl",
+          (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
+        .withColumn("keep_q",
+          col("n").between(20, 90) &&
+            col("mwl") >= 4.0 && col("mwl") <= 5.0 &&
+            col("n_stop").cast("double") / col("n") >= 0.02 &&
+            col("rs.top1").cast("double") / col("n") <= 0.12 &&
+            col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+        .select(col("doc_id"), col("text"),
+          col("n").cast("long").as("n_tokens"), col("keep_q"))
+      def stageRow(no: Int, name: String,
+          df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+      val q = base.filter(col("keep_q"))
+      val ex = q.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_tokens")).as("n_tokens"))
+      val exDocs = q.join(ex.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val dropped = SimilarityOps.minhashDetPairs(exDocs, 0.4)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val nd = exDocs.join(dropped, Seq("doc_id"), "left_anti")
+      stageRow(0, "raw", base)
+        .unionByName(stageRow(1, "quality", q))
+        .unionByName(stageRow(2, "dedup_exact", ex))
+        .unionByName(stageRow(3, "dedup_near", nd))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, text,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(len(list_distinct(toks)) AS INT) AS nd,
+               CAST(list_aggregate(
+                 list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w))),
+                 'max') AS INT) AS top1,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+                 AS INT) AS n_stop,
+               CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 AS mwl
+        FROM t),
+      q AS (
+        SELECT doc_id, text, n FROM s
+        WHERE (n BETWEEN 20 AND 90) AND (mwl >= 4.0 AND mwl <= 5.0)
+          AND (CAST(n_stop AS DOUBLE) / n >= 0.02)
+          AND (CAST(top1 AS DOUBLE) / n <= 0.12)
+          AND (CAST(nd AS DOUBLE) / n >= 0.4)),
+      ex AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(n) AS n
+        FROM q GROUP BY md5(text)),
+      exd AS (SELECT q.doc_id, q.text, q.n FROM q JOIN ex USING (doc_id)),
+      mdocs AS (
+        SELECT doc_id,
+               list_distinct([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                              FOR i IN range(0, len(toks) - 2)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM exd)
+        WHERE len(toks) >= 3),
+      sig AS (
+        SELECT doc_id,
+               list_aggregate(list_transform(grams, g -> md5('0:' || g)), 'min') AS h0,
+               list_aggregate(list_transform(grams, g -> md5('1:' || g)), 'min') AS h1,
+               list_aggregate(list_transform(grams, g -> md5('2:' || g)), 'min') AS h2,
+               list_aggregate(list_transform(grams, g -> md5('3:' || g)), 'min') AS h3,
+               list_aggregate(list_transform(grams, g -> md5('4:' || g)), 'min') AS h4,
+               list_aggregate(list_transform(grams, g -> md5('5:' || g)), 'min') AS h5,
+               list_aggregate(list_transform(grams, g -> md5('6:' || g)), 'min') AS h6,
+               list_aggregate(list_transform(grams, g -> md5('7:' || g)), 'min') AS h7
+        FROM mdocs),
+      bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 2 AS band, h4 || h5 AS bkey FROM sig
+        UNION ALL SELECT doc_id, 3 AS band, h6 || h7 AS bkey FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      grams AS (SELECT doc_id, unnest(grams) AS g FROM mdocs),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      inter AS (
+        SELECT cand.doc_a, cand.doc_b, COUNT(*) AS n_inter
+        FROM cand
+        JOIN grams ga ON ga.doc_id = cand.doc_a
+        JOIN grams gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g
+        GROUP BY 1, 2),
+      drp AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4)
+                >= 0.4),
+      nd AS (
+        SELECT * FROM exd
+        WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+      SELECT 0 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens FROM s
+      UNION ALL SELECT 1, 'quality', COUNT(*), CAST(SUM(n) AS BIGINT)
+        FROM q
+      UNION ALL SELECT 2, 'dedup_exact', COUNT(*), CAST(SUM(n) AS BIGINT)
+        FROM ex
+      UNION ALL SELECT 3, 'dedup_near', COUNT(*), CAST(SUM(n) AS BIGINT)
+        FROM nd"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
     domainCap, mixTemperature, shuffleShard, klSourceDivergence,
-    dedupAppend, gopherFilter, epochPlan)
+    dedupAppend, gopherFilter, epochPlan, curationFunnel)
 }

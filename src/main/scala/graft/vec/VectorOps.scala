@@ -714,6 +714,129 @@ object VectorOps extends OpModule {
       ORDER BY score DESC, a.vec_id
       LIMIT 10"""))
 
+  /** SemDeDup with a PERSISTED cluster index and incremental ingest —
+    * the semantic member of the rolling-crawl dedup lifecycle
+    * (`dedup_append` exact-hash, `minhash_append` near-dup lexical,
+    * this op embedding-semantic): the index is the `semdedup`
+    * assignment table (c_id, vec_id, embedding) as a snapshot,
+    * hive-partitioned by cluster — the same clustered layout
+    * `ivf_append` uses, because a semantic-dedup index IS an IVF
+    * index consulted for pruning rather than search. Built once from
+    * the base corpus (all but the 5 newest vec_ids — a bounded ingest
+    * tick, like `ivf_append`’s), maintained by
+    * `commitPartitions`-merging each ingest batch: only cluster
+    * partitions that received batch vectors rewrite (write
+    * amplification O(touched clusters)); at ingest the batch probes
+    * the merged index for its semantic duplicates — same-cluster
+    * pairs with rounded cosine ≥ 0.3, at least one side in the batch
+    * — reading ONLY the touched clusters' partitions (the clustered
+    * layout is what makes the probe a pruned scan, not an index
+    * sweep).
+    *
+    * Incremental ≡ one-shot because the centroids are FROZEN
+    * functions of the base corpus (k = max(8, ⌈√(N_base/100)⌉)
+    * lowest-id base vectors — `semdedup`'s rule on the base slice),
+    * so a vector's cluster is a pure function of its own embedding:
+    * batch assignments computed in isolation are identical to
+    * full-corpus assignments, and the merged index is row-identical
+    * to assigning everything at once — which is exactly what the
+    * oracle computes. Any row the incremental commit loses or
+    * duplicates, and any frozen-centroid drift, changes the pair set
+    * and hash-mismatches. Re-clustering (new k as the corpus grows)
+    * is a full rebuild committed as the next snapshot version — the
+    * scheduled-maintenance path, deliberately NOT on the ingest tick.
+    *
+    * Scale: k ∝ √N_base bounds per-cluster size (the `semdedup`
+    * linearity argument), so the at-ingest pair work is
+    * |batch| · O(√(100·N)) scored candidates, not |batch| · N; the
+    * index carries embeddings (like every IVF layout) so the probe
+    * re-reads no corpus bytes at all. */
+  val semdedupAppend = Op(
+    "semdedup_append",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val base = tmpBase("semdedup_append", d)
+      freshBase(s, base)
+      val mx = emb.agg(max(col("vec_id")).as("mxv"))
+      val baseEmb = emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") <= col("mxv") - 5).drop("mxv")
+      // one-row action: parquet footer count minus the fixed batch
+      val k = math.max(8L,
+        math.ceil(math.sqrt((emb.count() - 5) / 100.0)).toLong)
+      val seeds = baseEmb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // map-side argmax assignment against the frozen broadcast seeds
+      // (the semdedup kernel: rounded score, c_id tie-break)
+      def assignTo(e: DataFrame): DataFrame = e
+        .crossJoin(broadcast(seeds))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("m.c_id").as("c_id"), col("vec_id"),
+          col("m.embedding").as("embedding"))
+      // v1: the base index, clustered by assignment
+      val v1 = Snapshots.commitPartitioned(assignTo(baseEmb), base, "c_id")
+      // ingest tick: the 5 newest vectors, assigned to the FROZEN
+      // seeds, merged into ONLY the touched cluster partitions
+      val batch = assignTo(emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") > col("mxv") - 5).drop("mxv"))
+        .localCheckpoint() // 3 consumers: touched semi, merge, probe
+      val touched = batch.select(col("c_id")).distinct()
+      val merged = Snapshots.readAsOf(s, base, v1)
+        .join(broadcast(touched), Seq("c_id"), "left_semi")
+        .select(col("c_id"), col("vec_id"), col("embedding"))
+        .unionByName(batch)
+      val v2 = Snapshots.commitPartitions(merged, base, "c_id")
+      // at-ingest discovery: batch vectors score against their merged
+      // cluster's members (partition-pruned read); batch-batch pairs
+      // appear from both sides, so the least/greatest distinct is the
+      // pair-set normalizer
+      val idx = Snapshots.readAsOf(s, base, v2)
+        .join(broadcast(touched), Seq("c_id"), "left_semi")
+        .select(col("c_id"), col("vec_id").as("ia"),
+          col("embedding").as("e_a"))
+      idx.join(batch.select(col("c_id"), col("vec_id").as("ib"),
+          col("embedding").as("e_b")), Seq("c_id"))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("score", round(dot("e_a", "e_b"), 4))
+        .filter(col("score") >= 0.3)
+        .select(least(col("ia"), col("ib")).as("vec_a"),
+          greatest(col("ia"), col("ib")).as("vec_b"), col("score"))
+        .distinct()
+    },
+    Some("""
+      WITH mx AS (SELECT max(vec_id) AS mxv FROM embeddings),
+      bn AS (
+        SELECT COUNT(*) AS n FROM embeddings, mx
+        WHERE vec_id <= mx.mxv - 5),
+      kk AS (
+        SELECT GREATEST(8, CAST(CEIL(SQRT(n / 100.0)) AS BIGINT)) AS k
+        FROM bn),
+      c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings, kk WHERE vec_id < kk.k),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS rn
+          FROM embeddings e, c)
+        WHERE rn = 1)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+               AS score
+      FROM assigned a JOIN assigned b
+        ON a.c_id = b.c_id AND a.vec_id < b.vec_id, mx
+      WHERE (a.vec_id > mx.mxv - 5 OR b.vec_id > mx.mxv - 5)
+        AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4)
+            >= 0.3"""))
+
   /** One full Lloyd round of k-means (k=8, max-inner-product
     * assignment): seed centroids = the 8 smallest vec_ids, assign →
     * recompute centroids as per-cluster elementwise means → re-assign
@@ -1389,5 +1512,6 @@ object VectorOps extends OpModule {
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
       ivfTopkTrained, ivfAppend, embedQuantize, kmeansAssign, semdedup,
-      pqTopk, pqTopkTrained, pcaTopcomp, ivfpqTopk, hardNegatives)
+      semdedupAppend, pqTopk, pqTopkTrained, pcaTopcomp, ivfpqTopk,
+      hardNegatives)
 }

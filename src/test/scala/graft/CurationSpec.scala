@@ -257,4 +257,34 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(e - r.getAs[Double]("epochs")) < 1e-3)
     }
   }
+
+  test("curation_funnel: stages reconcile with the declared kernels " +
+      "they reuse, and attrition is monotone") {
+    val rows = q("curation_funnel").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(rows.keySet ==
+      Set("raw", "quality", "dedup_exact", "dedup_near"))
+    // monotone non-increasing docs and tokens through the pipeline
+    val order = Seq("raw", "quality", "dedup_exact", "dedup_near")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(b)._1 <= rows(a)._1, s"$b docs grew over $a")
+      assert(rows(b)._2 <= rows(a)._2, s"$b tokens grew over $a")
+    }
+    // raw equals the corpus totals
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows("raw")._1 == docs.count())
+    val rawToks = docs
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows("raw")._2 == rawToks)
+    // quality stage equals gopher_filter's keep count + token sum
+    val g = q("gopher_filter").filter(col("keep"))
+      .agg(count(lit(1)), sum(col("n_tokens"))).head
+    assert(rows("quality")._1 == g.getLong(0))
+    assert(rows("quality")._2 == g.getLong(1))
+    assert(rows("quality")._1 < rows("raw")._1) // the gate is live
+    // near-dup drops exist at the fixture SF (planted near-dups
+    // survive the quality battery)
+    assert(rows("dedup_near")._1 < rows("dedup_exact")._1)
+  }
 }

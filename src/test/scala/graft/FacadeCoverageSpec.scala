@@ -169,7 +169,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // contract (r14); gopher_filter is the facade's score as a
     // per-rule pass/fail battery (same row-local signal kernel,
     // attribution contract) (r14)
-    "qualityScore" -> Seq("dedup_spans", "gopher_filter"),
+    // curation_funnel composes the battery with the exact/near-dup
+    // kernels into the stage-attrition report a curation run
+    // publishes (r14)
+    "qualityScore" -> Seq("dedup_spans", "gopher_filter",
+      "curation_funnel"),
     // dedup_append is the facade's hash-dedup contract as a PERSISTED
     // incrementally-merged snapshot index (the ivf_append lifecycle
     // pattern) (r14)
@@ -178,6 +182,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // (rank/prefix-sum decomposition, not a row-matching contract)
     // (r14)
     "asofJoin" -> Seq("interval_overlaps"),
+    // semdedup_append is the facade family's PERSISTED cluster index
+    // with incremental ingest (the dedup_append/minhash_append/
+    // ivf_append lifecycle, semantic member) (r14)
+    "semdedup" -> Seq("semdedup_append"),
     // perplexity_mix is the mixing family's quality-bucketed form
     // (rank quartiles over the unigram-LM score, per-bucket Knuth
     // keep rates) (r14); epoch_plan is the same τ-exponent weighting

@@ -259,8 +259,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "hard_negatives", // crossJoin of the 8-row anchor batch
       "interval_overlaps", // crossJoin of the two 1-row grid-bound
       //                  aggregates
-      "perplexity_mix") // crossJoins of the 1-row corpus-total and
+      "perplexity_mix", // crossJoins of the 1-row corpus-total and
       //                  1-row doc-count scalars
+      "epoch_plan",    // crossJoin of the 1-row budget/denominator
+      //                  totals scalar
+      "semdedup_append") // crossJoins of the 1-row max-vec_id scalar
+      //                  and the ≤k-row frozen seed centroid set
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are

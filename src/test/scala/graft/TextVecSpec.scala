@@ -397,4 +397,60 @@ class TextVecSpec extends AnyFunSuite {
     assert(listParts(v2Dir).size < listParts(v1Dir).size,
       "ingest touched every list partition — no inheritance exercised")
   }
+
+  test("semdedup_append: at-ingest pairs equal the brute-force " +
+      "frozen-centroid pair set; ingest rewrites only touched clusters") {
+    val got = q("semdedup_append").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent driver-side brute force (500 vecs at sf0.001):
+    // frozen base-derived seeds, argmax assignment with the rounded
+    // score / lowest-c_id tie-break, same-cluster batch-involving
+    // pairs with rounded cosine >= 0.3
+    val e = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double): Double = math.rint(x * 10000) / 10000
+    val mx = e.keys.max
+    val nBase = e.size - 5
+    val k = math.max(8L, math.ceil(math.sqrt(nBase / 100.0)).toLong)
+    val seeds = (0L until k).map(c => c -> e(c))
+    val cluster = e.map { case (id, v) =>
+      id -> seeds.minBy { case (c, s) => (-r4(dot(v, s)), c) }._1
+    }
+    val ids = e.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && cluster(a) == cluster(b) && (a > mx - 5 || b > mx - 5)
+      sc = r4(dot(e(a), e(b))) if sc >= 0.3
+    } yield (a, b, sc)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the fixture must actually exercise discovery
+    // snapshot audit: incremental ingest rewrote strictly less than
+    // the base build, the merged index holds every vector exactly
+    // once, and v2's own data dir holds only touched cluster dirs
+    val base = s"/tmp/graft_vec_semdedup_append_" +
+      s"${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    val b1 = sources.Snapshots.bytesWritten(spark, base, 1L)
+    val b2 = sources.Snapshots.bytesWritten(spark, base, 2L)
+    assert(b2 < b1, s"ingest rewrote the whole index: v1=$b1 v2=$b2")
+    val v2 = sources.Snapshots.readAsOf(spark, base, 2L)
+    assert(v2.count() == e.size)
+    assert(v2.select("vec_id").distinct().count() == e.size)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    def clusterParts(d: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(base, d))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("c_id=")).toSet
+    val v1Parts = clusterParts(dirs.find(_.startsWith("v=1-")).get)
+    val v2Parts = clusterParts(dirs.find(_.startsWith("v=2-")).get)
+    assert(v2Parts.subsetOf(v1Parts) && v2Parts.size < v1Parts.size)
+  }
 }
