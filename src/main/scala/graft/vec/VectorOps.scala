@@ -1509,9 +1509,135 @@ object VectorOps extends OpModule {
         WHERE e.label <> q.q_label)
       WHERE rn <= 5"""))
 
+  /** ANN recall evaluation as a data product — the index-quality
+    * gate a vector-store deployment runs before switching traffic:
+    * per-query recall@10 of the IVF probe path (`ivf_topk`'s frozen
+    * 16-centroid index, nprobe=2) against the brute-force exact
+    * top-10 (`vector_topk`'s contract), over an 8-query sample
+    * (vec_id < 8). Output = (q_id, n_hit, recall) — the table a
+    * recall dashboard ingests; AnnRecallSpec's measurements become a
+    * first-class declared query here.
+    *
+    * Scale shape: centroids and the query sample broadcast; the
+    * exact ground-truth side is one full scored scan with a bounded
+    * top-k per query — inherent to recall evaluation (the index is
+    * graded against an exact pass over a SMALL query sample, so the
+    * exact side is |sample|·N skinny rows with the `row_number ≤ 10`
+    * → bounded-heap TopKPerKey rewrite, never a global sort); the
+    * IVF side reads only the probed cells' assignments. At 100 TB
+    * the sample stays O(100) queries and the eval is ~2 corpus
+    * scans, which is exactly what a production recall audit costs. */
+  val annRecall = Op(
+    "ann_recall",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      // the shared IVF kernel: map-side argmax assignment
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
+      // nprobe=2 cells per query (8×16 scored rows — catalog-sized)
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_score").desc, col("c_id"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(dot("q_emb", "c_emb"), 4))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("c_id"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      // IVF retrieved: probed cells only, top-10 per query
+      val retrieved = assigned
+        .join(broadcast(probes), "c_id")
+        .join(broadcast(qs), "q_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(dot("embedding", "q_emb"), 4))
+        .select(col("q_id"), col("vec_id"), col("score"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      // exact ground truth: one scored scan, bounded top-10 per query
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(dot("embedding", "q_emb"), 4))
+        .select(col("q_id"), col("vec_id"), col("score"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact
+        .join(retrieved, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 10.0, 4).as("recall"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 8),
+      c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS c_rn
+          FROM embeddings e, c)
+        WHERE c_rn = 1),
+      probes AS (
+        SELECT q_id, c_id FROM (
+          SELECT q.q_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(q.q_emb AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS rn
+          FROM q, c)
+        WHERE rn <= 2),
+      retr AS (
+        SELECT q_id, vec_id FROM (
+          SELECT p.q_id, a.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(q.q_emb AS DOUBLE[])), 4) DESC, a.vec_id) AS rn
+          FROM assigned a JOIN probes p USING (c_id)
+          JOIN q ON q.q_id = p.q_id
+          WHERE a.vec_id <> p.q_id)
+        WHERE rn <= 10),
+      exact AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.q_emb AS DOUBLE[])), 4) DESC, e.vec_id) AS rn
+          FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        WHERE rn <= 10),
+      hits AS (
+        SELECT e.q_id, COUNT(*) AS n_hit
+        FROM exact e
+        JOIN retr r ON r.q_id = e.q_id AND r.vec_id = e.vec_id
+        GROUP BY e.q_id)
+      SELECT q.q_id, COALESCE(h.n_hit, 0) AS n_hit,
+             ROUND(COALESCE(h.n_hit, 0) / 10.0, 4) AS recall
+      FROM q LEFT JOIN hits h USING (q_id)"""))
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
       ivfTopkTrained, ivfAppend, embedQuantize, kmeansAssign, semdedup,
       semdedupAppend, pqTopk, pqTopkTrained, pcaTopcomp, ivfpqTopk,
-      hardNegatives)
+      hardNegatives, annRecall)
 }

@@ -159,8 +159,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // same broadcast-component/scored-pass kernel shape (r13)
     // hard_negatives is the labeled-mining twin of the brute-force
     // top-k (same scoring kernel, cross-label contract) (r14)
+    // ann_recall grades the IVF probe path against the facade's
+    // exact-top-k contract — the index-quality eval as a data
+    // product (r14)
     "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append", "pca_topcomp",
-      "hard_negatives"),
+      "hard_negatives", "ann_recall"),
     // ivfpq_topk composes the PQ facade family's codes/ADC kernel
     // with the IVF coarse quantizer (r14)
     "quantizeInt8" -> Seq("pq_topk_trained", "ivfpq_topk"),

@@ -263,8 +263,10 @@ class PlanShapeSpec extends AnyFunSuite {
       //                  1-row doc-count scalars
       "epoch_plan",    // crossJoin of the 1-row budget/denominator
       //                  totals scalar
-      "semdedup_append") // crossJoins of the 1-row max-vec_id scalar
+      "semdedup_append", // crossJoins of the 1-row max-vec_id scalar
       //                  and the ≤k-row frozen seed centroid set
+      "ann_recall")    // crossJoins of the 16-row centroid set and
+      //                  the 8-row query sample
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // planning only (no collect): CartesianProduct / BNLJ are

@@ -453,4 +453,25 @@ class TextVecSpec extends AnyFunSuite {
     val v2Parts = clusterParts(dirs.find(_.startsWith("v=2-")).get)
     assert(v2Parts.subsetOf(v1Parts) && v2Parts.size < v1Parts.size)
   }
+
+  test("ann_recall: one row per sampled query, recall in [0,1], and " +
+      "q0 reconciles with the declared ivf_topk/vector_topk pair") {
+    val rows = q("ann_recall").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet == (0L until 8L).toSet)
+    rows.values.foreach { case (h, r) =>
+      assert(h >= 0L && h <= 10L)
+      assert(math.abs(r - h / 10.0) < 1e-9)
+    }
+    // q0 IS vector_topk's target and ivf_topk's probe setup: its
+    // n_hit must equal the overlap of the two declared outputs
+    val exact0 = q("vector_topk").select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val ivf0 = q("ivf_topk").select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows(0L)._1 == exact0.intersect(ivf0).size.toLong)
+    // probing 2/16 cells on the fixture keeps mean recall useful
+    val mean = rows.values.map(_._2).sum / rows.size
+    assert(mean >= 0.5, s"mean recall $mean")
+  }
 }
