@@ -1102,9 +1102,97 @@ object CurationOps extends OpModule {
       UNION ALL SELECT 3, 'dedup_near', COUNT(*), CAST(SUM(n) AS BIGINT)
         FROM nd"""))
 
+  /** The per-source data card — the summary table a released dataset
+    * ships (docs, tokens, chars, language spread, quality pass rate,
+    * exact-dup rate per source): `data_profile`'s warehouse shape
+    * specialized to the corpus with the curation signals a consumer
+    * actually reads before training on a source. quality_rate is the
+    * `gopher_filter` keep conjunction (same thresholds, same native
+    * `rep_stats` pass); dup_rate is within-source exact duplication
+    * (1 − distinct md5 / docs, `dedup_exact`'s key).
+    *
+    * Determinism: every averaged quantity is a ratio of exact
+    * integer sums (a 0/1 keep sum and token counts are
+    * exactly-representable doubles at any corpus size below 2⁵³
+    * docs), so float-sum order cannot split the engines.
+    *
+    * Scale shape: one row-local codegen flag pass, then a
+    * source-keyed rollup (20 keys, map-side partials) whose only
+    * data-sized exchange is the (source, md5) / (source, lang)
+    * distinct expansion — 32-byte hash keys, `dedup_exact`'s
+    * established shuffle. Output O(sources). */
+  val datasetCard = Op(
+    "dataset_card",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      Tables(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("rs", expr("rep_stats(toks)"))
+        .withColumn("n", col("rs.n_tokens"))
+        .withColumn("n_stop",
+          (col("n") - size(array_remove(col("toks"), "the"))) +
+            (col("n") - size(array_remove(col("toks"), "a"))))
+        .withColumn("mwl",
+          (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
+        .withColumn("keep_q",
+          col("n").between(20, 90) &&
+            col("mwl") >= 4.0 && col("mwl") <= 5.0 &&
+            col("n_stop").cast("double") / col("n") >= 0.02 &&
+            col("rs.top1").cast("double") / col("n") <= 0.12 &&
+            col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n").cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(sum(col("n").cast("long")) /
+            count(lit(1)).cast("double"), 2).as("mean_tokens"),
+          round(sum(when(col("keep_q"), 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 4).as("quality_rate"),
+          round(lit(1.0) - countDistinct(md5(col("text"))) /
+            count(lit(1)).cast("double"), 4).as("dup_rate"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, lang, n_chars, text,
+               string_split(text, ' ') AS toks
+        FROM documents),
+      s AS (
+        SELECT source, lang, n_chars, text,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(len(list_distinct(toks)) AS INT) AS nd,
+               CAST(list_aggregate(
+                 list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w))),
+                 'max') AS INT) AS top1,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+                 AS INT) AS n_stop,
+               CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 AS mwl
+        FROM t)
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             ROUND(CAST(SUM(n) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 2)
+               AS mean_tokens,
+             ROUND(CAST(SUM(CASE WHEN
+                 (n BETWEEN 20 AND 90) AND (mwl >= 4.0 AND mwl <= 5.0)
+                 AND (CAST(n_stop AS DOUBLE) / n >= 0.02)
+                 AND (CAST(top1 AS DOUBLE) / n <= 0.12)
+                 AND (CAST(nd AS DOUBLE) / n >= 0.4)
+               THEN 1 ELSE 0 END) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE), 4) AS quality_rate,
+             ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+      FROM s
+      GROUP BY source"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
     domainCap, mixTemperature, shuffleShard, klSourceDivergence,
-    dedupAppend, gopherFilter, epochPlan, curationFunnel)
+    dedupAppend, gopherFilter, epochPlan, curationFunnel, datasetCard)
 }

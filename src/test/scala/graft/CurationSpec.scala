@@ -287,4 +287,30 @@ class CurationSpec extends AnyFunSuite {
     // survive the quality battery)
     assert(rows("dedup_near")._1 < rows("dedup_exact")._1)
   }
+
+  test("dataset_card: one row per source; totals reconcile with the " +
+      "corpus and gopher_filter; ratios internally consistent") {
+    val rows = q("dataset_card").collect()
+    val docs = Tables(spark, sfDir, "documents")
+    assert(rows.length ==
+      docs.select("source").distinct().count().toInt)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val rawToks = docs
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == rawToks)
+    // quality_rate aggregates to gopher_filter's corpus keep count
+    val kept = q("gopher_filter").filter(col("keep")).count()
+    val keptFromCard = rows.map(r =>
+      math.round(r.getAs[Double]("quality_rate") *
+        r.getAs[Long]("n_docs"))).sum
+    assert(keptFromCard == kept)
+    rows.foreach { r =>
+      val mt = r.getAs[Double]("mean_tokens")
+      assert(math.abs(mt - r.getAs[Long]("n_tokens").toDouble /
+        r.getAs[Long]("n_docs")) < 0.005)
+      val dr = r.getAs[Double]("dup_rate")
+      assert(dr >= 0.0 && dr < 1.0)
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+  }
 }

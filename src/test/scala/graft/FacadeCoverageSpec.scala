@@ -175,8 +175,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // curation_funnel composes the battery with the exact/near-dup
     // kernels into the stage-attrition report a curation run
     // publishes (r14)
+    // dataset_card is the per-source release summary over the same
+    // battery signals (quality pass rate, exact-dup rate) (r14)
     "qualityScore" -> Seq("dedup_spans", "gopher_filter",
-      "curation_funnel"),
+      "curation_funnel", "dataset_card"),
     // dedup_append is the facade's hash-dedup contract as a PERSISTED
     // incrementally-merged snapshot index (the ivf_append lifecycle
     // pattern) (r14)
