@@ -88,7 +88,7 @@ object Bench {
     Seq("dedup_spans", "ivfpq_topk", "hard_negatives", "dedup_append",
       "interval_overlaps", "perplexity_mix", "minhash_append",
       "gopher_filter", "epoch_plan", "semdedup_append",
-      "curation_funnel", "ann_recall", "dataset_card")
+      "curation_funnel", "ann_recall", "dataset_card", "oov_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

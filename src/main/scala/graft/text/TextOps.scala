@@ -546,8 +546,78 @@ object TextOps extends OpModule {
              CASE WHEN entropy >= 2.0 THEN 1 ELSE 0 END AS keep
       FROM e"""))
 
+  /** Per-source out-of-vocabulary rate against a BUDGETED vocabulary
+    * — the tokenizer-coverage diagnostic that decides a vocab size
+    * ("does this budget cover src7, or does it need byte fallback for
+    * half its tokens?"): vocab = the top-16 corpus tokens by
+    * (count desc, token asc) over `vocab_build`'s n_occ ≥ 5 floor —
+    * the budget is a parameter; 16 keeps the cut LIVE on the
+    * synthetic fixture's 31-type vocabulary (a 1000-type budget
+    * covers everything and the op degenerates to all-zero rates);
+    * per source, the share of token OCCURRENCES outside that vocab.
+    * The rank cut uses the distributed exact-rank kernel — a vocab is
+    * a total order, never a single-task window.
+    *
+    * Scale shape: token counts and per-source cells are the
+    * established (key, count) rollups with map-side partials; the
+    * vocab is a budget-row broadcast; oov classification is a
+    * broadcast left join + 0/1 sum — integer arithmetic end to end,
+    * so the rate is an exact-integer quotient in both engines. */
+  val oovRate = Op(
+    "oov_rate",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val counts = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 5)
+      val vocab = graft.ops.Ranks
+        .withGlobalRank(counts, "__rnk", col("n_occ").desc, col("w"))
+        .filter(col("__rnk") <= 16)
+        .select(col("w"), lit(1).as("in_vocab"))
+      docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("tf")).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L))
+            .as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov") / col("n_tokens").cast("double"), 4)
+            .as("oov_rate"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT w, COUNT(*) AS n_occ
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+        HAVING COUNT(*) >= 5),
+      vocab AS (
+        SELECT w FROM (
+          SELECT w, ROW_NUMBER() OVER (ORDER BY n_occ DESC, w) AS rnk
+          FROM counts)
+        WHERE rnk <= 16),
+      cells AS (
+        SELECT source, w, COUNT(*) AS tf
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source, w)
+      SELECT c.source,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.w IS NULL THEN tf ELSE 0 END)
+               AS BIGINT) AS n_oov,
+             ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN tf ELSE 0 END)
+                 AS BIGINT)
+               / CAST(SUM(tf) AS DOUBLE), 4) AS oov_rate
+      FROM cells c LEFT JOIN vocab v ON v.w = c.w
+      GROUP BY c.source"""))
+
   override def ops: Seq[Op] = Seq(dedupExact, splitHash, textStats,
     tfidfTop, tokenCount, qualityScore, docFingerprint,
     winnowingFingerprint, dedupMinhash, vocabBuild, bm25Top,
-    entropyFilter)
+    entropyFilter, oovRate)
 }

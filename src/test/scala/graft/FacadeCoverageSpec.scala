@@ -141,7 +141,10 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // LM-scoring ladder: bigram stupid-backoff shares the
     // unigram facade's kernel shape (count tables + broadcast join),
     // not its output contract (r13)
-    "unigramLogprob" -> Seq("bigram_logprob"),
+    // oov_rate shares the count-table + broadcast-vocab join shape
+    // (vocab_build's ranked cut consumed as a coverage diagnostic)
+    // (r14)
+    "unigramLogprob" -> Seq("bigram_logprob", "oov_rate"),
     // distribution-divergence curation diagnostics: same
     // count-table-vs-corpus shape as the DSIR importance weights,
     // different statistic (per-source KL, not per-doc weights) (r13)

@@ -474,4 +474,25 @@ class TextVecSpec extends AnyFunSuite {
     val mean = rows.values.map(_._2).sum / rows.size
     assert(mean >= 0.5, s"mean recall $mean")
   }
+
+  test("oov_rate: totals reconcile with the corpus; rates live and " +
+      "consistent with a driver-side top-16 vocab") {
+    val rows = q("oov_rate").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val toks = docs.select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+    assert(rows.values.map(_._1).sum == toks.length.toLong)
+    // driver-side vocab: top-16 by (count desc, token asc), floor 5
+    val vocab = toks.groupBy(identity).view.mapValues(_.length).toSeq
+      .filter(_._2 >= 5)
+      .sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    val expOov = toks.count(w => !vocab.contains(w)).toLong
+    assert(rows.values.map(_._2).sum == expOov)
+    rows.values.foreach { case (n, oov, r) =>
+      assert(oov >= 0L && oov <= n)
+      assert(math.abs(r - oov.toDouble / n) < 1e-4 + 1e-9)
+      assert(r > 0.0 && r < 1.0) // the budget cut is live per source
+    }
+  }
 }
