@@ -362,4 +362,62 @@ object StreamOps {
       .transformWithState(new FunnelProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Streaming incremental exact-dedup index maintenance — the
+    * `dedup_append` merge as a `foreachBatch` body: each arriving
+    * micro-batch of documents rolls up its (md5 → keeper, count)
+    * rows and merges them into ONLY the touched hash-prefix
+    * partitions of the persisted snapshot index (batch 0 seeds the
+    * table with `commitPartitioned`; later batches
+    * `commitPartitions`-merge with keeper = least, n = sum — the
+    * associative merge that makes the streamed index row-identical
+    * to hashing all batches at once, which StreamingSpec asserts).
+    *
+    * Exactly-once across restarts WITHOUT a new commit API: versions
+    * are the batch ledger (batch i commits version i+1), so a
+    * replayed batch — Structured Streaming re-offers the last batch
+    * when the snapshot committed but the checkpoint write was lost —
+    * sees `latest >= batchId + 1` and returns false without touching
+    * the table. The guard is sound for the streaming case because a
+    * table has ONE owning query (batches are sequential) and a
+    * version commits atomically AFTER its data dirs (marker-last).
+    *
+    * Scale: this is the rolling-crawl ingest loop running
+    * continuously — per tick, write amplification is O(touched hash
+    * prefixes), the index rows are ~50 B regardless of doc size, and
+    * no document text persists anywhere in the index.
+    *
+    * @return true when the batch committed, false on a replay no-op. */
+  def dedupIndexMerge(batch: DataFrame, batchId: Long,
+      base: String): Boolean = {
+    import graft.sources.Snapshots
+    val s = batch.sparkSession
+    val expected = batchId + 1
+    if (Snapshots.latest(s, base) >= expected) false
+    else {
+      val b = batch
+        .withColumn("h", md5(col("text")))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .withColumn("hp", substring(col("h"), 1, 1))
+        .localCheckpoint() // 2 consumers: touched semi + merge
+      if (expected == 1L) {
+        Snapshots.commitPartitioned(b, base, "hp"); true
+      } else {
+        val touched = b.select(col("hp")).distinct()
+        val merged = Snapshots.readAsOf(s, base, expected - 1)
+          .join(broadcast(touched), Seq("hp"), "left_semi")
+          .select(col("hp"), col("h"), col("keeper").as("p_keeper"),
+            col("n").as("p_n"))
+          .join(b.select(col("hp"), col("h"),
+            col("keeper").as("b_keeper"), col("n").as("b_n")),
+            Seq("hp", "h"), "full_outer")
+          .select(col("hp"), col("h"),
+            least(col("p_keeper"), col("b_keeper")).as("keeper"),
+            (coalesce(col("p_n"), lit(0L)) +
+              coalesce(col("b_n"), lit(0L))).as("n"))
+        Snapshots.commitPartitions(merged, base, "hp"); true
+      }
+    }
+  }
 }

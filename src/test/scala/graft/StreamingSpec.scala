@@ -799,4 +799,63 @@ class StreamingSpec extends AnyFunSuite {
     exact.filter(_._2 > n / 4).keys.foreach(t =>
       assert(est.contains(t), s"heavy type $t missing"))
   }
+
+  test("dedupIndexMerge: streamed incremental index equals the " +
+      "one-shot build; replays are no-ops across a restart") {
+    import spark.implicits._
+    val srcDir = freshDir() + "/docs_src"
+    val base = freshDir() + "/dedup_idx"
+    val chkDir = freshDir() + "/chk"
+    // 40 docs in 4 slices; every text recurs across slices so the
+    // cross-batch merge (keeper = least, n = sum) is exercised
+    val docs = (0L until 40L).map(i => (i, s"doc text ${i % 10}"))
+    def addSlice(s: Seq[(Long, String)]): Unit =
+      s.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(docs.take(1).toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          streaming.StreamOps.dedupIndexMerge(b, id, base)
+          ()
+        }
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs.grouped(10).take(2).foreach(addSlice)
+    runOnce() // batches 0,1 -> versions 1,2; the query "dies"
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L))
+    // a re-offered batch (snapshot committed, checkpoint write lost)
+    // must be a no-op: same batchId, any content
+    def indexRows(v: Long): Seq[(String, Long, Long)] =
+      sources.Snapshots.readAsOf(spark, base, v)
+        .select(col("h"), col("keeper"), col("n").cast("long"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val before = indexRows(2L)
+    assert(!streaming.StreamOps.dedupIndexMerge(
+      docs.take(3).toDF("doc_id", "text"), 1L, base))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L))
+    val after = indexRows(2L)
+    assert(after == before)
+    // restart from the same checkpoint: remaining slices only
+    docs.grouped(10).drop(2).foreach(addSlice)
+    runOnce()
+    assert(sources.Snapshots.versions(spark, base)
+      == Seq(1L, 2L, 3L, 4L))
+    // streamed index == one-shot md5 rollup of ALL docs
+    val got = indexRows(4L).toSet
+    val want = docs.toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 10 && got.forall(_._3 == 4L))
+  }
 }
