@@ -403,36 +403,65 @@ object Snapshots {
   def commitPartitioned(df: DataFrame, base: String,
       partCol: String): Long = {
     val s = df.sparkSession
-    val f = fs(s, base)
     var v = latest(s, base) + 1
     while (true) {
-      val dir = s"v=$v-${nonce()}"
-      df.write.mode("overwrite").partitionBy(partCol)
-        .parquet(s"$base/$dir")
-      val parts = f.listStatus(new Path(base, dir)).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(n => n.contains('=') && !n.startsWith("_"))
-        .sorted.map(p => (p, dir))
-      if (parts.isEmpty) {
-        // an empty manifest is unreadable (no partition dirs, no
-        // schema to infer) — refuse to publish it rather than commit
-        // a version readAsOf can never resolve
-        f.delete(new Path(base, dir), true)
-        throw new IllegalArgumentException(
-          "commitPartitioned refuses an empty DataFrame (a version " +
-            "with zero partitions cannot be read back); use commit() " +
-            "for full — possibly empty — snapshots")
-      }
-      // manifest before marker: a version is only visible complete
-      writeManifest(s, base, v, parts)
-      if (tryMarker(s, base, v, dir)) return v
-      f.delete(new Path(manifestDir(base), v.toString), false)
-      f.delete(new Path(base, dir), true)
+      if (attemptPartitioned(df, base, partCol, v)) return v
       v = latest(s, base) + 1
     }
     v // unreachable
   }
+
+  /** One optimistic attempt to partition-commit `df` AT `v`: data dir
+    * → manifest → marker. Returns false (all traces cleaned up) when
+    * the marker race is lost; throws on an empty DataFrame. */
+  private def attemptPartitioned(df: DataFrame, base: String,
+      partCol: String, v: Long): Boolean = {
+    val s = df.sparkSession
+    val f = fs(s, base)
+    val dir = s"v=$v-${nonce()}"
+    df.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$base/$dir")
+    val parts = f.listStatus(new Path(base, dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.contains('=') && !n.startsWith("_"))
+      .sorted.map(p => (p, dir))
+    if (parts.isEmpty) {
+      // an empty manifest is unreadable (no partition dirs, no
+      // schema to infer) — refuse to publish it rather than commit
+      // a version readAsOf can never resolve
+      f.delete(new Path(base, dir), true)
+      throw new IllegalArgumentException(
+        "commitPartitioned refuses an empty DataFrame (a version " +
+          "with zero partitions cannot be read back); use commit() " +
+          "for full — possibly empty — snapshots")
+    }
+    // manifest before marker: a version is only visible complete
+    writeManifest(s, base, v, parts)
+    if (tryMarker(s, base, v, dir)) true
+    else {
+      f.delete(new Path(manifestDir(base), v.toString), false)
+      f.delete(new Path(base, dir), true)
+      false
+    }
+  }
+
+  /** Does `version` have a commit marker at `base`? */
+  def versionExists(s: SparkSession, base: String,
+      version: Long): Boolean =
+    fs(s, base).exists(new Path(commitDir(base), version.toString))
+
+  /** `commitPartitioned` at a CALLER-FIXED version — `commitAs`'s
+    * partitioned twin, for streaming `foreachBatch` ledgers where
+    * version = f(batchId) makes a replayed batch a no-op. Returns
+    * false without touching the table when `version` is already
+    * committed (the replay/no-op case) or when the marker race is
+    * lost. Version numbers MAY be sparse (a skipped batch leaves a
+    * gap); `latest`/`versions` handle gaps by construction. */
+  def commitPartitionedAs(df: DataFrame, base: String, partCol: String,
+      version: Long): Boolean =
+    !versionExists(df.sparkSession, base, version) &&
+      attemptPartitioned(df, base, partCol, version)
 
   /** INCREMENTAL commit — the 100 TB write path: rewrite ONLY the
     * partitions present in `df`, inherit every other live partition
@@ -452,7 +481,6 @@ object Snapshots {
   def commitPartitions(df: DataFrame, base: String,
       partCol: String): Long = {
     val s = df.sparkSession
-    val f = fs(s, base)
     var v = latest(s, base) + 1
     while (true) {
       // the inherited manifest is re-read EVERY attempt: after a lost
@@ -460,31 +488,63 @@ object Snapshots {
       // partitions, and merging against the pre-race manifest would
       // silently discard the concurrent winner's rewrites — the lost
       // update the optimistic retry exists to prevent
-      val prev = manifestOf(s, base, v - 1).getOrElse(
-        throw new IllegalArgumentException(
-          s"commitPartitions needs a partition-committed previous " +
-            s"version at $base (v=${v - 1} has no manifest); seed the " +
-            "table with commitPartitioned"))
-      require(prev.forall(p => manifestPartCol(p._1) == partCol),
-        s"partition column mismatch: table is partitioned on " +
-          s"${manifestPartCol(prev.head._1)}, got $partCol")
-      val dir = s"v=$v-${nonce()}"
-      df.write.mode("overwrite").partitionBy(partCol)
-        .parquet(s"$base/$dir")
-      val touched = f.listStatus(new Path(base, dir)).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(n => n.contains('=') && !n.startsWith("_"))
-        .toSet
-      val merged = (prev.filterNot(p => touched(p._1)) ++
-        touched.toSeq.sorted.map(p => (p, dir))).sortBy(_._1)
-      writeManifest(s, base, v, merged)
-      if (tryMarker(s, base, v, dir)) return v
-      f.delete(new Path(manifestDir(base), v.toString), false)
-      f.delete(new Path(base, dir), true)
+      if (attemptPartitions(df, base, partCol, v, v - 1)) return v
       v = latest(s, base) + 1
     }
     v // unreachable
+  }
+
+  /** One optimistic attempt at an incremental commit AT `v`,
+    * inheriting untouched partitions from `prevVersion`'s manifest.
+    * Returns false (all traces cleaned up) on a lost marker race. */
+  private def attemptPartitions(df: DataFrame, base: String,
+      partCol: String, v: Long, prevVersion: Long): Boolean = {
+    val s = df.sparkSession
+    val f = fs(s, base)
+    val prev = manifestOf(s, base, prevVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitPartitions needs a partition-committed previous " +
+          s"version at $base (v=$prevVersion has no manifest); seed " +
+          "the table with commitPartitioned"))
+    require(prev.forall(p => manifestPartCol(p._1) == partCol),
+      s"partition column mismatch: table is partitioned on " +
+        s"${manifestPartCol(prev.head._1)}, got $partCol")
+    val dir = s"v=$v-${nonce()}"
+    df.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$base/$dir")
+    val touched = f.listStatus(new Path(base, dir)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.contains('=') && !n.startsWith("_"))
+      .toSet
+    val merged = (prev.filterNot(p => touched(p._1)) ++
+      touched.toSeq.sorted.map(p => (p, dir))).sortBy(_._1)
+    writeManifest(s, base, v, merged)
+    if (tryMarker(s, base, v, dir)) true
+    else {
+      f.delete(new Path(manifestDir(base), v.toString), false)
+      f.delete(new Path(base, dir), true)
+      false
+    }
+  }
+
+  /** `commitPartitions` at a CALLER-FIXED version, inheriting from
+    * the LATEST committed version below it (version numbers may be
+    * sparse under a batch-ledger scheme — a skipped empty batch
+    * leaves a gap). Returns false without touching the table when
+    * `version` already exists (the replay/no-op case) or on a lost
+    * marker race. Requires `version` > the current latest. */
+  def commitPartitionsAs(df: DataFrame, base: String, partCol: String,
+      version: Long): Boolean = {
+    val s = df.sparkSession
+    if (versionExists(s, base, version)) false
+    else {
+      val prevV = latest(s, base)
+      require(prevV < version,
+        s"commitPartitionsAs version $version is not ahead of the " +
+          s"latest committed version $prevV at $base")
+      attemptPartitions(df, base, partCol, version, prevV)
+    }
   }
 
   /** Bytes under every data dir `version` wrote ITSELF (its marker

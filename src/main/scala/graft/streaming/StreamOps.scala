@@ -373,51 +373,45 @@ object StreamOps {
     * associative merge that makes the streamed index row-identical
     * to hashing all batches at once, which StreamingSpec asserts).
     *
-    * Exactly-once across restarts WITHOUT a new commit API: versions
-    * are the batch ledger (batch i commits version i+1), so a
+    * Exactly-once across restarts via the version ledger: batch i
+    * commits AT version i+1 (`commitPartitionedAs` /
+    * `commitPartitionsAs`, `commitAs`'s partitioned twins), so a
     * replayed batch — Structured Streaming re-offers the last batch
     * when the snapshot committed but the checkpoint write was lost —
-    * sees `latest >= batchId + 1` and returns false without touching
-    * the table. The guard is sound for the streaming case because a
-    * table has ONE owning query (batches are sequential) and a
-    * version commits atomically AFTER its data dirs (marker-last).
+    * finds its version already marked and returns false without
+    * touching the table. EMPTY batches commit nothing and leave a
+    * version-number GAP (the fixed-version API allows sparse
+    * versions; an empty replay is trivially a no-op), so an empty
+    * first batch can never wedge the seed — the first NON-empty
+    * batch seeds the table whatever its batchId. The rollup and the
+    * keeper/count merge are `dedup_append`'s own kernel
+    * (CurationOps.dedupIndexRollup / dedupIndexMergeFrames), so the
+    * streamed index cannot drift from the batch op.
     *
     * Scale: this is the rolling-crawl ingest loop running
     * continuously — per tick, write amplification is O(touched hash
     * prefixes), the index rows are ~50 B regardless of doc size, and
     * no document text persists anywhere in the index.
     *
-    * @return true when the batch committed, false on a replay no-op. */
+    * @return true when the batch committed, false on a replay or
+    *         empty-batch no-op. */
   def dedupIndexMerge(batch: DataFrame, batchId: Long,
       base: String): Boolean = {
     import graft.sources.Snapshots
+    import graft.text.CurationOps
     val s = batch.sparkSession
-    val expected = batchId + 1
-    if (Snapshots.latest(s, base) >= expected) false
+    val v = batchId + 1
+    if (Snapshots.versionExists(s, base, v)) false // replay no-op
+    else if (batch.isEmpty) false // nothing to apply; v stays a gap
     else {
-      val b = batch
-        .withColumn("h", md5(col("text")))
-        .groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
-        .withColumn("hp", substring(col("h"), 1, 1))
+      val b = CurationOps.dedupIndexRollup(batch)
         .localCheckpoint() // 2 consumers: touched semi + merge
-      if (expected == 1L) {
-        Snapshots.commitPartitioned(b, base, "hp"); true
-      } else {
-        val touched = b.select(col("hp")).distinct()
-        val merged = Snapshots.readAsOf(s, base, expected - 1)
-          .join(broadcast(touched), Seq("hp"), "left_semi")
-          .select(col("hp"), col("h"), col("keeper").as("p_keeper"),
-            col("n").as("p_n"))
-          .join(b.select(col("hp"), col("h"),
-            col("keeper").as("b_keeper"), col("n").as("b_n")),
-            Seq("hp", "h"), "full_outer")
-          .select(col("hp"), col("h"),
-            least(col("p_keeper"), col("b_keeper")).as("keeper"),
-            (coalesce(col("p_n"), lit(0L)) +
-              coalesce(col("b_n"), lit(0L))).as("n"))
-        Snapshots.commitPartitions(merged, base, "hp"); true
-      }
+      val prevV = Snapshots.latest(s, base)
+      if (prevV == 0L) Snapshots.commitPartitionedAs(b, base, "hp", v)
+      else Snapshots.commitPartitionsAs(
+        CurationOps.dedupIndexMergeFrames(
+          Snapshots.readAsOf(s, base, prevV), b),
+        base, "hp", v)
     }
   }
 }

@@ -763,32 +763,43 @@ object CurationOps extends OpModule {
     * shuffles, zero joins; at 100 TB the op is scan-bound and
     * embarrassingly parallel, exactly like the production filter
     * it models. */
+  /** The gopher quality-signal chain — ONE definition for its three
+    * consumers (`gopher_filter`, `curation_funnel`, `dataset_card`;
+    * CurationSpec reconciles them, this helper makes the
+    * reconciliation structural): adds toks / rs / n / n_stop / mwl,
+    * the five per-rule flags, and the conjunction `keep_q`. Callers
+    * must have registered GraftFunctions (for `rep_stats`). */
+  private[text] def qualitySignals(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("rs", expr("rep_stats(toks)"))
+      .withColumn("n", col("rs.n_tokens"))
+      .withColumn("n_stop",
+        (col("n") - size(array_remove(col("toks"), "the"))) +
+          (col("n") - size(array_remove(col("toks"), "a"))))
+      .withColumn("mwl",
+        (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
+      .withColumn("r_len", col("n").between(20, 90))
+      .withColumn("r_wordlen", col("mwl") >= 4.0 && col("mwl") <= 5.0)
+      .withColumn("r_stop",
+        col("n_stop").cast("double") / col("n") >= 0.02)
+      .withColumn("r_dom",
+        col("rs.top1").cast("double") / col("n") <= 0.12)
+      .withColumn("r_distinct",
+        col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+      .withColumn("keep_q",
+        col("r_len") && col("r_wordlen") && col("r_stop") &&
+          col("r_dom") && col("r_distinct"))
+
   val gopherFilter = Op(
     "gopher_filter",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      Tables(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("rs", expr("rep_stats(toks)"))
-        .withColumn("n", col("rs.n_tokens"))
-        .withColumn("n_stop",
-          (col("n") - size(array_remove(col("toks"), "the"))) +
-            (col("n") - size(array_remove(col("toks"), "a"))))
-        .withColumn("mwl",
-          (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
-        .withColumn("r_len", col("n").between(20, 90))
-        .withColumn("r_wordlen", col("mwl") >= 4.0 && col("mwl") <= 5.0)
-        .withColumn("r_stop",
-          col("n_stop").cast("double") / col("n") >= 0.02)
-        .withColumn("r_dom",
-          col("rs.top1").cast("double") / col("n") <= 0.12)
-        .withColumn("r_distinct",
-          col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+      qualitySignals(Tables(s, d, "documents"))
         .select(col("doc_id"), col("n").as("n_tokens"),
           col("r_len"), col("r_wordlen"), col("r_stop"), col("r_dom"),
-          col("r_distinct"),
-          (col("r_len") && col("r_wordlen") && col("r_stop") &&
-            col("r_dom") && col("r_distinct")).as("keep"))
+          col("r_distinct"), col("keep_q").as("keep"))
     },
     Some("""
       WITH t AS (
@@ -906,6 +917,41 @@ object CurationOps extends OpModule {
     * one-shot build — stronger than reporting only dup groups, and
     * non-empty at every SF (the fixtures below sf0.1 contain no exact
     * clones, so a dup-only report would gate on empty-vs-empty). */
+  /** The exact-dedup index rollup — `dedup_append`'s kernel, shared
+    * with the streaming ingest (StreamOps.dedupIndexMerge) so the
+    * streamed index cannot drift from the batch op it is documented
+    * to equal: (md5 → keeper = min doc_id, n = count), partitioned by
+    * the hash's first hex char. */
+  private[graft] def dedupIndexRollup(
+      dd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dd.withColumn("h", md5(col("text")))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .withColumn("hp", substring(col("h"), 1, 1))
+
+  /** Merge a rolled-up batch into the previous index contents:
+    * keeper = least, n = sum — associative, so ANY batch slicing
+    * yields the one-shot index. Emits only touched-partition rows
+    * (the `commitPartitions` contract). `batch` is consumed twice
+    * (touched-partition semi + merge) — callers materialize it. */
+  private[graft] def dedupIndexMergeFrames(
+      prev: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val touched = batch.select(col("hp")).distinct()
+    prev
+      .join(broadcast(touched), Seq("hp"), "left_semi")
+      .select(col("hp"), col("h"), col("keeper").as("p_keeper"),
+        col("n").as("p_n"))
+      .join(batch.select(col("hp"), col("h"),
+        col("keeper").as("b_keeper"), col("n").as("b_n")),
+        Seq("hp", "h"), "full_outer")
+      .select(col("hp"), col("h"),
+        least(col("p_keeper"), col("b_keeper")).as("keeper"),
+        (coalesce(col("p_n"), lit(0L)) +
+          coalesce(col("b_n"), lit(0L))).as("n"))
+  }
+
   val dedupAppend = Op(
     "dedup_append",
     (s, d) => {
@@ -916,34 +962,19 @@ object CurationOps extends OpModule {
       val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (f.exists(p)) f.delete(p, true)
       val mx = docs.agg(max(col("doc_id")).as("mxd"))
-      def index(dd: org.apache.spark.sql.DataFrame) = dd
-        .withColumn("h", md5(col("text")))
-        .groupBy(col("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
-        .withColumn("hp", substring(col("h"), 1, 1))
       // v1: the base index (all but the 10 newest docs)
       val v1 = Snapshots.commitPartitioned(
-        index(docs.crossJoin(broadcast(mx))
+        dedupIndexRollup(docs.crossJoin(broadcast(mx))
           .filter(col("doc_id") <= col("mxd") - 10).drop("mxd")),
         base, "hp")
       // ingest tick: the 10 newest docs, rolled up within-batch, then
       // merged into ONLY the touched hash-prefix partitions
-      val batch = index(docs.crossJoin(broadcast(mx))
+      val batch = dedupIndexRollup(docs.crossJoin(broadcast(mx))
           .filter(col("doc_id") > col("mxd") - 10).drop("mxd"))
         .localCheckpoint() // 2 consumers: touched-partition semi + merge
-      val touched = batch.select(col("hp")).distinct()
-      val merged = Snapshots.readAsOf(s, base, v1)
-        .join(broadcast(touched), Seq("hp"), "left_semi")
-        .select(col("hp"), col("h"), col("keeper").as("p_keeper"),
-          col("n").as("p_n"))
-        .join(batch.select(col("hp"), col("h"),
-          col("keeper").as("b_keeper"), col("n").as("b_n")),
-          Seq("hp", "h"), "full_outer")
-        .select(col("hp"), col("h"),
-          least(col("p_keeper"), col("b_keeper")).as("keeper"),
-          (coalesce(col("p_n"), lit(0L)) +
-            coalesce(col("b_n"), lit(0L))).as("n"))
-      val v2 = Snapshots.commitPartitions(merged, base, "hp")
+      val v2 = Snapshots.commitPartitions(
+        dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
+        base, "hp")
       // the merged index itself — row-identical to the one-shot build
       Snapshots.readAsOf(s, base, v2)
         .select(col("h"), col("keeper"), col("n").cast("long").as("n"))
@@ -985,21 +1016,7 @@ object CurationOps extends OpModule {
     "curation_funnel",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      val base = Tables(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("rs", expr("rep_stats(toks)"))
-        .withColumn("n", col("rs.n_tokens"))
-        .withColumn("n_stop",
-          (col("n") - size(array_remove(col("toks"), "the"))) +
-            (col("n") - size(array_remove(col("toks"), "a"))))
-        .withColumn("mwl",
-          (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
-        .withColumn("keep_q",
-          col("n").between(20, 90) &&
-            col("mwl") >= 4.0 && col("mwl") <= 5.0 &&
-            col("n_stop").cast("double") / col("n") >= 0.02 &&
-            col("rs.top1").cast("double") / col("n") <= 0.12 &&
-            col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+      val base = qualitySignals(Tables(s, d, "documents"))
         .select(col("doc_id"), col("text"),
           col("n").cast("long").as("n_tokens"), col("keep_q"))
       def stageRow(no: Int, name: String,
@@ -1125,21 +1142,7 @@ object CurationOps extends OpModule {
     "dataset_card",
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
-      Tables(s, d, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("rs", expr("rep_stats(toks)"))
-        .withColumn("n", col("rs.n_tokens"))
-        .withColumn("n_stop",
-          (col("n") - size(array_remove(col("toks"), "the"))) +
-            (col("n") - size(array_remove(col("toks"), "a"))))
-        .withColumn("mwl",
-          (col("n_chars") - (col("n") - lit(1))).cast("double") / col("n"))
-        .withColumn("keep_q",
-          col("n").between(20, 90) &&
-            col("mwl") >= 4.0 && col("mwl") <= 5.0 &&
-            col("n_stop").cast("double") / col("n") >= 0.02 &&
-            col("rs.top1").cast("double") / col("n") <= 0.12 &&
-            col("rs.n_distinct").cast("double") / col("n") >= 0.4)
+      qualitySignals(Tables(s, d, "documents"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

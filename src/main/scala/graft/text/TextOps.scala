@@ -555,8 +555,12 @@ object TextOps extends OpModule {
     * synthetic fixture's 31-type vocabulary (a 1000-type budget
     * covers everything and the op degenerates to all-zero rates);
     * per source, the share of token OCCURRENCES outside that vocab.
-    * The rank cut uses the distributed exact-rank kernel — a vocab is
-    * a total order, never a single-task window.
+    * The rank cut is `orderBy().limit(K)` — unlike `vocab_build`,
+    * which needs a rank for EVERY token, this op needs only a bounded
+    * top-K, and limit-K plans as distributed TakeOrderedAndProject
+    * (per-partition heaps + one merge, no range shuffle, no global
+    * sort) — the exact-rank kernel would double-sort the whole type
+    * table to discard all but 16 rows.
     *
     * Scale shape: token counts and per-source cells are the
     * established (key, count) rollups with map-side partials; the
@@ -571,9 +575,9 @@ object TextOps extends OpModule {
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
         .filter(col("n_occ") >= 5)
-      val vocab = graft.ops.Ranks
-        .withGlobalRank(counts, "__rnk", col("n_occ").desc, col("w"))
-        .filter(col("__rnk") <= 16)
+      val vocab = counts
+        .orderBy(col("n_occ").desc, col("w"))
+        .limit(16)
         .select(col("w"), lit(1).as("in_vocab"))
       docs
         .select(col("source"), explode(split(col("text"), " ")).as("w"))

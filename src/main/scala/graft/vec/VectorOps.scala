@@ -408,16 +408,9 @@ object VectorOps extends OpModule {
       val emb = Tables(s, d, "embeddings")
       val centroids = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // invert: every vector -> nearest centroid (dot desc, c_id
-      // tiebreak) via map-side max_by argmax (see semdedup) — the
-      // exchange carries N one-row-per-vector partials, not N·k
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("c_id"), col("embedding")),
-          struct(col("c_score"), -col("c_id"))).as("m"))
-        .select(col("vec_id"), col("m.embedding").as("embedding"),
-          col("m.c_id").as("c_id"))
+      // invert: every vector -> nearest centroid via the shared
+      // assignArgmax kernel (map-side max_by partials)
+      val assigned = assignArgmax(emb, centroids)
       // target = vec 0; probe its 2 nearest centroids
       val probes = emb.filter(col("vec_id") === 0)
         .crossJoin(broadcast(centroids))
@@ -591,6 +584,24 @@ object VectorOps extends OpModule {
       ORDER BY approx DESC, vec_id
       LIMIT 10"""))
 
+  /** Frozen-seed MIPS argmax assignment — the cross-engine
+    * determinism contract (4dp-rounded score, lowest-c_id tie-break)
+    * in ONE place for its float-seed consumers (`ivf_topk`,
+    * `semdedup`, `semdedup_append`, `ann_recall`; the Lloyd-trained
+    * variants score against double centroids via `dotD` and keep
+    * their own sites). Map-side `max_by` partials: the exchange
+    * carries N one-row-per-vector partials, never N·k scored rows.
+    * `seeds` must be (c_id, c_emb) and catalog-sized (broadcast). */
+  private def assignArgmax(emb: DataFrame,
+      seeds: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(seeds))
+      .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("c_score"), -col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.c_id").as("c_id"))
+
   private def tmpBase(name: String, sfDir: String): String =
     s"/tmp/graft_vec_${name}_${Integer.toHexString(sfDir.hashCode)}" +
       s"_p${ProcessHandle.current().pid()}"
@@ -761,21 +772,16 @@ object VectorOps extends OpModule {
       val mx = emb.agg(max(col("vec_id")).as("mxv"))
       val baseEmb = emb.crossJoin(broadcast(mx))
         .filter(col("vec_id") <= col("mxv") - 5).drop("mxv")
-      // one-row action: parquet footer count minus the fixed batch
+      // k from the BASE count (the documented rule) — counting the
+      // filtered frame, not emb.count()-5, so a corpus with id gaps
+      // cannot diverge from the oracle's COUNT WHERE vec_id <= mxv-5
       val k = math.max(8L,
-        math.ceil(math.sqrt((emb.count() - 5) / 100.0)).toLong)
+        math.ceil(math.sqrt(baseEmb.count() / 100.0)).toLong)
       val seeds = baseEmb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // map-side argmax assignment against the frozen broadcast seeds
-      // (the semdedup kernel: rounded score, c_id tie-break)
-      def assignTo(e: DataFrame): DataFrame = e
-        .crossJoin(broadcast(seeds))
-        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("c_id"), col("embedding")),
-          struct(col("c_score"), -col("c_id"))).as("m"))
-        .select(col("m.c_id").as("c_id"), col("vec_id"),
-          col("m.embedding").as("embedding"))
+      // the shared frozen-seed argmax kernel (rounded score, c_id
+      // tie-break)
+      def assignTo(e: DataFrame): DataFrame = assignArgmax(e, seeds)
       // v1: the base index, clustered by assignment
       val v1 = Snapshots.commitPartitioned(assignTo(baseEmb), base, "c_id")
       // ingest tick: the 5 newest vectors, assigned to the FROZEN
@@ -816,7 +822,8 @@ object VectorOps extends OpModule {
         FROM bn),
       c AS (
         SELECT vec_id AS c_id, embedding AS c_emb
-        FROM embeddings, kk WHERE vec_id < kk.k),
+        FROM embeddings, kk, mx
+        WHERE vec_id < kk.k AND vec_id <= mx.mxv - 5),
       assigned AS (
         SELECT vec_id, embedding, c_id FROM (
           SELECT e.vec_id, e.embedding, c.c_id,
@@ -928,13 +935,7 @@ object VectorOps extends OpModule {
       // (both sides of the pair self-join + the final keep rollup);
       // materializing it runs the O(N·k) broadcast scoring once
       // instead of three times and truncates the lineage
-      val assigned = emb.crossJoin(broadcast(seeds))
-        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("c_id"), col("embedding")),
-          struct(col("c_score"), -col("c_id"))).as("m"))
-        .select(col("vec_id"), col("m.embedding").as("embedding"),
-          col("m.c_id").as("c_id"))
+      val assigned = assignArgmax(emb, seeds)
         .localCheckpoint()
       // the pair join's natural key is c_id alone — k partitions of
       // work no matter how many cores. Salt the self-join with a
@@ -1537,13 +1538,7 @@ object VectorOps extends OpModule {
       val cents = emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       // the shared IVF kernel: map-side argmax assignment
-      val assigned = emb.crossJoin(broadcast(cents))
-        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("c_id"), col("embedding")),
-          struct(col("c_score"), -col("c_id"))).as("m"))
-        .select(col("vec_id"), col("m.embedding").as("embedding"),
-          col("m.c_id").as("c_id"))
+      val assigned = assignArgmax(emb, cents)
       // nprobe=2 cells per query (8×16 scored rows — catalog-sized)
       val wProbe = Window.partitionBy(col("q_id"))
         .orderBy(col("c_score").desc, col("c_id"))

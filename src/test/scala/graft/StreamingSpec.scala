@@ -858,4 +858,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.size == 10 && got.forall(_._3 == 4L))
   }
+
+  test("dedupIndexMerge: empty batches leave version gaps and cannot " +
+      "wedge the seed; merges resume from the latest version") {
+    import spark.implicits._
+    val base = freshDir() + "/dedup_idx_gaps"
+    val docs = (0L until 20L).map(i => (i, s"doc text ${i % 10}"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty batch 0: no version committed, nothing wedged
+    assert(!streaming.StreamOps.dedupIndexMerge(empty, 0L, base))
+    assert(sources.Snapshots.versions(spark, base).isEmpty)
+    // the first NON-empty batch (id 1) seeds at version 2 — gap at 1
+    assert(streaming.StreamOps.dedupIndexMerge(
+      docs.take(10).toDF("doc_id", "text"), 1L, base))
+    assert(sources.Snapshots.versions(spark, base) == Seq(2L))
+    // a replayed empty batch is still a no-op
+    assert(!streaming.StreamOps.dedupIndexMerge(empty, 0L, base))
+    // the next batch merges against the LATEST version across the gap
+    assert(streaming.StreamOps.dedupIndexMerge(
+      docs.drop(10).toDF("doc_id", "text"), 2L, base))
+    assert(sources.Snapshots.versions(spark, base) == Seq(2L, 3L))
+    val got = sources.Snapshots.readAsOf(spark, base, 3L)
+      .select(col("h"), col("keeper"), col("n").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = docs.toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+  }
 }

@@ -64,8 +64,11 @@ def main(sf_dir, out_dir):
     mxv = int(ids.max())
     n_base = int((ids <= mxv - BATCH).sum())
     k = max(8, int(math.ceil(math.sqrt(n_base / 100.0))))
-    seed_ids = ids[ids < k]
-    S = V[ids < k]
+    # seeds are BASE-derived (the engines' documented rule): the k
+    # lowest ids restricted to the base slice
+    seed_mask = (ids < k) & (ids <= mxv - BATCH)
+    seed_ids = ids[seed_mask]
+    S = V[seed_mask]
     scores = r4(V @ S.T)
     assign = seed_ids[np.argmax(scores, axis=1)]
 
