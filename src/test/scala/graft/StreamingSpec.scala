@@ -859,6 +859,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size == 10 && got.forall(_._3 == 4L))
   }
 
+  test("sf1 replay throughput: contamination screen and dedup-index " +
+      "ingest") {
+    // the two r14 corpus-side shapes' rows/s numbers, measured on the
+    // 50k-doc sf1 corpus replay (every tested shape carries a
+    // throughput row — the r12 funnel precedent)
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
+      "synthesized sf1 fixture not present (tools/make_sf.py)")
+    ext.GraftFunctions.register(spark)
+    val sf1Docs = spark.read.parquet("/tmp/sf1/documents.parquet")
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // batch-compiled bloom over the eval slice's distinct gram hashes
+    val bloom = spark.read.parquet("/tmp/sf1/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select(expr("ngram_hashes(toks, 8)"))
+      .agg(expr("bloom_agg(g)").as("b"))
+      .head().getAs[Array[Byte]]("b")
+    val in = MemoryStream[(Long, String, String)](14, spark, None)
+    val q = StreamOps.contaminationScreen(
+      in.toDF().toDF("doc_id", "text", "source"), bloom)
+      .writeStream.format("memory").queryName("t_sf1_screen")
+      .outputMode("append")
+      .option("checkpointLocation", freshDir()).start()
+    val chunk = (sf1Docs.length + 3) / 4
+    sf1Docs.grouped(chunk).foreach { c =>
+      in.addData(c.toIndexedSeq); q.processAllAvailable()
+    }
+    val batches = q.recentProgress.filter(_.numInputRows > 0).map { p =>
+      (p.numInputRows,
+        p.durationMs.getOrDefault("triggerExecution", 0L): Long)
+    }
+    val sRows = batches.map(_._1).sum
+    val sSec = batches.map(_._2).sum / 1e3
+    assert(sRows == sf1Docs.length.toLong)
+    val flagged = spark.table("t_sf1_screen")
+      .filter(col("flagged")).count()
+    assert(flagged > 0L) // the eval slice screens itself
+    q.stop()
+    StreamArt.shapes("screen") =
+      s"""{"shape":"screen","op":"contaminationScreen 8-gram bloom",""" +
+        s""""rows_per_sec":${"%.0f".format(sRows / sSec)},""" +
+        s""""rows":$sRows,"seconds":${"%.2f".format(sSec)},""" +
+        s""""flagged":$flagged,"store":"stateless"}"""
+    StreamArt.write()
+    // dedup-index ingest: 5-slice file replay through foreachBatch,
+    // wall-clock includes the per-tick snapshot commits (the write
+    // path IS the op)
+    val srcDir = freshDir() + "/docs_sf1"
+    val base = freshDir() + "/idx_sf1"
+    sf1Docs.grouped((sf1Docs.length + 4) / 5).foreach(sl =>
+      sl.toSeq.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("append").parquet(srcDir))
+    val t0 = System.nanoTime()
+    val q2 = spark.readStream
+      .schema(sf1Docs.take(1).toSeq
+        .toDF("doc_id", "text", "source").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.dedupIndexMerge(b, id, base)
+        ()
+      }
+      .option("checkpointLocation", freshDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val iSec = (System.nanoTime() - t0) / 1e9
+    val vLatest = sources.Snapshots.latest(spark, base)
+    assert(sources.Snapshots.versions(spark, base).size == 5)
+    val idxRows = sources.Snapshots.readAsOf(spark, base, vLatest)
+    val oneShot = spark.read.parquet("/tmp/sf1/documents.parquet")
+      .select(countDistinct(md5(col("text")))).head.getLong(0)
+    assert(idxRows.count() == oneShot)
+    assert(idxRows.select(sum(col("n"))).head.getLong(0)
+      == sf1Docs.length.toLong)
+    StreamArt.shapes("dedup_index") =
+      s"""{"shape":"dedup_index","op":"foreachBatch dedupIndexMerge""" +
+        s""" 5 ticks","rows_per_sec":${
+          "%.0f".format(sf1Docs.length / iSec)},""" +
+        s""""rows":${sf1Docs.length},"seconds":${"%.2f".format(iSec)},""" +
+        s""""versions":5,"index_rows":$oneShot,"store":"snapshot"}"""
+    StreamArt.write()
+    info(s"screen ${"%.0f".format(sRows / sSec)} rows/s, dedup_index " +
+      s"${"%.0f".format(sf1Docs.length / iSec)} rows/s")
+  }
+
   test("dedupIndexMerge: empty batches leave version gaps and cannot " +
       "wedge the seed; merges resume from the latest version") {
     import spark.implicits._
