@@ -1426,4 +1426,56 @@ object Graft {
       concat(lit("||"), regexp_replace(col("w"), "(.)", "$1||")).as("seg"),
       col("c")), rounds)._1
   }
+
+  /** Run the standard curation pipeline (quality battery → exact
+    * dedup → near-dup dedup) over a documents DataFrame, committing
+    * each stage's SURVIVOR CORPUS as a snapshot version of the table
+    * at `base` (v1 = quality survivors, v2 = exact-dedup keepers,
+    * v3 = near-dup keepers) — the production form of the
+    * `curation_funnel` report: every stage is time-travel-readable
+    * afterwards (an audit can load the exact corpus any stage
+    * shipped), and the returned report is derived from the COMMITTED
+    * tables, not a recompute, so report and tables cannot disagree.
+    *
+    * Stage kernels are the declared ops' own — the `gopher_filter`
+    * conjunction (CurationOps.qualitySignals), `dedup_exact`'s
+    * md5-group min-id keeper, and the `minhash_det` band→verify
+    * chain (jaccard ≥ `threshold`) with the EXISTS-lower-id drop
+    * rule — so stages 1–3 reconcile with `curation_funnel` exactly
+    * (ApiSpec locks the reconciliation). Requires `doc_id`, `text`,
+    * `n_chars` columns.
+    *
+    * Returns (stage_no, stage, n_docs, n_tokens, version). */
+  def curate(docs: DataFrame, base: String,
+      threshold: Double = 0.4): DataFrame = {
+    val s = docs.sparkSession
+    graft.ext.GraftFunctions.register(s)
+    import graft.sources.Snapshots
+    val q = graft.text.CurationOps.qualitySignals(docs)
+      .filter(col("keep_q"))
+      .select(col("doc_id"), col("text"),
+        col("n").cast("long").as("n_tokens"))
+    val v1 = Snapshots.commit(q, base)
+    val q1 = Snapshots.readAsOf(s, base, v1)
+    val keepers = q1.groupBy(md5(col("text")).as("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val v2 = Snapshots.commit(
+      q1.join(keepers, Seq("doc_id"), "left_semi"), base)
+    val e2 = Snapshots.readAsOf(s, base, v2)
+    val dropped = graft.text.SimilarityOps
+      .minhashDetPairs(e2.select(col("doc_id"), col("text")), threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val v3 = Snapshots.commit(
+      e2.join(dropped, Seq("doc_id"), "left_anti"), base)
+    def stageRow(no: Int, name: String, v: Long): DataFrame =
+      Snapshots.readAsOf(s, base, v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"), lit(v).as("version"))
+    stageRow(1, "quality", v1)
+      .unionByName(stageRow(2, "dedup_exact", v2))
+      .unionByName(stageRow(3, "dedup_near", v3))
+  }
 }

@@ -769,7 +769,7 @@ object CurationOps extends OpModule {
     * reconciliation structural): adds toks / rs / n / n_stop / mwl,
     * the five per-rule flags, and the conjunction `keep_q`. Callers
     * must have registered GraftFunctions (for `rep_stats`). */
-  private[text] def qualitySignals(
+  private[graft] def qualitySignals(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))

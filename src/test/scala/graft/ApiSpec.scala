@@ -782,4 +782,32 @@ class ApiSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Graft.shuffleShards(df, "id", 4))
   }
+
+  test("Graft.curate: stage reports reconcile with curation_funnel " +
+      "and every stage corpus is time-travel-readable") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate").toString + "/t"
+    val report = Graft.curate(
+      Tables(spark, sfDir, "documents"), base)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(report.keySet == Set("quality", "dedup_exact", "dedup_near"))
+    // the committed-table report equals the declared funnel's rows
+    val funnel = q("curation_funnel").collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (st <- report.keySet) {
+      assert(report(st)._1 == funnel(st)._1, s"$st docs diverge")
+      assert(report(st)._2 == funnel(st)._2, s"$st tokens diverge")
+    }
+    // each stage's exact corpus is readable at its version, and the
+    // stages are nested survivor sets
+    val ids = Seq("quality", "dedup_exact", "dedup_near").map { st =>
+      val v = report(st)._3
+      val df = sources.Snapshots.readAsOf(spark, base, v)
+      assert(df.count() == report(st)._1)
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(ids(1).subsetOf(ids(0)) && ids(2).subsetOf(ids(1)))
+  }
 }
