@@ -892,10 +892,6 @@ object CurationOps extends OpModule {
              ROUND(2.0 * corpus * sq / (den * n_tokens), 4) AS epochs
       FROM per2, tot"""))
 
-  private def tmpBase(name: String, sfDir: String): String =
-    s"/tmp/graft_cur_${name}_${Integer.toHexString(sfDir.hashCode)}" +
-      s"_p${ProcessHandle.current().pid()}"
-
   /** The PERSISTED exact-dedup index with incremental ingest — how a
     * rolling-crawl dedup actually lives at 100 TB: the index is a
     * snapshot table of (content hash → keeper doc, group count),
@@ -957,26 +953,30 @@ object CurationOps extends OpModule {
     (s, d) => {
       import graft.sources.Snapshots
       val docs = Tables(s, d, "documents")
-      val base = tmpBase("dedup_append", d)
-      val p = new org.apache.hadoop.fs.Path(base)
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (f.exists(p)) f.delete(p, true)
+      val base = Snapshots.freshTmpBase(s, "cur_dedup_append", d)
       val mx = docs.agg(max(col("doc_id")).as("mxd"))
-      // v1: the base index (all but the 10 newest docs)
-      val v1 = Snapshots.commitPartitioned(
-        dedupIndexRollup(docs.crossJoin(broadcast(mx))
-          .filter(col("doc_id") <= col("mxd") - 10).drop("mxd")),
-        base, "hp")
+      val baseIdx = dedupIndexRollup(docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") <= col("mxd") - 10).drop("mxd"))
       // ingest tick: the 10 newest docs, rolled up within-batch, then
       // merged into ONLY the touched hash-prefix partitions
       val batch = dedupIndexRollup(docs.crossJoin(broadcast(mx))
           .filter(col("doc_id") > col("mxd") - 10).drop("mxd"))
         .localCheckpoint() // 2 consumers: touched-partition semi + merge
-      val v2 = Snapshots.commitPartitions(
-        dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
-        base, "hp")
+      val v =
+        if (baseIdx.isEmpty)
+          // corpus no larger than the ingest batch: the batch IS the
+          // corpus — seed with it (hashes are per-doc pure functions,
+          // so the batch-only index is exactly the one-shot build)
+          // instead of tripping the empty-commit guard
+          Snapshots.commitPartitioned(batch, base, "hp")
+        else {
+          val v1 = Snapshots.commitPartitioned(baseIdx, base, "hp")
+          Snapshots.commitPartitions(
+            dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
+            base, "hp")
+        }
       // the merged index itself — row-identical to the one-shot build
-      Snapshots.readAsOf(s, base, v2)
+      Snapshots.readAsOf(s, base, v)
         .select(col("h"), col("keeper"), col("n").cast("long").as("n"))
     },
     Some("""

@@ -630,9 +630,18 @@ object LmOps extends OpModule {
         .agg(round(avg(log(col("c") * lit(1.0) / col("nu"))), 4).as("lp"))
       val ranked = graft.ops.Ranks.withGlobalRank(
         scored, "rk", col("lp"), col("doc_id"))
-      val total = scored.agg(count(lit(1)).as("nn"))
+      // scored has exactly one row per document (every doc tokenizes
+      // to >= 1 token), so the quartile total is the documents ROW
+      // COUNT — a parquet-footer count-star scan, not a re-execution
+      // of scored's whole tokenize/join lineage (which an agg on
+      // `scored` would trigger: withGlobalRank is an opaque RDD, so
+      // nothing below it is a reusable exchange)
+      val total = docs.agg(count(lit(1)).as("nn"))
       ranked.crossJoin(broadcast(total))
-        .withColumn("bucket", expr("((rk - 1) * 4 - ((rk - 1) * 4) % nn) DIV nn"))
+        // ((rk-1)*4) DIV nn directly: Spark's DIV truncates and the
+        // operands are non-negative, so the explicit x - x%n floor is
+        // redundant — and this is byte-for-byte the oracle's `//` form
+        .withColumn("bucket", expr("((rk - 1) * 4) DIV nn"))
         .withColumn("rate", expr(
           "CASE bucket WHEN 0 THEN 100 WHEN 1 THEN 250 " +
             "WHEN 2 THEN 500 ELSE 1000 END"))

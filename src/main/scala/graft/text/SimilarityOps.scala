@@ -470,10 +470,6 @@ object SimilarityOps extends OpModule {
               >= 0.4"""
     })
 
-  private def tmpBase(name: String, sfDir: String): String =
-    s"/tmp/graft_sim_${name}_${Integer.toHexString(sfDir.hashCode)}" +
-      s"_p${ProcessHandle.current().pid()}"
-
   /** The PERSISTED MinHash-LSH band index with incremental ingest —
     * `dedup_append`'s near-dup twin, and together with it the full
     * rolling-crawl dedup lifecycle: the index is a snapshot table of
@@ -506,10 +502,7 @@ object SimilarityOps extends OpModule {
       graft.ext.GraftFunctions.register(s)
       import graft.sources.Snapshots
       val docs = Tables(s, d, "documents")
-      val base = tmpBase("minhash_append", d)
-      val p = new org.apache.hadoop.fs.Path(base)
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (f.exists(p)) f.delete(p, true)
+      val base = Snapshots.freshTmpBase(s, "sim_minhash_append", d)
       val mx = docs.agg(max(col("doc_id")).as("mxd"))
       def pb(df: org.apache.spark.sql.DataFrame) = df.withColumn("pb",
         (col("band") * 16 +
@@ -518,20 +511,31 @@ object SimilarityOps extends OpModule {
       val baseBands = pb(bandRows(sigTable(gramRows(
         docs.crossJoin(broadcast(mx))
           .filter(col("doc_id") <= col("mxd") - 50).drop("mxd")))))
-      val v1 = Snapshots.commitPartitioned(baseBands, base, "pb")
       // ingest tick: the 50 newest docs' band rows, merged into ONLY
       // the touched (band, nibble) partitions
       val batchBands = pb(bandRows(sigTable(gramRows(
         docs.crossJoin(broadcast(mx))
           .filter(col("doc_id") > col("mxd") - 50).drop("mxd")))))
         .localCheckpoint() // 3 consumers: touched semi, merge, probe
-      val touched = batchBands.select(col("pb")).distinct()
-      val merged = Snapshots.readAsOf(s, base, v1)
-        .join(broadcast(touched), Seq("pb"), "left_semi")
-        .select(col("pb"), col("doc_id"), col("band"), col("bkey"))
-        .unionByName(batchBands
-          .select(col("pb"), col("doc_id"), col("band"), col("bkey")))
-      val v2 = Snapshots.commitPartitions(merged, base, "pb")
+      val v2 =
+        if (baseBands.isEmpty)
+          // corpus no larger than the ingest batch: signatures are
+          // per-doc pure functions, so the batch-only index IS the
+          // one-shot build — seed with it rather than tripping the
+          // empty-commit guard
+          Snapshots.commitPartitioned(batchBands
+            .select(col("pb"), col("doc_id"), col("band"), col("bkey")),
+            base, "pb")
+        else {
+          val v1 = Snapshots.commitPartitioned(baseBands, base, "pb")
+          val touched = batchBands.select(col("pb")).distinct()
+          val merged = Snapshots.readAsOf(s, base, v1)
+            .join(broadcast(touched), Seq("pb"), "left_semi")
+            .select(col("pb"), col("doc_id"), col("band"), col("bkey"))
+            .unionByName(batchBands
+              .select(col("pb"), col("doc_id"), col("band"), col("bkey")))
+          Snapshots.commitPartitions(merged, base, "pb")
+        }
       // discovery: batch buckets probe the merged index
       val cand = Snapshots.readAsOf(s, base, v2)
         .select(col("doc_id").as("ia"), col("band"), col("bkey"))

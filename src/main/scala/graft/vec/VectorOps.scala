@@ -602,16 +602,6 @@ object VectorOps extends OpModule {
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.c_id").as("c_id"))
 
-  private def tmpBase(name: String, sfDir: String): String =
-    s"/tmp/graft_vec_${name}_${Integer.toHexString(sfDir.hashCode)}" +
-      s"_p${ProcessHandle.current().pid()}"
-
-  private def freshBase(s: SparkSession, base: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(base)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) f.delete(p, true)
-  }
-
   /** The PERSISTED inverted-file index with frozen-centroid ingest —
     * how a 100 TB vector store actually lives: the index is a snapshot
     * table hive-partitioned by inverted list (`list=<c_id>`), built
@@ -642,11 +632,15 @@ object VectorOps extends OpModule {
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
-      val base = tmpBase("ivf_append", d)
-      freshBase(s, base)
+      val base = Snapshots.freshTmpBase(s, "vec_ivf_append", d)
       val mx = emb.agg(max(col("vec_id")).as("mxv"))
       val baseEmb = emb.crossJoin(broadcast(mx))
         .filter(col("vec_id") <= col("mxv") - 4).drop("mxv")
+      // a training op needs a base: fail with the actual problem, not
+      // a downstream Lloyd/commit failure (and before any /tmp debris)
+      require(!baseEmb.isEmpty,
+        "ivf_append needs a base corpus larger than the 4-vector " +
+          "ingest batch — the frozen centroids train on the base")
       val cents = lloydRefine(baseEmb, 16, LloydRounds)
       def assignTo(e: DataFrame): DataFrame = e
         .crossJoin(broadcast(cents))
@@ -767,16 +761,21 @@ object VectorOps extends OpModule {
     (s, d) => {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
-      val base = tmpBase("semdedup_append", d)
-      freshBase(s, base)
+      val base = Snapshots.freshTmpBase(s, "vec_semdedup_append", d)
       val mx = emb.agg(max(col("vec_id")).as("mxv"))
       val baseEmb = emb.crossJoin(broadcast(mx))
         .filter(col("vec_id") <= col("mxv") - 5).drop("mxv")
       // k from the BASE count (the documented rule) — counting the
       // filtered frame, not emb.count()-5, so a corpus with id gaps
       // cannot diverge from the oracle's COUNT WHERE vec_id <= mxv-5
+      val nBase = baseEmb.count()
+      // a training op needs a base: fail with the actual problem, not
+      // the empty-commit guard's message (and before any /tmp debris)
+      require(nBase > 0,
+        "semdedup_append needs a base corpus larger than the 5-vector " +
+          "ingest batch — the frozen centroids train on the base")
       val k = math.max(8L,
-        math.ceil(math.sqrt(baseEmb.count() / 100.0)).toLong)
+        math.ceil(math.sqrt(nBase / 100.0)).toLong)
       val seeds = baseEmb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       // the shared frozen-seed argmax kernel (rounded score, c_id

@@ -288,6 +288,28 @@ class CurationSpec extends AnyFunSuite {
     assert(rows("dedup_near")._1 < rows("dedup_exact")._1)
   }
 
+  test("dedup_append degrades to a batch-only index when the corpus " +
+      "is no larger than the ingest batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tiny_dedup").toString
+    Seq((1L, "t1"), (2L, "t1"), (3L, "t2"), (4L, "t3"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = text.CurationOps.dedupAppend.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // == the one-shot md5 rollup (the op's own oracle shape)
+    val want = Seq((1L, "t1"), (2L, "t1"), (3L, "t2"), (4L, "t3"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    assert(got.size == 3 && got.exists(_._3 == 2L))
+  }
+
   test("dataset_card: one row per source; totals reconcile with the " +
       "corpus and gopher_filter; ratios internally consistent") {
     val rows = q("dataset_card").collect()

@@ -454,6 +454,44 @@ class TextVecSpec extends AnyFunSuite {
     assert(v2Parts.subsetOf(v1Parts) && v2Parts.size < v1Parts.size)
   }
 
+  test("minhash_append degrades to a batch-only index when the " +
+      "corpus is no larger than the ingest batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tiny_mh").toString
+    val tiny = Seq((1L, "a b c d e"), (2L, "a b c d e f"),
+      (3L, "x y z w"))
+    tiny.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = text.SimilarityOps.minhashAppend.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // every pair is batch-involving, so the at-ingest discovery must
+    // equal the one-shot pair kernel on the same docs
+    val want = text.SimilarityOps
+      .minhashDetPairs(tiny.toDF("doc_id", "text"), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+    assert(got == Set((1L, 2L, 0.75)))
+  }
+
+  test("semdedup_append and ivf_append fail loudly, not via the " +
+      "empty-commit guard, when no base corpus exists") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tiny_vec").toString
+    (0L until 3L).map(i => (i, Array.fill(64)(0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e1 = intercept[IllegalArgumentException](
+      vec.VectorOps.semdedupAppend.run(spark, dir).collect())
+    assert(e1.getMessage.contains("base corpus"))
+    val e2 = intercept[IllegalArgumentException](
+      vec.VectorOps.ivfAppend.run(spark, dir).collect())
+    assert(e2.getMessage.contains("base corpus"))
+  }
+
   test("ann_recall: one row per sampled query, recall in [0,1], and " +
       "q0 reconciles with the declared ivf_topk/vector_topk pair") {
     val rows = q("ann_recall").collect()
