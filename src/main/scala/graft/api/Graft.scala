@@ -1457,17 +1457,11 @@ object Graft {
         col("n").cast("long").as("n_tokens"))
     val v1 = Snapshots.commit(q, base)
     val q1 = Snapshots.readAsOf(s, base, v1)
-    val keepers = q1.groupBy(md5(col("text")).as("_h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
     val v2 = Snapshots.commit(
-      q1.join(keepers, Seq("doc_id"), "left_semi"), base)
+      graft.text.CurationOps.exactKeepers(q1), base)
     val e2 = Snapshots.readAsOf(s, base, v2)
-    val dropped = graft.text.SimilarityOps
-      .minhashDetPairs(e2.select(col("doc_id"), col("text")), threshold)
-      .select(col("doc_b").as("doc_id")).distinct()
     val v3 = Snapshots.commit(
-      e2.join(dropped, Seq("doc_id"), "left_anti"), base)
+      graft.text.CurationOps.nearDupSurvivors(e2, threshold), base)
     def stageRow(no: Int, name: String, v: Long): DataFrame =
       Snapshots.readAsOf(s, base, v)
         .agg(count(lit(1)).as("n_docs"),

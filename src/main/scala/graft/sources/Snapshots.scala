@@ -473,9 +473,32 @@ object Snapshots {
     * lost. Version numbers MAY be sparse (a skipped batch leaves a
     * gap); `latest`/`versions` handle gaps by construction. */
   def commitPartitionedAs(df: DataFrame, base: String, partCol: String,
-      version: Long): Boolean =
-    !versionExists(df.sparkSession, base, version) &&
+      version: Long): Boolean = {
+    val s = df.sparkSession
+    if (versionExists(s, base, version)) false
+    else {
+      clearOrphanManifest(s, base, version)
       attemptPartitioned(df, base, partCol, version)
+    }
+  }
+
+  /** Delete a MARKER-LESS manifest left at `version` by a crashed
+    * prior attempt — without this, a streaming re-offer of the same
+    * version (the fixed-version ledger's whole point) would wedge
+    * forever on writeManifest's `create(overwrite = false)`. Only the
+    * fixed-version paths call this: they own their version number
+    * (one streaming query per table), so a marker-less manifest there
+    * can only be crash debris. The optimistic-loop paths must NOT —
+    * under a live same-version race a marker-less manifest belongs to
+    * the concurrent writer, and deleting it could pair one writer's
+    * marker with the other's manifest. */
+  private def clearOrphanManifest(s: SparkSession, base: String,
+      version: Long): Unit = {
+    val f = fs(s, base)
+    val m = new Path(manifestDir(base), version.toString)
+    if (!versionExists(s, base, version) && f.exists(m))
+      f.delete(m, false)
+  }
 
   /** INCREMENTAL commit — the 100 TB write path: rewrite ONLY the
     * partitions present in `df`, inherit every other live partition
@@ -557,6 +580,7 @@ object Snapshots {
       require(prevV < version,
         s"commitPartitionsAs version $version is not ahead of the " +
           s"latest committed version $prevV at $base")
+      clearOrphanManifest(s, base, version)
       attemptPartitions(df, base, partCol, version, prevV)
     }
   }

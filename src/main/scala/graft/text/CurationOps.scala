@@ -745,24 +745,6 @@ object CurationOps extends OpModule {
       FROM cnt c JOIN corpus USING (w) JOIN stot USING (source), ctot
       GROUP BY c.source, sn"""))
 
-  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
-    * Language Models: … Gopher", §A.1.1 — public paper): unlike
-    * `quality_score`'s single blended score, each document gets a
-    * per-rule pass/fail flag (length band, mean-word-length band,
-    * stopword floor, top-word dominance cap, distinct-token floor)
-    * plus the conjunction `keep` — the per-rule attribution is what a
-    * curation run actually reports ("which rule killed how much of
-    * the crawl"). Thresholds are tuned to the synthetic corpus so
-    * every rule both passes and fails real rows at the gate SFs.
-    *
-    * Scale shape: ONE codegen'd row-local pass — token counts,
-    * distinct count and top-word frequency from the linear native
-    * `rep_stats` kernel (the r13 lesson: never the quadratic HOF
-    * top1), stopword counts from two codegen'd `array_remove` size
-    * deltas, mean word length from arithmetic on `n_chars`. Zero
-    * shuffles, zero joins; at 100 TB the op is scan-bound and
-    * embarrassingly parallel, exactly like the production filter
-    * it models. */
   /** The gopher quality-signal chain — ONE definition for its three
     * consumers (`gopher_filter`, `curation_funnel`, `dataset_card`;
     * CurationSpec reconciles them, this helper makes the
@@ -792,6 +774,24 @@ object CurationOps extends OpModule {
         col("r_len") && col("r_wordlen") && col("r_stop") &&
           col("r_dom") && col("r_distinct"))
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", §A.1.1 — public paper): unlike
+    * `quality_score`'s single blended score, each document gets a
+    * per-rule pass/fail flag (length band, mean-word-length band,
+    * stopword floor, top-word dominance cap, distinct-token floor)
+    * plus the conjunction `keep` — the per-rule attribution is what a
+    * curation run actually reports ("which rule killed how much of
+    * the crawl"). Thresholds are tuned to the synthetic corpus so
+    * every rule both passes and fails real rows at the gate SFs.
+    *
+    * Scale shape: ONE codegen'd row-local pass — token counts,
+    * distinct count and top-word frequency from the linear native
+    * `rep_stats` kernel (the r13 lesson: never the quadratic HOF
+    * top1), stopword counts from two codegen'd `array_remove` size
+    * deltas, mean word length from arithmetic on `n_chars`. Zero
+    * shuffles, zero joins; at 100 TB the op is scan-bound and
+    * embarrassingly parallel, exactly like the production filter
+    * it models. */
   val gopherFilter = Op(
     "gopher_filter",
     (s, d) => {
@@ -955,22 +955,28 @@ object CurationOps extends OpModule {
       val docs = Tables(s, d, "documents")
       val base = Snapshots.freshTmpBase(s, "cur_dedup_append", d)
       val mx = docs.agg(max(col("doc_id")).as("mxd"))
-      val baseIdx = dedupIndexRollup(docs.crossJoin(broadcast(mx))
-        .filter(col("doc_id") <= col("mxd") - 10).drop("mxd"))
+      val baseSlice = docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") <= col("mxd") - 10).drop("mxd")
       // ingest tick: the 10 newest docs, rolled up within-batch, then
       // merged into ONLY the touched hash-prefix partitions
       val batch = dedupIndexRollup(docs.crossJoin(broadcast(mx))
           .filter(col("doc_id") > col("mxd") - 10).drop("mxd"))
         .localCheckpoint() // 2 consumers: touched-partition semi + merge
       val v =
-        if (baseIdx.isEmpty)
+        // the guard probes the PRE-rollup slice: a row-local filtered
+        // scan early-stops at the first row, where isEmpty on the
+        // rollup itself would pay the full md5 aggregation shuffle as
+        // an extra job on every normal run (the rollup is empty iff
+        // its input is)
+        if (baseSlice.isEmpty)
           // corpus no larger than the ingest batch: the batch IS the
           // corpus — seed with it (hashes are per-doc pure functions,
           // so the batch-only index is exactly the one-shot build)
           // instead of tripping the empty-commit guard
           Snapshots.commitPartitioned(batch, base, "hp")
         else {
-          val v1 = Snapshots.commitPartitioned(baseIdx, base, "hp")
+          val v1 = Snapshots.commitPartitioned(
+            dedupIndexRollup(baseSlice), base, "hp")
           Snapshots.commitPartitions(
             dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
             base, "hp")
@@ -1012,6 +1018,32 @@ object CurationOps extends OpModule {
     * data-sized shuffles are dedup_exact's md5 rollup and the minhash
     * chain's banded candidate join, both established scale-clean
     * kernels; every stage row is a map-side-combined 1-row rollup. */
+  /** Exact-dedup keepers of a (doc_id, text, …) frame: the rows
+    * whose doc_id is their md5-group minimum — `dedup_exact`'s keeper
+    * rule, ONE definition for `curation_funnel` and `Graft.curate`
+    * (whose docs promise exact reconciliation). */
+  private[graft] def exactKeepers(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.join(
+      docs.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Near-dup survivors: drop any doc with a LOWER-id minhash partner
+    * at jaccard ≥ `threshold` (the EXISTS-lower-id rule over the
+    * `minhash_det` band→verify kernel) — shared by `curation_funnel`
+    * and `Graft.curate`. */
+  private[graft] def nearDupSurvivors(
+      docs: org.apache.spark.sql.DataFrame, threshold: Double)
+      : org.apache.spark.sql.DataFrame =
+    docs.join(
+      SimilarityOps
+        .minhashDetPairs(docs.select(col("doc_id"), col("text")),
+          threshold)
+        .select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   val curationFunnel = Op(
     "curation_funnel",
     (s, d) => {
@@ -1026,17 +1058,11 @@ object CurationOps extends OpModule {
         .select(lit(no).as("stage_no"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
       val q = base.filter(col("keep_q"))
-      val ex = q.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min(col("n_tokens")).as("n_tokens"))
-      val exDocs = q.join(ex.select(col("doc_id")), Seq("doc_id"),
-        "left_semi")
-      val dropped = SimilarityOps.minhashDetPairs(exDocs, 0.4)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val nd = exDocs.join(dropped, Seq("doc_id"), "left_anti")
+      val exDocs = exactKeepers(q)
+      val nd = nearDupSurvivors(exDocs, 0.4)
       stageRow(0, "raw", base)
         .unionByName(stageRow(1, "quality", q))
-        .unionByName(stageRow(2, "dedup_exact", ex))
+        .unionByName(stageRow(2, "dedup_exact", exDocs))
         .unionByName(stageRow(3, "dedup_near", nd))
     },
     Some("""

@@ -630,13 +630,18 @@ object LmOps extends OpModule {
         .agg(round(avg(log(col("c") * lit(1.0) / col("nu"))), 4).as("lp"))
       val ranked = graft.ops.Ranks.withGlobalRank(
         scored, "rk", col("lp"), col("doc_id"))
-      // scored has exactly one row per document (every doc tokenizes
-      // to >= 1 token), so the quartile total is the documents ROW
-      // COUNT — a parquet-footer count-star scan, not a re-execution
-      // of scored's whole tokenize/join lineage (which an agg on
-      // `scored` would trigger: withGlobalRank is an opaque RDD, so
-      // nothing below it is a reusable exchange)
-      val total = docs.agg(count(lit(1)).as("nn"))
+      // scored has exactly one row per NON-NULL-text document (both
+      // engines' explode/unnest drop null-text rows; split("") still
+      // yields one token), so the quartile total is count(text) — a
+      // single-column null-mask scan, not a re-execution of scored's
+      // whole tokenize/join lineage (which an agg on `scored` would
+      // trigger: withGlobalRank is an opaque RDD, so nothing below it
+      // is a reusable exchange). count(text), not count(*): a
+      // null-text row must not inflate nn past scored's row count or
+      // the bucket boundaries diverge from the oracle's COUNT(*) FROM
+      // scored. doc_id uniqueness is the engine-wide PK contract
+      // (fk_orphans/data_profile audit it).
+      val total = docs.agg(count(col("text")).as("nn"))
       ranked.crossJoin(broadcast(total))
         // ((rk-1)*4) DIV nn directly: Spark's DIV truncates and the
         // operands are non-negative, so the explicit x - x%n floor is

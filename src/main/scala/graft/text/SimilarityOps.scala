@@ -508,9 +508,9 @@ object SimilarityOps extends OpModule {
         (col("band") * 16 +
           conv(substring(col("bkey"), 1, 1), 16, 10).cast("int")).cast("int"))
       // v1: the base index (all but the 50 newest docs)
-      val baseBands = pb(bandRows(sigTable(gramRows(
-        docs.crossJoin(broadcast(mx))
-          .filter(col("doc_id") <= col("mxd") - 50).drop("mxd")))))
+      val baseSlice = docs.crossJoin(broadcast(mx))
+        .filter(col("doc_id") <= col("mxd") - 50).drop("mxd")
+      val baseBands = pb(bandRows(sigTable(gramRows(baseSlice))))
       // ingest tick: the 50 newest docs' band rows, merged into ONLY
       // the touched (band, nibble) partitions
       val batchBands = pb(bandRows(sigTable(gramRows(
@@ -518,7 +518,12 @@ object SimilarityOps extends OpModule {
           .filter(col("doc_id") > col("mxd") - 50).drop("mxd")))))
         .localCheckpoint() // 3 consumers: touched semi, merge, probe
       val v2 =
-        if (baseBands.isEmpty)
+        // guard on the row-local has-any-grams predicate (a doc emits
+        // band rows iff it has >= 3 tokens): early-stops at the first
+        // qualifying row instead of running the whole gram/signature
+        // chain an extra time just to learn the base is non-empty
+        if (baseSlice
+            .filter(size(split(col("text"), " ")) >= 3).isEmpty)
           // corpus no larger than the ingest batch: signatures are
           // per-doc pure functions, so the batch-only index IS the
           // one-shot build — seed with it rather than tripping the
