@@ -1465,7 +1465,9 @@ object Graft {
     def stageRow(no: Int, name: String, v: Long): DataFrame =
       Snapshots.readAsOf(s, base, v)
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("n_tokens"))
+          // a stage that legitimately keeps zero docs sums to NULL —
+          // downstream getLong consumers NPE; 0 is the true total
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
         .select(lit(no).as("stage_no"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"), lit(v).as("version"))
     stageRow(1, "quality", v1)

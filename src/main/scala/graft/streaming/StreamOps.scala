@@ -393,6 +393,16 @@ object StreamOps {
     * prefixes), the index rows are ~50 B regardless of doc size, and
     * no document text persists anywhere in the index.
     *
+    * CAVEAT — the checkpoint and the snapshot table are COUPLED: the
+    * version ledger maps batch i ↔ version i+1, and batch ids come
+    * from the streaming CHECKPOINT. Deleting/resetting the checkpoint
+    * while the snapshot table survives restarts batchIds at 0, so
+    * genuinely NEW batches land on already-marked versions and are
+    * silently skipped as "replays". [[replayGuard]] detects the
+    * signature of that state (a version hit FAR below the table's
+    * latest — a true re-offered batch is always the latest version)
+    * and logs a warning; reset both together, or neither.
+    *
     * @return true when the batch committed, false on a replay or
     *         empty-batch no-op. */
   def dedupIndexMerge(batch: DataFrame, batchId: Long,
@@ -401,7 +411,9 @@ object StreamOps {
     import graft.text.CurationOps
     val s = batch.sparkSession
     val v = batchId + 1
-    if (Snapshots.versionExists(s, base, v)) false // replay no-op
+    if (Snapshots.versionExists(s, base, v)) {
+      replayGuard(s, base, v, "dedupIndexMerge"); false // replay no-op
+    }
     else if (batch.isEmpty) false // nothing to apply; v stays a gap
     else {
       val b = CurationOps.dedupIndexRollup(batch)
@@ -413,5 +425,121 @@ object StreamOps {
           Snapshots.readAsOf(s, base, prevV), b),
         base, "hp", v)
     }
+  }
+
+  /** Streaming incremental MinHash-LSH band-index maintenance — the
+    * `minhash_append` merge as a `foreachBatch` body, completing the
+    * lifecycle symmetry with [[dedupIndexMerge]] (exact) and
+    * [[semdedupIndexMerge]] (semantic): each arriving micro-batch of
+    * documents rolls up its (pb, doc_id, band, bk) band rows —
+    * signatures are pure functions of a doc's own text, so
+    * batch-isolated signatures ARE the full-corpus signatures — and
+    * merges them into ONLY the touched (band, bk mod 16) partitions
+    * of the persisted snapshot index (batch 0 seeds with
+    * `commitPartitionedAs`; later batches union-merge with
+    * `commitPartitionsAs`). The rollup and the merge are
+    * `minhash_append`'s own kernel (SimilarityOps.minhashIndexRollup
+    * / minhashIndexMergeFrames), so the streamed index cannot drift
+    * from the batch op — StreamingSpec asserts streamed ≡ one-shot.
+    *
+    * Exactly-once, empty-batch gaps, and the checkpoint–table
+    * coupling caveat are IDENTICAL to [[dedupIndexMerge]] (batch i ↔
+    * version i+1; see its scaladoc). One extra no-op case: a
+    * non-empty batch whose docs all have < 3 tokens produces zero
+    * band rows and leaves a version gap, like an empty batch.
+    *
+    * Scale: per tick the write amplification is O(touched band
+    * buckets); index rows are (int, long, int, long) ≈ 24 B with no
+    * text, and the bucket shuffle key is the 8-byte hashed bk.
+    *
+    * @return true when the batch committed, false on a replay /
+    *         empty-batch / no-band-rows no-op. */
+  def minhashIndexMerge(batch: DataFrame, batchId: Long,
+      base: String): Boolean = {
+    import graft.sources.Snapshots
+    import graft.text.SimilarityOps
+    val s = batch.sparkSession
+    graft.ext.GraftFunctions.register(s) // ngrams generator
+    val v = batchId + 1
+    if (Snapshots.versionExists(s, base, v)) {
+      replayGuard(s, base, v, "minhashIndexMerge"); false // replay no-op
+    }
+    else if (batch.isEmpty) false // nothing to apply; v stays a gap
+    else {
+      val b = SimilarityOps.minhashIndexRollup(batch)
+        .localCheckpoint() // 2 consumers: touched semi + merge
+      if (b.isEmpty) false // no doc had >= 3 tokens; v stays a gap
+      else {
+        val prevV = Snapshots.latest(s, base)
+        if (prevV == 0L) Snapshots.commitPartitionedAs(b, base, "pb", v)
+        else Snapshots.commitPartitionsAs(
+          SimilarityOps.minhashIndexMergeFrames(
+            Snapshots.readAsOf(s, base, prevV), b),
+          base, "pb", v)
+      }
+    }
+  }
+
+  /** Streaming incremental semantic-dedup cluster-index maintenance —
+    * the `semdedup_append` merge as a `foreachBatch` body, the third
+    * member of the lifecycle trio ([[dedupIndexMerge]] exact,
+    * [[minhashIndexMerge]] lexical, this op embedding-semantic): each
+    * arriving micro-batch of (vec_id, embedding) rows is assigned to
+    * the FROZEN `seeds` (c_id, c_emb — trained once on the base
+    * corpus, exactly `semdedup_append`'s contract: assignments are
+    * pure functions of (own embedding, frozen seeds), so
+    * batch-isolated rollups ARE full-corpus assignment slices) and
+    * merged into ONLY the touched cluster partitions of the persisted
+    * snapshot index. The rollup and merge are `semdedup_append`'s own
+    * kernel (VectorOps.semdedupIndexRollup / semdedupIndexMergeFrames)
+    * so stream and batch cannot drift — StreamingSpec asserts
+    * streamed ≡ one-shot assignment. Re-clustering (new k as the
+    * corpus grows) stays a scheduled full rebuild, NOT a stream tick.
+    *
+    * Exactly-once, empty-batch gaps, and the checkpoint–table
+    * coupling caveat are IDENTICAL to [[dedupIndexMerge]] (batch i ↔
+    * version i+1; see its scaladoc).
+    *
+    * @return true when the batch committed, false on a replay or
+    *         empty-batch no-op. */
+  def semdedupIndexMerge(batch: DataFrame, batchId: Long,
+      base: String, seeds: DataFrame): Boolean = {
+    import graft.sources.Snapshots
+    import graft.vec.VectorOps
+    val s = batch.sparkSession
+    graft.ext.GraftFunctions.register(s) // dot_f kernel
+    val v = batchId + 1
+    if (Snapshots.versionExists(s, base, v)) {
+      replayGuard(s, base, v, "semdedupIndexMerge"); false // replay no-op
+    }
+    else if (batch.isEmpty) false // nothing to apply; v stays a gap
+    else {
+      val b = VectorOps.semdedupIndexRollup(batch, seeds)
+        .localCheckpoint() // 2 consumers: touched semi + merge
+      val prevV = Snapshots.latest(s, base)
+      if (prevV == 0L) Snapshots.commitPartitionedAs(b, base, "c_id", v)
+      else Snapshots.commitPartitionsAs(
+        VectorOps.semdedupIndexMergeFrames(
+          Snapshots.readAsOf(s, base, prevV), b),
+        base, "c_id", v)
+    }
+  }
+
+  /** Warn when a "replay" hit is suspicious: a genuinely re-offered
+    * batch (snapshot committed, checkpoint write lost) is always the
+    * table's LATEST version; a version hit strictly below latest
+    * means the checkpoint restarted from 0 while the snapshot table
+    * survived — new data is being dropped as replays. Logged, not
+    * thrown: foreachBatch can't distinguish intent, the operator can. */
+  private def replayGuard(s: org.apache.spark.sql.SparkSession,
+      base: String, v: Long, who: String): Unit = {
+    val latest = graft.sources.Snapshots.latest(s, base)
+    if (v < latest)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$who: batch version $v already exists but table $base is at " +
+          s"version $latest — a re-offered batch is always the latest " +
+          "version, so the streaming checkpoint has likely been reset " +
+          "while the snapshot table survived; NEW batches are being " +
+          "skipped as replays. Reset the table and checkpoint together.")
   }
 }

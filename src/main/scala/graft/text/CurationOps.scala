@@ -968,13 +968,19 @@ object CurationOps extends OpModule {
         // rollup itself would pay the full md5 aggregation shuffle as
         // an extra job on every normal run (the rollup is empty iff
         // its input is)
-        if (baseSlice.isEmpty)
+        if (baseSlice.isEmpty) {
           // corpus no larger than the ingest batch: the batch IS the
           // corpus — seed with it (hashes are per-doc pure functions,
           // so the batch-only index is exactly the one-shot build)
-          // instead of tripping the empty-commit guard
+          // instead of tripping the empty-commit guard. An entirely
+          // EMPTY corpus has no batch either: fail loudly with the
+          // actual problem, not the commit guard's message (the
+          // ivf_append/semdedup_append pattern).
+          require(!batch.isEmpty,
+            "dedup_append needs at least one document — the corpus " +
+              "is empty, there is nothing to index")
           Snapshots.commitPartitioned(batch, base, "hp")
-        else {
+        } else {
           val v1 = Snapshots.commitPartitioned(
             dedupIndexRollup(baseSlice), base, "hp")
           Snapshots.commitPartitions(

@@ -386,15 +386,28 @@ object SimilarityOps extends OpModule {
     grams.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
-  /** (doc_id, band, bkey) rows from the signature table, banded 4×2. */
+  /** (doc_id, band, bk) rows from the signature table, banded 4×2.
+    *
+    * Shuffle key: `bk` is `xxhash64` of the band's 64-hex-char key
+    * (two concatenated md5 signatures) — an 8-byte long instead of
+    * ~8× the bytes on the index's dominant shuffle, the
+    * [[rareGramStats]] precedent. Equality on the long is all the
+    * bucket join needs; no band key ever reaches the output (the
+    * candidates are exact-Jaccard verified downstream, so a 64-bit
+    * collision can only add a candidate the verify stage re-scores —
+    * it cannot change a reported pair unless the colliding docs
+    * genuinely clear the Jaccard threshold, the birthday-bound
+    * regime argued at rareGramStats). Outputs verified identical vs
+    * the string-key plan at sf0.01/sf1 (SCALE.md r15). */
   private def bandRows(sig: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bandArr = (0 until 4)
-      .map(j => s"struct($j as band, concat(h${2 * j}, h${2 * j + 1}) as bkey)")
+      .map(j =>
+        s"struct($j as band, xxhash64(concat(h${2 * j}, h${2 * j + 1})) as bk)")
       .mkString("array(", ", ", ")")
     sig.select(col("doc_id"), explode(expr(bandArr)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
-        col("b.bkey").as("bkey"))
+        col("b.bk").as("bk"))
   }
 
   private[graft] def minhashDetPairs(input: org.apache.spark.sql.DataFrame,
@@ -403,9 +416,9 @@ object SimilarityOps extends OpModule {
       val grams = gramRows(input)
       val sig = sigTable(grams)
       val bands = bandRows(sig)
-      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
-          Seq("band", "bkey"))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")),
+          Seq("band", "bk"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
@@ -470,11 +483,41 @@ object SimilarityOps extends OpModule {
               >= 0.4"""
     })
 
+  /** Band-index rollup of a (doc_id, text, …) batch: the persisted
+    * index's rows (pb, doc_id, band, bk) — `minhash_append`'s kernel,
+    * shared with the streaming ingest (StreamOps.minhashIndexMerge)
+    * so the streamed index cannot drift from the batch op. pb =
+    * band·16 + (bk mod 16), the 64-way hive layout. */
+  private[graft] def minhashIndexRollup(
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bandRows(sigTable(gramRows(batch)))
+      .withColumn("pb",
+        (col("band") * 16 + pmod(col("bk"), lit(16))).cast("int"))
+      .select(col("pb"), col("doc_id"), col("band"), col("bk"))
+
+  /** Merge a rolled-up batch into the previous index contents: band
+    * rows are append-only per doc (batches carry disjoint doc sets),
+    * so the merge is a union restricted to touched partitions —
+    * emits only touched-partition rows (the `commitPartitions`
+    * contract). `batch` is consumed twice (touched semi + union) —
+    * callers materialize it. */
+  private[graft] def minhashIndexMergeFrames(
+      prev: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    prev
+      .join(broadcast(batch.select(col("pb")).distinct()),
+        Seq("pb"), "left_semi")
+      .select(col("pb"), col("doc_id"), col("band"), col("bk"))
+      .unionByName(batch
+        .select(col("pb"), col("doc_id"), col("band"), col("bk")))
+
   /** The PERSISTED MinHash-LSH band index with incremental ingest —
     * `dedup_append`'s near-dup twin, and together with it the full
     * rolling-crawl dedup lifecycle: the index is a snapshot table of
-    * (doc_id, band, bkey) rows hive-partitioned by (band, bkey
-    * nibble) (64 partitions), built once from the base corpus and
+    * (doc_id, band, bk) rows hive-partitioned by (band, bk mod 16)
+    * (64 partitions; bk is the xxhash64'd band key — see
+    * [[bandRows]]), built once from the base corpus and
     * maintained by `commitPartitions`-merging each ingest batch's
     * band rows — only partitions receiving batch buckets rewrite.
     * Because a doc's signature is a pure function of its own text
@@ -504,18 +547,14 @@ object SimilarityOps extends OpModule {
       val docs = Tables(s, d, "documents")
       val base = Snapshots.freshTmpBase(s, "sim_minhash_append", d)
       val mx = docs.agg(max(col("doc_id")).as("mxd"))
-      def pb(df: org.apache.spark.sql.DataFrame) = df.withColumn("pb",
-        (col("band") * 16 +
-          conv(substring(col("bkey"), 1, 1), 16, 10).cast("int")).cast("int"))
       // v1: the base index (all but the 50 newest docs)
       val baseSlice = docs.crossJoin(broadcast(mx))
         .filter(col("doc_id") <= col("mxd") - 50).drop("mxd")
-      val baseBands = pb(bandRows(sigTable(gramRows(baseSlice))))
       // ingest tick: the 50 newest docs' band rows, merged into ONLY
-      // the touched (band, nibble) partitions
-      val batchBands = pb(bandRows(sigTable(gramRows(
+      // the touched (band, bk mod 16) partitions
+      val batchBands = minhashIndexRollup(
         docs.crossJoin(broadcast(mx))
-          .filter(col("doc_id") > col("mxd") - 50).drop("mxd")))))
+          .filter(col("doc_id") > col("mxd") - 50).drop("mxd"))
         .localCheckpoint() // 3 consumers: touched semi, merge, probe
       val v2 =
         // guard on the row-local has-any-grams predicate (a doc emits
@@ -523,29 +562,31 @@ object SimilarityOps extends OpModule {
         // qualifying row instead of running the whole gram/signature
         // chain an extra time just to learn the base is non-empty
         if (baseSlice
-            .filter(size(split(col("text"), " ")) >= 3).isEmpty)
+            .filter(size(split(col("text"), " ")) >= 3).isEmpty) {
           // corpus no larger than the ingest batch: signatures are
           // per-doc pure functions, so the batch-only index IS the
           // one-shot build — seed with it rather than tripping the
-          // empty-commit guard
-          Snapshots.commitPartitioned(batchBands
-            .select(col("pb"), col("doc_id"), col("band"), col("bkey")),
+          // empty-commit guard. A fully degenerate corpus (no doc
+          // anywhere with >= 3 tokens) has NO band rows at all: fail
+          // loudly with the actual problem, not the commit guard's
+          // message (the ivf_append/semdedup_append pattern).
+          require(!batchBands.isEmpty,
+            "minhash_append needs at least one document with >= 3 " +
+              "tokens — the corpus produces no band rows to index")
+          Snapshots.commitPartitioned(batchBands, base, "pb")
+        } else {
+          val v1 = Snapshots.commitPartitioned(
+            minhashIndexRollup(baseSlice), base, "pb")
+          Snapshots.commitPartitions(
+            minhashIndexMergeFrames(
+              Snapshots.readAsOf(s, base, v1), batchBands),
             base, "pb")
-        else {
-          val v1 = Snapshots.commitPartitioned(baseBands, base, "pb")
-          val touched = batchBands.select(col("pb")).distinct()
-          val merged = Snapshots.readAsOf(s, base, v1)
-            .join(broadcast(touched), Seq("pb"), "left_semi")
-            .select(col("pb"), col("doc_id"), col("band"), col("bkey"))
-            .unionByName(batchBands
-              .select(col("pb"), col("doc_id"), col("band"), col("bkey")))
-          Snapshots.commitPartitions(merged, base, "pb")
         }
       // discovery: batch buckets probe the merged index
       val cand = Snapshots.readAsOf(s, base, v2)
-        .select(col("doc_id").as("ia"), col("band"), col("bkey"))
+        .select(col("doc_id").as("ia"), col("band"), col("bk"))
         .join(batchBands.select(col("doc_id").as("ib"), col("band"),
-          col("bkey")), Seq("band", "bkey"))
+          col("bk")), Seq("band", "bk"))
         .filter(col("ia") =!= col("ib"))
         .select(least(col("ia"), col("ib")).as("doc_a"),
           greatest(col("ia"), col("ib")).as("doc_b"))

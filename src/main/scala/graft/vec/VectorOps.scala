@@ -592,7 +592,7 @@ object VectorOps extends OpModule {
     * their own sites). Map-side `max_by` partials: the exchange
     * carries N one-row-per-vector partials, never N·k scored rows.
     * `seeds` must be (c_id, c_emb) and catalog-sized (broadcast). */
-  private def assignArgmax(emb: DataFrame,
+  private[graft] def assignArgmax(emb: DataFrame,
       seeds: DataFrame): DataFrame =
     emb.crossJoin(broadcast(seeds))
       .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
@@ -601,6 +601,33 @@ object VectorOps extends OpModule {
         struct(col("c_score"), -col("c_id"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.c_id").as("c_id"))
+
+  /** Cluster-index rollup of an embeddings batch against FROZEN
+    * seeds: the persisted semantic-dedup index's rows
+    * (c_id, vec_id, embedding) — `semdedup_append`'s kernel, shared
+    * with the streaming ingest (StreamOps.semdedupIndexMerge) so the
+    * streamed index cannot drift from the batch op. Assignments are
+    * pure functions of (own embedding, frozen seeds), so
+    * batch-isolated rollups equal full-corpus assignment slices. */
+  private[graft] def semdedupIndexRollup(batch: DataFrame,
+      seeds: DataFrame): DataFrame =
+    assignArgmax(batch, seeds)
+      .select(col("c_id"), col("vec_id"), col("embedding"))
+
+  /** Merge a rolled-up batch into the previous index contents:
+    * assignment rows are append-only per vector (batches carry
+    * disjoint vec_id sets), so the merge is a union restricted to
+    * touched cluster partitions — emits only touched-partition rows
+    * (the `commitPartitions` contract). `batch` is consumed twice
+    * (touched semi + union) — callers materialize it. */
+  private[graft] def semdedupIndexMergeFrames(prev: DataFrame,
+      batch: DataFrame): DataFrame =
+    prev
+      .join(broadcast(batch.select(col("c_id")).distinct()),
+        Seq("c_id"), "left_semi")
+      .select(col("c_id"), col("vec_id"), col("embedding"))
+      .unionByName(batch
+        .select(col("c_id"), col("vec_id"), col("embedding")))
 
   /** The PERSISTED inverted-file index with frozen-centroid ingest —
     * how a 100 TB vector store actually lives: the index is a snapshot
@@ -765,10 +792,17 @@ object VectorOps extends OpModule {
       val mx = emb.agg(max(col("vec_id")).as("mxv"))
       val baseEmb = emb.crossJoin(broadcast(mx))
         .filter(col("vec_id") <= col("mxv") - 5).drop("mxv")
-      // k from the BASE count (the documented rule) — counting the
-      // filtered frame, not emb.count()-5, so a corpus with id gaps
-      // cannot diverge from the oracle's COUNT WHERE vec_id <= mxv-5
-      val nBase = baseEmb.count()
+      // the raw ingest slice, materialized once: its count sizes k
+      // below and its rows feed the frozen-seed assignment — so N_base
+      // needs NO scan of the base (emb.count() is the footer-metadata
+      // count; base + batch partition the corpus exactly, id gaps
+      // included, so the difference IS the oracle's COUNT WHERE
+      // vec_id <= mxv-5). The old form counted the filtered base frame
+      // directly — one full extra scan per invocation (VERDICT r14).
+      val batchRaw = emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") > col("mxv") - 5).drop("mxv")
+        .localCheckpoint() // 2 consumers: the k-sizing count + assign
+      val nBase = emb.count() - batchRaw.count()
       // a training op needs a base: fail with the actual problem, not
       // the empty-commit guard's message (and before any /tmp debris)
       require(nBase > 0,
@@ -778,22 +812,18 @@ object VectorOps extends OpModule {
         math.ceil(math.sqrt(nBase / 100.0)).toLong)
       val seeds = baseEmb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // the shared frozen-seed argmax kernel (rounded score, c_id
-      // tie-break)
-      def assignTo(e: DataFrame): DataFrame = assignArgmax(e, seeds)
-      // v1: the base index, clustered by assignment
-      val v1 = Snapshots.commitPartitioned(assignTo(baseEmb), base, "c_id")
+      // v1: the base index, clustered by assignment (the shared
+      // frozen-seed argmax kernel: rounded score, c_id tie-break)
+      val v1 = Snapshots.commitPartitioned(
+        semdedupIndexRollup(baseEmb, seeds), base, "c_id")
       // ingest tick: the 5 newest vectors, assigned to the FROZEN
       // seeds, merged into ONLY the touched cluster partitions
-      val batch = assignTo(emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") > col("mxv") - 5).drop("mxv"))
+      val batch = semdedupIndexRollup(batchRaw, seeds)
         .localCheckpoint() // 3 consumers: touched semi, merge, probe
       val touched = batch.select(col("c_id")).distinct()
-      val merged = Snapshots.readAsOf(s, base, v1)
-        .join(broadcast(touched), Seq("c_id"), "left_semi")
-        .select(col("c_id"), col("vec_id"), col("embedding"))
-        .unionByName(batch)
-      val v2 = Snapshots.commitPartitions(merged, base, "c_id")
+      val v2 = Snapshots.commitPartitions(
+        semdedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
+        base, "c_id")
       // at-ingest discovery: batch vectors score against their merged
       // cluster's members (partition-pruned read); batch-batch pairs
       // appear from both sides, so the least/greatest distinct is the

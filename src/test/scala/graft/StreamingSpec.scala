@@ -978,4 +978,163 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(got == want)
   }
+
+  test("minhashIndexMerge: streamed incremental band index equals the " +
+      "one-shot build; replays are no-ops across a restart") {
+    import spark.implicits._
+    ext.GraftFunctions.register(spark)
+    val srcDir = freshDir() + "/docs_src"
+    val base = freshDir() + "/mh_idx"
+    val chkDir = freshDir() + "/chk"
+    // 40 docs in 4 slices; texts recur (mod 10) so batch buckets
+    // collide with base buckets, and two SHORT docs (< 3 tokens) per
+    // slice exercise the zero-band-row path inside non-empty batches
+    val docs = (0L until 40L).map { i =>
+      if (i % 10 >= 8) (i, "too short")
+      else (i, s"alpha beta gamma delta ${i % 10} epsilon zeta")
+    }
+    def addSlice(s: Seq[(Long, String)]): Unit =
+      s.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(docs.take(1).toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          streaming.StreamOps.minhashIndexMerge(b, id, base)
+          ()
+        }
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs.grouped(10).take(2).foreach(addSlice)
+    runOnce() // batches 0,1 -> versions 1,2; the query "dies"
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L))
+    def indexRows(v: Long): Set[(Int, Long, Int, Long)] =
+      sources.Snapshots.readAsOf(spark, base, v)
+        .select(col("pb").cast("int"), col("doc_id"),
+          col("band").cast("int"), col("bk"))
+        .collect().map(r =>
+          (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // a re-offered batch (snapshot committed, checkpoint write lost)
+    // must be a no-op: same batchId, any content
+    val before = indexRows(2L)
+    assert(!streaming.StreamOps.minhashIndexMerge(
+      docs.take(3).toDF("doc_id", "text"), 1L, base))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L))
+    assert(indexRows(2L) == before)
+    // a batch of ONLY short docs (non-empty, zero band rows) leaves a
+    // version gap instead of wedging or committing an empty frame
+    assert(!streaming.StreamOps.minhashIndexMerge(
+      Seq((100L, "nope")).toDF("doc_id", "text"), 2L, base))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L))
+    // restart from the same checkpoint: remaining slices only
+    docs.grouped(10).drop(2).foreach(addSlice)
+    runOnce()
+    assert(sources.Snapshots.versions(spark, base)
+      == Seq(1L, 2L, 3L, 4L))
+    // streamed index == one-shot band rollup of ALL docs (the batch
+    // kernel itself, which the sf0.01 oracle gate pins to minhash_det)
+    val want = text.SimilarityOps
+      .minhashIndexRollup(docs.toDF("doc_id", "text"))
+      .select(col("pb").cast("int"), col("doc_id"),
+        col("band").cast("int"), col("bk"))
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(indexRows(4L) == want)
+    // 32 long-enough docs x 4 bands
+    assert(want.size == 32 * 4)
+  }
+
+  test("semdedupIndexMerge: streamed incremental cluster index equals " +
+      "the one-shot frozen-seed assignment; replays are no-ops") {
+    import spark.implicits._
+    ext.GraftFunctions.register(spark)
+    val base = freshDir() + "/sem_idx"
+    // deterministic 8-dim embeddings, 24 vectors; seeds = first 4
+    def emb(i: Long): Array[Float] =
+      Array.tabulate(8)(j => (((i * 31 + j * 17) % 13) - 6).toFloat / 6f)
+    val vecs = (0L until 24L).map(i => (i, emb(i)))
+    val all = vecs.toDF("vec_id", "embedding")
+    val seeds = vecs.take(4)
+      .toDF("c_id", "c_emb")
+    def idxRows(v: Long): Set[(Long, Long)] =
+      sources.Snapshots.readAsOf(spark, base, v)
+        .select(col("c_id").cast("long"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // three manual ticks (foreachBatch bodies are plain calls)
+    val slices = vecs.grouped(8).toSeq
+    assert(streaming.StreamOps.semdedupIndexMerge(
+      slices(0).toDF("vec_id", "embedding"), 0L, base, seeds))
+    assert(streaming.StreamOps.semdedupIndexMerge(
+      slices(1).toDF("vec_id", "embedding"), 1L, base, seeds))
+    // replay of batch 1 is a no-op whatever its content
+    val before = idxRows(2L)
+    assert(!streaming.StreamOps.semdedupIndexMerge(
+      slices(2).toDF("vec_id", "embedding"), 1L, base, seeds))
+    assert(idxRows(2L) == before)
+    // empty batch leaves a version gap
+    assert(!streaming.StreamOps.semdedupIndexMerge(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      2L, base, seeds))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L))
+    assert(streaming.StreamOps.semdedupIndexMerge(
+      slices(2).toDF("vec_id", "embedding"), 3L, base, seeds))
+    assert(sources.Snapshots.versions(spark, base) == Seq(1L, 2L, 4L))
+    // streamed index == one-shot assignment of the full corpus
+    val want = vec.VectorOps.semdedupIndexRollup(all, seeds)
+      .select(col("c_id").cast("long"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idxRows(4L) == want)
+    assert(want.size == 24)
+  }
+
+  test("sf1 replay throughput: minhash band-index ingest") {
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
+      "synthesized sf1 fixture not present (tools/make_sf.py)")
+    ext.GraftFunctions.register(spark)
+    val sf1Docs = spark.read.parquet("/tmp/sf1/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val srcDir = freshDir() + "/docs_mh_sf1"
+    val base = freshDir() + "/mh_idx_sf1"
+    sf1Docs.grouped((sf1Docs.length + 4) / 5).foreach(sl =>
+      sl.toSeq.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir))
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .schema(sf1Docs.take(1).toSeq.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.minhashIndexMerge(b, id, base)
+        ()
+      }
+      .option("checkpointLocation", freshDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val iSec = (System.nanoTime() - t0) / 1e9
+    assert(sources.Snapshots.versions(spark, base).size == 5)
+    val vLatest = sources.Snapshots.latest(spark, base)
+    val idxRows = sources.Snapshots.readAsOf(spark, base, vLatest).count()
+    // band rows: 4 per doc with >= 3 tokens
+    val eligible = spark.read.parquet("/tmp/sf1/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3).count()
+    assert(idxRows == eligible * 4)
+    StreamArt.shapes("minhash_index") =
+      s"""{"shape":"minhash_index","op":"foreachBatch minhashIndexMerge""" +
+        s""" 5 ticks","rows_per_sec":${
+          "%.0f".format(sf1Docs.length / iSec)},""" +
+        s""""rows":${sf1Docs.length},"seconds":${"%.2f".format(iSec)},""" +
+        s""""versions":5,"index_rows":$idxRows,"store":"snapshot"}"""
+    StreamArt.write()
+    info(s"minhash_index ${"%.0f".format(sf1Docs.length / iSec)} rows/s")
+  }
 }
