@@ -1487,6 +1487,188 @@ object VectorOps extends OpModule {
       ORDER BY adc_score DESC, a.vec_id
       LIMIT 10"""))
 
+  /** The PERSISTED IVF×PQ codes index with incremental ingest — the
+    * EXECUTABLE form of `ivfpq_topk`'s 100 TB story: where that op
+    * argues "the codes live hive-partitioned by list, the probe IS
+    * partition pruning" in prose and re-encodes the corpus inline per
+    * query, this op actually commits the composed index as a snapshot
+    * table of (list | vec_id | ck) rows — `ck` is all 8 PQ code
+    * nibbles PACKED into one long (8 codes × 4 bits; a vector of 256
+    * float bytes stores as 4+8+8 ≈ 20 B of index row) — and serves
+    * the query from a partition-pruned read of the committed codes.
+    * The layout is `ivf_append`'s (hive-partitioned by inverted
+    * list); ingest ticks are `commitPartitions` merges that rewrite
+    * ONLY the touched list partitions.
+    *
+    * Both quantizer halves are FROZEN pure functions of the BASE
+    * corpus (coarse centroids = base vec_id < 16, sub-codebooks = the
+    * same 16 base vectors' sub-slices), so batch rows computed in
+    * isolation are identical to full-corpus rows and the merged index
+    * is row-identical to encoding everything at once — which is what
+    * the oracle computes (assign + encode ALL vectors against the
+    * base-restricted codebooks, probe, ADC-score). Any code nibble
+    * lost, shifted, or mis-packed by the incremental path, and any
+    * frozen-half drift, changes the ADC sums and hash-mismatches.
+    * Retraining either half is a scheduled full rebuild committed as
+    * the next version — never an ingest tick (the `semdedup_append`
+    * maintenance contract).
+    *
+    * Query = the NEWEST vector immediately probing the index it just
+    * joined (the `ivf_append` shape): nprobe=2 of 16 lists, the ADC
+    * table is one broadcast of 128 integer ten-thousandths, and the
+    * scoring input is the pruned partitions' packed longs — the probe
+    * never re-reads a raw embedding. Scale: at 100 TB the index is
+    * ~1/32 the corpus bytes, the probe reads ~nprobe/nlist of THAT,
+    * and per-tick write amplification is O(touched lists). */
+  val ivfpqAppend = Op(
+    "ivfpq_append",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val base = Snapshots.freshTmpBase(s, "vec_ivfpq_append", d)
+      val mx = emb.agg(max(col("vec_id")).as("mxv"))
+      val baseEmb = emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") <= col("mxv") - 4).drop("mxv")
+      // a training op needs a base: fail with the actual problem, not
+      // a downstream commit failure (and before any /tmp debris)
+      require(!baseEmb.isEmpty,
+        "ivfpq_append needs a base corpus larger than the 4-vector " +
+          "ingest batch — the frozen coarse centroids and " +
+          "sub-codebooks come from the base")
+      // frozen halves — both pure functions of the base corpus
+      val cents = baseEmb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val cb = baseEmb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"),
+          explode(sequence(lit(0), lit(7))).as("s"), col("embedding"))
+        .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .withColumn("c2", dot("c_sv", "c_sv"))
+        .select(col("code"), col("s"), col("c_sv"), col("c2"))
+        .localCheckpoint() // 3 consumers: base encode, batch encode, ADC
+      // index rows of a slice: (list, vec_id, ck) — coarse list via
+      // the shared argmax kernel; codes via pq_topk's packed-key
+      // argmin, then all 8 nibbles packed little-endian into one long
+      def indexRows(e: DataFrame): DataFrame = {
+        val assign = assignArgmax(e, cents)
+          .select(col("vec_id"), col("c_id").as("list"))
+        val packed = e
+          .select(col("vec_id"),
+            explode(sequence(lit(0), lit(7))).as("s"), col("embedding"))
+          .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
+          .withColumn("s2", dot("sv", "sv"))
+          .join(broadcast(cb), "s")
+          .withColumn("k", pqKey(dot("sv", "c_sv")))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min(col("k")).as("k"))
+          .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
+          .groupBy(col("vec_id"))
+          .agg(sum(expr("shiftleft(code, s * 4)")).as("ck"))
+        assign.join(packed, "vec_id")
+          .select(col("list"), col("vec_id"), col("ck"))
+      }
+      // v1: the base index, clustered by inverted list
+      val v1 = Snapshots.commitPartitioned(indexRows(baseEmb),
+        base, "list")
+      // ingest tick: the 4 newest vectors, encoded against the FROZEN
+      // halves, merged into ONLY the touched list partitions
+      val batch = indexRows(emb.crossJoin(broadcast(mx))
+          .filter(col("vec_id") > col("mxv") - 4).drop("mxv"))
+        .localCheckpoint() // 2 consumers: touched semi + merge
+      val touched = batch.select(col("list")).distinct()
+      val merged = Snapshots.readAsOf(s, base, v1)
+        .join(broadcast(touched), Seq("list"), "left_semi")
+        .select(col("list"), col("vec_id"), col("ck"))
+        .unionByName(batch)
+      val v2 = Snapshots.commitPartitions(merged, base, "list")
+      // the query: the newest vector probes the merged index — top-2
+      // lists, ADC table from its sub-vectors, then a PRUNED read of
+      // the committed code longs only
+      val newest = emb.crossJoin(broadcast(mx))
+        .filter(col("vec_id") === col("mxv")).drop("mxv")
+        .localCheckpoint() // 3 consumers: probes, ADC table, target id
+      val probes = newest.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .orderBy(col("c_score").desc, col("c_id"))
+        .limit(2)
+        .select(col("c_id").as("list"))
+      val adcTable = newest
+        .select(explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("q_sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .join(broadcast(cb), "s")
+        .withColumn("qdot_i",
+          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("s"), col("code"), col("qdot_i"))
+      val tid = newest.select(col("vec_id").as("t_id"))
+      Snapshots.readAsOf(s, base, v2)
+        .join(broadcast(probes), "list")
+        .crossJoin(broadcast(tid))
+        .filter(col("vec_id") =!= col("t_id"))
+        .select(col("vec_id"), col("list").cast("long").as("list"),
+          col("ck"), explode(sequence(lit(0), lit(7))).as("s"))
+        .withColumn("code", expr("shiftright(ck, s * 4) & 15"))
+        .join(broadcast(adcTable), Seq("s", "code"))
+        .groupBy(col("vec_id"), col("list"))
+        .agg((sum(col("qdot_i")) / 10000.0).as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH mx AS (SELECT max(vec_id) AS mxv FROM embeddings),
+      c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings, mx WHERE vec_id < 16 AND vec_id <= mx.mxv - 4),
+      assigned AS (
+        SELECT vec_id, c_id FROM (
+          SELECT e.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS rn
+          FROM embeddings e, c)
+        WHERE rn = 1),
+      sub AS (
+        SELECT vec_id, s,
+               CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
+      cb AS (
+        SELECT vec_id AS code, s, sv AS c_sv
+        FROM sub, mx WHERE vec_id < 16 AND vec_id <= mx.mxv - 4),
+      codes AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN cb USING (s))
+        WHERE rn = 1),
+      probes AS (
+        SELECT c.c_id
+        FROM embeddings t, mx, c
+        WHERE t.vec_id = mx.mxv
+        ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                        CAST(c.c_emb AS DOUBLE[])), 4)
+                   DESC, c.c_id
+        LIMIT 2),
+      adc AS (
+        SELECT cb.s, cb.code,
+               CAST(ROUND(list_dot_product(q.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT s, sv FROM sub, mx WHERE vec_id = mx.mxv) q
+        JOIN cb USING (s))
+      SELECT a.vec_id, CAST(a.c_id AS BIGINT) AS list,
+             SUM(qdot_i) / 10000.0 AS adc_score
+      FROM assigned a
+      JOIN probes ON probes.c_id = a.c_id
+      JOIN codes ON codes.vec_id = a.vec_id
+      JOIN adc USING (s, code), mx
+      WHERE a.vec_id <> mx.mxv
+      GROUP BY a.vec_id, a.c_id
+      ORDER BY adc_score DESC, a.vec_id
+      LIMIT 10"""))
+
   /** Hard-negative mining — the contrastive-training data op: for
     * each query vector (the first 8 ids), the 5 most-similar vectors
     * carrying a DIFFERENT label. High-similarity/wrong-label pairs
@@ -1659,9 +1841,275 @@ object VectorOps extends OpModule {
              ROUND(COALESCE(h.n_hit, 0) / 10.0, 4) AS recall
       FROM q LEFT JOIN hits h USING (q_id)"""))
 
+  /** The ANN index-selection gate — `ann_recall` widened from one
+    * index family to the full recall table a deployment actually
+    * reads before switching traffic: recall@10 vs the brute-force
+    * exact top-10, for ALL FOUR query paths this module ships —
+    * frozen-centroid IVF (`ivf_topk`), Lloyd-trained IVF
+    * (`ivf_topk_trained`), flat integer-ADC PQ (`pq_topk`), and the
+    * composed IVF×PQ (`ivfpq_topk`) — at nprobe ∈ {2, 8} for the
+    * coarse-quantized paths (PQ scans every code, reported as
+    * nprobe=16). One row per (path, nprobe): mean recall over the
+    * 8-query panel as an exact integer hit count / 80.
+    *
+    * Every path reuses the declared ops' own kernels (frozen/trained
+    * argmax assignment, the packed-key PQ encode, per-query integer
+    * ADC tables), so the table grades the indexes users actually
+    * query. The ivfpq rows reuse the flat-PQ ADC scores restricted to
+    * the probed cells — the candidate restriction, not the scoring,
+    * is what the coarse half changes, so sharing the scored frame is
+    * both cheaper and exactly equivalent.
+    *
+    * Scale shape: the exact side is ONE scored scan with bounded
+    * per-query heaps (the `ann_recall` argument — a recall audit
+    * costs ~2 corpus scans for an O(100)-query sample at any corpus
+    * size); each graded path reads its own index-shaped intermediate
+    * (assignments / code bytes), all checkpointed once and shared
+    * across the nprobe variants. */
+  val annRecallSuite = Op(
+    "ann_recall_suite",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .localCheckpoint() // consumers: exact + probe tables + retrievals
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      def top10(scored: DataFrame): DataFrame = scored
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("vec_id"))
+      // exact ground truth: ONE scored scan, shared by all 7 rows
+      val exact = top10(emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", round(dot("embedding", "q_emb"), 4))
+        .select(col("q_id"), col("vec_id"), col("score")))
+        .localCheckpoint() // 7 consumers: one hit-join per graded row
+      def recallRow(path: String, nprobe: Int,
+          retr: DataFrame): DataFrame =
+        exact.join(retr, Seq("q_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(path).as("path"), lit(nprobe).as("nprobe"),
+            round(col("hits") / 80.0, 4).as("recall"))
+      // ---- frozen-centroid IVF (ivf_topk's index)
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assignedF = assignArgmax(emb, cents)
+        .localCheckpoint() // 4 consumers: 2 ivf rows + 2 ivfpq cand sets
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_score").desc, col("c_id"))
+      val probesF = qs.crossJoin(broadcast(cents))
+        .withColumn("c_score", round(dot("q_emb", "c_emb"), 4))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 8)
+        .select(col("q_id"), col("c_id"), col("rn"))
+        .localCheckpoint() // 4 consumers
+      def ivfRetr(assigned: DataFrame, probes: DataFrame,
+          np: Int): DataFrame =
+        top10(assigned
+          .join(broadcast(probes.filter(col("rn") <= np)
+            .select(col("q_id"), col("c_id"))), "c_id")
+          .join(broadcast(qs), "q_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score", round(dot("embedding", "q_emb"), 4))
+          .select(col("q_id"), col("vec_id"), col("score")))
+      // ---- Lloyd-trained IVF (ivf_topk_trained's index)
+      val centsT = lloydRefine(emb, 16, LloydRounds)
+      val assignedT = emb.crossJoin(broadcast(centsT))
+        .withColumn("c_score", round(dotD("embedding", "cent"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("c_id"), col("embedding")),
+          struct(col("c_score"), -col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.embedding").as("embedding"),
+          col("m.c_id").as("c_id"))
+        .localCheckpoint() // 2 consumers: the two trained rows
+      val probesT = qs.crossJoin(broadcast(centsT))
+        .withColumn("c_score", round(dotD("q_emb", "cent"), 4))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 8)
+        .select(col("q_id"), col("c_id"), col("rn"))
+        .localCheckpoint()
+      // ---- PQ codes + per-query integer ADC (pq_topk's index)
+      val sub = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("s"), col("embedding"))
+        .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .withColumn("s2", dot("sv", "sv"))
+        .select(col("vec_id"), col("s"), col("sv"), col("s2"))
+        .localCheckpoint() // 3 consumers: cb, codes, ADC tables
+      val cb = sub.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("s"),
+          col("sv").as("c_sv"), col("s2").as("c2"))
+      val codes = sub.join(broadcast(cb), "s")
+        .withColumn("k", pqKey(dot("sv", "c_sv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
+      val adcq = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
+        .join(broadcast(cb), "s")
+        .withColumn("qdot_i",
+          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("q_id"), col("s"), col("code"), col("qdot_i"))
+      val pqScores = codes.join(broadcast(adcq), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdot_i")).as("adc_i"))
+        .select(col("q_id"), col("vec_id"),
+          col("adc_i").cast("double").as("score"))
+        .localCheckpoint() // 3 consumers: pq row + 2 ivfpq rows
+      def ivfpqRetr(np: Int): DataFrame = {
+        val cands = assignedF.select(col("vec_id"), col("c_id"))
+          .join(broadcast(probesF.filter(col("rn") <= np)
+            .select(col("q_id"), col("c_id"))), "c_id")
+          .select(col("q_id"), col("vec_id"))
+        top10(pqScores.join(cands, Seq("q_id", "vec_id"), "left_semi"))
+      }
+      recallRow("ivf", 2, ivfRetr(assignedF, probesF, 2))
+        .unionByName(recallRow("ivf", 8, ivfRetr(assignedF, probesF, 8)))
+        .unionByName(
+          recallRow("ivf_trained", 2, ivfRetr(assignedT, probesT, 2)))
+        .unionByName(
+          recallRow("ivf_trained", 8, ivfRetr(assignedT, probesT, 8)))
+        .unionByName(recallRow("ivfpq", 2, ivfpqRetr(2)))
+        .unionByName(recallRow("ivfpq", 8, ivfpqRetr(8)))
+        .unionByName(recallRow("pq", 16, top10(pqScores)))
+    },
+    Some {
+      def rif(n: Int, a: String, p: String, cexp: String) = s"""
+      r_${a}_$n AS (
+        SELECT q_id, vec_id FROM (
+          SELECT p.q_id, a.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY p.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(a.embedding AS DOUBLE[]), $cexp), 4) DESC,
+                   a.vec_id) AS rn
+          FROM $a a JOIN $p p ON p.c_id = a.c_id AND p.rn <= $n
+          JOIN q ON q.q_id = p.q_id
+          WHERE a.vec_id <> p.q_id)
+        WHERE rn <= 10)"""
+      def ripq(n: Int) = s"""
+      r_ipq_$n AS (
+        SELECT q_id, vec_id FROM (
+          SELECT s.q_id, s.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY s.q_id
+                   ORDER BY s.adc_i DESC, s.vec_id) AS rn
+          FROM pqs s
+          JOIN af a ON a.vec_id = s.vec_id
+          JOIN pf p ON p.c_id = a.c_id AND p.q_id = s.q_id
+            AND p.rn <= $n)
+        WHERE rn <= 10)"""
+      def row(path: String, np: Int, r: String) =
+        s"""SELECT '$path' AS path, $np AS nprobe,
+             ROUND((SELECT COUNT(*) FROM exact e JOIN $r r
+                    ON r.q_id = e.q_id AND r.vec_id = e.vec_id)
+                   / 80.0, 4) AS recall"""
+      s"""
+      WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 8),
+      exact AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.q_emb AS DOUBLE[])), 4) DESC, e.vec_id) AS rn
+          FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+        WHERE rn <= 10),
+      cf AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 16),
+      af AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS rn
+          FROM embeddings e, cf c)
+        WHERE rn = 1),
+      pf AS (
+        SELECT q_id, c_id, rn FROM (
+          SELECT q.q_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(q.q_emb AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS rn
+          FROM q, cf c)
+        WHERE rn <= 8),
+      ${lloydSql(16, LloydRounds)},
+      atr AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT e.vec_id, e.embedding, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]), c.cent), 4) DESC,
+                   c.c_id) AS rn
+          FROM embeddings e, c$LloydRounds c)
+        WHERE rn = 1),
+      ptr AS (
+        SELECT q_id, c_id, rn FROM (
+          SELECT q.q_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(q.q_emb AS DOUBLE[]), c.cent), 4) DESC,
+                   c.c_id) AS rn
+          FROM q, c$LloydRounds c)
+        WHERE rn <= 8),
+      sub AS (
+        SELECT vec_id, s,
+               CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
+      cb AS (SELECT vec_id AS code, s, sv AS c_sv
+             FROM sub WHERE vec_id < 16),
+      codes AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN cb USING (s))
+        WHERE rn = 1),
+      adcq AS (
+        SELECT qq.vec_id AS q_id, cb.s, cb.code,
+               CAST(ROUND(list_dot_product(qq.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT vec_id, s, sv FROM sub WHERE vec_id < 8) qq
+        JOIN cb USING (s)),
+      pqs AS (
+        SELECT adcq.q_id, codes.vec_id, SUM(qdot_i) AS adc_i
+        FROM codes JOIN adcq USING (s, code)
+        WHERE codes.vec_id <> adcq.q_id
+        GROUP BY 1, 2),
+      r_pq AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_i DESC, vec_id) AS rn
+          FROM pqs)
+        WHERE rn <= 10),
+      ${rif(2, "af", "pf", "CAST(q.q_emb AS DOUBLE[])")},
+      ${rif(8, "af", "pf", "CAST(q.q_emb AS DOUBLE[])")},
+      ${rif(2, "atr", "ptr", "CAST(q.q_emb AS DOUBLE[])")},
+      ${rif(8, "atr", "ptr", "CAST(q.q_emb AS DOUBLE[])")},
+      ${ripq(2)},
+      ${ripq(8)}
+      ${row("ivf", 2, "r_af_2")}
+      UNION ALL ${row("ivf", 8, "r_af_8")}
+      UNION ALL ${row("ivf_trained", 2, "r_atr_2")}
+      UNION ALL ${row("ivf_trained", 8, "r_atr_8")}
+      UNION ALL ${row("ivfpq", 2, "r_ipq_2")}
+      UNION ALL ${row("ivfpq", 8, "r_ipq_8")}
+      UNION ALL ${row("pq", 16, "r_pq")}"""
+    })
+
   override def ops: Seq[Op] =
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
       ivfTopkTrained, ivfAppend, embedQuantize, kmeansAssign, semdedup,
       semdedupAppend, pqTopk, pqTopkTrained, pcaTopcomp, ivfpqTopk,
-      hardNegatives, annRecall)
+      ivfpqAppend, hardNegatives, annRecall, annRecallSuite)
 }

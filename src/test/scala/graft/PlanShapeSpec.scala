@@ -265,6 +265,9 @@ class PlanShapeSpec extends AnyFunSuite {
       //                  totals scalar
       "semdedup_append", // crossJoins of the 1-row max-vec_id scalar
       //                  and the ≤k-row frozen seed centroid set
+      "ivfpq_append",  // crossJoins of the 1-row max-vec_id scalar,
+      //                  the 16-row frozen centroids, and the 1-row
+      //                  ingest-target id (theta filter vs t_id)
       "ann_recall")    // crossJoins of the 16-row centroid set and
       //                  the 8-row query sample
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -398,6 +398,61 @@ class TextVecSpec extends AnyFunSuite {
       "ingest touched every list partition — no inheritance exercised")
   }
 
+  test("ivfpq_append: frozen-half ingest rewrites only touched list " +
+      "partitions; the committed codes equal encode-all; the probe " +
+      "read is partition-filtered") {
+    // run the declared op (it commits v1 + v2 as side effects), then
+    // audit the snapshot base it left behind
+    val df = q("ivfpq_append")
+    val res = df.collect()
+    assert(res.length == 10)
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0)
+    assert(res.forall(_.getLong(0) != maxId)) // target (newest) excluded
+    assert(res.map(_.getLong(1)).distinct.length <= 2) // nprobe=2
+    // scores arrive sorted desc (vec_id tie-break)
+    val scores = res.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val base = s"/tmp/graft_vec_ivfpq_append_" +
+      s"${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    // ingest write amplification: v2 wrote only the touched list
+    // partitions' bytes — strictly less than the full v1 index
+    val b1 = sources.Snapshots.bytesWritten(spark, base, 1L)
+    val b2 = sources.Snapshots.bytesWritten(spark, base, 2L)
+    assert(b2 < b1, s"ingest rewrote the whole index: v1=$b1 v2=$b2")
+    // the merged index covers the full corpus, each vector once, and
+    // every packed long carries 8 valid nibbles (< 16^8)
+    val v2 = sources.Snapshots.readAsOf(spark, base, 2L)
+    val nAll = emb.count()
+    assert(v2.count() == nAll)
+    assert(v2.select("vec_id").distinct().count() == nAll)
+    assert(v2.filter(col("ck") < 0 || col("ck") >= (1L << 32)).isEmpty)
+    assert(sources.Snapshots.readAsOf(spark, base, 1L).count() == nAll - 4)
+    // inheritance is physical: v2's own data dir holds ONLY touched
+    // list partitions
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    def listParts(d: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(base, d))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("list=")).toSet
+    val v1Parts = listParts(dirs.find(_.startsWith("v=1-")).get)
+    val v2Parts = listParts(dirs.find(_.startsWith("v=2-")).get)
+    assert(v2Parts.subsetOf(v1Parts) && v2Parts.size < v1Parts.size,
+      "ingest touched every list partition — no inheritance exercised")
+    // the probe's index scans carry non-empty PartitionFilters — the
+    // manifest INSET restricts listing to each version's own
+    // partition dirs (listing-time pruning over the clustered layout)
+    val scanLines = df.queryExecution.executedPlan.toString
+      .split("\n").filter(l => l.contains("FileScan") &&
+        l.contains("ivfpq_append"))
+    assert(scanLines.nonEmpty)
+    assert(scanLines.forall(_.contains("PartitionFilters: [cast(list")),
+      s"index scan not partition-filtered:\n${scanLines.mkString("\n")}")
+  }
+
   test("semdedup_append: at-ingest pairs equal the brute-force " +
       "frozen-centroid pair set; ingest rewrites only touched clusters") {
     val got = q("semdedup_append").collect()
