@@ -340,17 +340,21 @@ object SimilarityOps extends OpModule {
     * twin of `dedup_minhash` (whose ml-lib hash family is
     * implementation-defined and therefore unverifiable by SQL).
     *
-    * Hash family: h_i(g) = md5(i ':' g), compared lexicographically —
-    * md5 hex is byte-identical across engines and the lexicographic
-    * min over hex strings is a valid uniform min-hash. Signature =
-    * 8 min-hashes; banding = 4 bands x 2 rows; two docs are
-    * candidates iff some band key (concat of the band's 2 sigs)
-    * matches. Candidates are then exact-filtered on full trigram-set
-    * Jaccard >= 0.4.
+    * Hash family: h_i(g) = substring(md5(g), 4i+1, 4) — eight 16-bit
+    * slices of ONE md5 per gram, compared lexicographically (md5 hex
+    * is byte-identical across engines, and lexicographic min over
+    * fixed-length lowercase hex IS numeric min). One digest per gram
+    * instead of the r14 family's eight salted digests — the signature
+    * build was the sf10 sweep's dominant hash-CPU stage; the narrower
+    * 16-bit hashes only coarsen the candidate filter (more band
+    * ties), never the verified output. Signature = 8 min-hashes;
+    * banding = 4 bands x 2 rows; two docs are candidates iff some
+    * band key (concat of the band's 2 sigs) matches. Candidates are
+    * then exact-filtered on full trigram-set Jaccard >= 0.4.
     *
     * Scale shape: the canonical 100 TB dedup plan — signatures are
-    * per-row expression work (8 x |grams| md5s, no shuffle), the only
-    * document-count-sized shuffle is on (band, bkey), and the exact
+    * per-row expression work (|grams| md5s, no shuffle), the only
+    * document-count-sized shuffle is on (band, bk), and the exact
     * verify join touches candidate pairs only, never all pairs. No
     * cartesian anywhere; fan-out per bucket is bounded by band
     * collision width.
@@ -360,18 +364,23 @@ object SimilarityOps extends OpModule {
     * duplicates share every signature, hence every band: recall of
     * identical texts is 1 by construction, and the test asserts it). */
   /** Per-doc-distinct trigram rows — grams exploded ONCE via the
-    * native ngrams Generator (no per-doc gram array is ever
+    * native ngrams_distinct Generator (no per-doc gram array is ever
     * materialized; the old array_min(transform(grams, md5...)) ×8
     * form, which after CollapseProject re-derived the trigram array
     * and its embedded split inside every signature expression, is
-    * gone). Shared by the one-shot pair kernel and the persisted
-    * band index. */
+    * gone). Dedup happens INSIDE the generator's per-row hash set:
+    * a (doc_id, g) key only ever repeats within one document, so the
+    * previous global `.distinct()` was a data-sized STRING exchange —
+    * the only one in the whole signature chain (sigTable's rollup
+    * map-side combines to per-doc partials) — that a row-local set
+    * replaces for free (the rareGramStats lesson, applied to the
+    * string-gram form). Shared by the one-shot pair kernel and the
+    * persisted band index. */
   private def gramRows(input: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = input
     .withColumn("toks", split(col("text"), " "))
-    .select(col("doc_id"), expr("ngrams(toks, 3)"))
+    .select(col("doc_id"), expr("ngrams_distinct(toks, 3)"))
     .select(col("doc_id"), col("ngram").as("g"))
-    .distinct()
 
   /** The per-doc signature table (doc_id, h0..h7, n): 8 salted-md5
     * min-hash signatures as min-aggregates over the exploded grams;
@@ -380,10 +389,21 @@ object SimilarityOps extends OpModule {
     * index (`minhash_append`) row-identical to the one-shot build. */
   private def sigTable(grams: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // ONE md5 per gram, sliced into 8 independent 16-bit (4-hex-char)
+    // min-hashes — the r14 family was 8 SALTED md5s per gram, and at
+    // sf10 those 336M digest calls were the op's dominant stage (the
+    // signature build is pure hash CPU). Lexicographic min over
+    // fixed-length lowercase hex slices IS numeric min, identically
+    // in both engines; 16-bit hash width only coarsens the LSH
+    // candidate filter (more band ties → more candidates), never the
+    // reported pairs, because every candidate is exact-Jaccard
+    // verified downstream — and the oracle mirrors the same family,
+    // so the two engines' candidate sets move together.
     val sigAggs = (0 until 8).map { i =>
-      min(md5(concat(lit(s"$i:"), col("g")))).as(s"h$i")
+      min(substring(col("h"), i * 4 + 1, 4)).as(s"h$i")
     } :+ count(lit(1)).as("n")
-    grams.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    grams.withColumn("h", md5(col("g")))
+      .groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** (doc_id, band, bk) rows from the signature table, banded 4×2.
@@ -443,7 +463,7 @@ object SimilarityOps extends OpModule {
     (s, d) => minhashDetPairs(Tables(s, d, "documents"), 0.4),
     Some {
       val sigSql = (0 until 8).map(i =>
-        s"list_aggregate(list_transform(grams, g -> md5('$i:' || g)), 'min') AS h$i")
+        s"list_aggregate(list_transform(grams, g -> substring(md5(g), ${i * 4 + 1}, 4)), 'min') AS h$i")
         .mkString(",\n               ")
       val bandSql = (0 until 4).map(j =>
         s"SELECT doc_id, $j AS band, h${2 * j} || h${2 * j + 1} AS bkey FROM sig")
@@ -616,7 +636,7 @@ object SimilarityOps extends OpModule {
     },
     Some {
       val sigSql = (0 until 8).map(i =>
-        s"list_aggregate(list_transform(grams, g -> md5('$i:' || g)), 'min') AS h$i")
+        s"list_aggregate(list_transform(grams, g -> substring(md5(g), ${i * 4 + 1}, 4)), 'min') AS h$i")
         .mkString(",\n               ")
       val bandSql = (0 until 4).map(j =>
         s"SELECT doc_id, $j AS band, h${2 * j} || h${2 * j + 1} AS bkey FROM sig")
