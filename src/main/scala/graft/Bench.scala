@@ -90,6 +90,12 @@ object Bench {
       "gopher_filter", "epoch_plan", "semdedup_append",
       "curation_funnel", "ann_recall", "dataset_card", "oov_rate")
 
+  /** The round-15 additions, timed when SPARK_GRAFT_BENCH_SET=r15
+    * (`ivfpq_append`'s timing includes its two snapshot commits by
+    * design — the write path IS the op; `ann_recall_suite` includes
+    * the Lloyd training of its trained-IVF path). */
+  val r15: Seq[String] = Seq("ivfpq_append", "ann_recall_suite")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -121,6 +127,7 @@ object Bench {
       case Some("r12")      => r12
       case Some("r13")      => r13
       case Some("r14")      => r14
+      case Some("r15")      => r15
       // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
       case Some(s) if s.startsWith("custom:") =>
         s.stripPrefix("custom:").split(",").map(_.trim)

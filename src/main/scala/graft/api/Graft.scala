@@ -1474,4 +1474,140 @@ object Graft {
       .unionByName(stageRow(2, "dedup_exact", v2))
       .unionByName(stageRow(3, "dedup_near", v3))
   }
+
+  /** INCREMENTAL curation — the rolling-crawl form of [[curate]]
+    * (VERDICT r14 task 9): each pipeline stage lives as its own
+    * hash-prefix-partitioned snapshot table under `base`
+    * (`quality/`, `exact/`, `near/`, plus `bands/` — the MinHash band
+    * index over the exact-dedup keepers, `minhash_append`'s layout),
+    * seeded by the first call (`commitPartitioned`) and maintained by
+    * `commitPartitions`-merging each ingest batch's stage survivors —
+    * per tick, each stage rewrites ONLY the hash-prefix partitions
+    * its batch rows land in, O(touched) write amplification instead
+    * of [[curate]]'s full-snapshot-per-stage. (The fixture layout
+    * uses 16 prefixes; at 100 TB the prefix space is sized so
+    * |batch| ≪ #prefixes, and the natural next step — manifests
+    * allowing multiple dirs per partition — would make survivor
+    * appends zero-rewrite, with `compactPartitions` bounding the
+    * file count.)
+    *
+    * Tick-by-tick ≡ one-shot because doc_ids are MONOTONE across
+    * ticks (the append contract): quality is per-doc pure; exact
+    * keepers are md5-group min-ids, and a later batch's ids are all
+    * larger, so committed keepers never move and a batch doc survives
+    * iff its hash is unseen in the table AND it is its batch-group
+    * minimum; the near-dup EXISTS-lower-id rule can only drop BATCH
+    * docs (their committed partners are lower-id), so committed rows
+    * never retract. Near-dup candidates come from probing the
+    * persisted band index (signatures are pure per-doc functions —
+    * `minhash_append`'s argument), and the exact-Jaccard verify reads
+    * only candidate docs' texts (SimilarityOps.verifiedPairs).
+    * ApiSpec locks ticks ≡ one-shot per stage and the touched-only
+    * write amplification.
+    *
+    * Returns the [[curate]]-shaped report (stage_no, stage, n_docs,
+    * n_tokens, version) from the three committed survivor tables. */
+  def curateIngest(batch: DataFrame, base: String,
+      threshold: Double = 0.4): DataFrame = {
+    val s = batch.sparkSession
+    graft.ext.GraftFunctions.register(s)
+    import graft.sources.Snapshots
+    import graft.text.{CurationOps, SimilarityOps}
+    val qT = s"$base/quality"; val eT = s"$base/exact"
+    val nT = s"$base/near"; val bT = s"$base/bands"
+    val survivorCols = Seq("hp", "h", "doc_id", "text", "n_tokens")
+    // stage-1 rows of THIS batch (per-doc pure battery + content hash)
+    val qb = CurationOps.qualitySignals(batch)
+      .filter(col("keep_q"))
+      .select(col("doc_id"), col("text"),
+        col("n").cast("long").as("n_tokens"), md5(col("text")).as("h"))
+      .withColumn("hp", substring(col("h"), 1, 1))
+      .select(survivorCols.map(col): _*)
+      .localCheckpoint() // consumers: quality merge + exact stage
+    val seeded = Snapshots.latest(s, qT) > 0L
+    require(seeded || !qb.isEmpty,
+      "curateIngest's first batch must contain at least one " +
+        "quality survivor — an empty frame cannot seed the tables")
+    // merge a batch's survivor rows into a stage table: touched
+    // hash-prefix partitions only (the dedup_append merge shape)
+    def mergeInto(table: String, rows: DataFrame, partCol: String,
+        cols: Seq[String]): Long = {
+      val prevV = Snapshots.latest(s, table)
+      if (prevV == 0L) Snapshots.commitPartitioned(
+        rows.select(cols.map(col): _*), table, partCol)
+      else if (rows.isEmpty) prevV // nothing to merge this tick
+      else Snapshots.commitPartitions(
+        Snapshots.readAsOf(s, table, prevV)
+          .join(broadcast(rows.select(col(partCol)).distinct()),
+            Seq(partCol), "left_semi")
+          .select(cols.map(col): _*)
+          .unionByName(rows.select(cols.map(col): _*)),
+        table, partCol)
+    }
+    val vQ = mergeInto(qT, qb, "hp", survivorCols)
+    // stage-2: batch keepers — hash unseen in the committed table
+    // (probe prunes to the batch's own hash prefixes) AND batch-group
+    // min doc_id
+    val prevE = Snapshots.latest(s, eT)
+    val unseen =
+      if (prevE == 0L) qb
+      else qb.join(
+        Snapshots.readAsOf(s, eT, prevE)
+          .join(broadcast(qb.select(col("hp")).distinct()),
+            Seq("hp"), "left_semi")
+          .select(col("h")),
+        Seq("h"), "left_anti")
+    val kb = unseen.join(
+      unseen.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint() // consumers: exact merge, bands, near verify
+    val vE = mergeInto(eT, kb, "hp", survivorCols)
+    // stage-3: probe the persisted band index with the batch keepers'
+    // band rows; a batch doc is dropped iff a LOWER-id exact keeper
+    // (committed or batch-mate) verifies at jaccard >= threshold
+    val kbBands = SimilarityOps.minhashIndexRollup(
+      kb.select(col("doc_id"), col("text")))
+      .localCheckpoint() // consumers: probe + bands merge
+    val prevB = Snapshots.latest(s, bT)
+    val allBands =
+      if (prevB == 0L) kbBands
+      else Snapshots.readAsOf(s, bT, prevB)
+        .select(col("pb"), col("doc_id"), col("band"), col("bk"))
+        .unionByName(kbBands)
+    val cand = allBands
+      .select(col("doc_id").as("doc_a"), col("band"), col("bk"))
+      .join(kbBands.select(col("doc_id").as("doc_b"), col("band"),
+        col("bk")), Seq("band", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // candidate texts: committed keepers (pruned read) + this batch
+    val candTexts =
+      (if (prevE == 0L) kb
+       else Snapshots.readAsOf(s, eT, prevE)
+         .select(survivorCols.map(col): _*).unionByName(kb))
+        .select(col("doc_id"), col("text"))
+    val dropped = SimilarityOps.verifiedPairs(cand, candTexts)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nb = kb.join(dropped, Seq("doc_id"), "left_anti")
+    val vN = mergeInto(nT, nb, "hp", survivorCols)
+    if (!kbBands.isEmpty) {
+      if (prevB == 0L) Snapshots.commitPartitioned(kbBands, bT, "pb")
+      else Snapshots.commitPartitions(
+        SimilarityOps.minhashIndexMergeFrames(
+          Snapshots.readAsOf(s, bT, prevB), kbBands), bT, "pb")
+    }
+    def stageRow(no: Int, name: String, table: String,
+        v: Long): DataFrame =
+      Snapshots.readAsOf(s, table, v)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"), lit(v).as("version"))
+    stageRow(1, "quality", qT, vQ)
+      .unionByName(stageRow(2, "dedup_exact", eT, vE))
+      .unionByName(stageRow(3, "dedup_near", nT, vN))
+  }
 }

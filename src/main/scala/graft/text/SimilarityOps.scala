@@ -503,6 +503,39 @@ object SimilarityOps extends OpModule {
               >= 0.4"""
     })
 
+  /** Exact-Jaccard verification of an LSH candidate pair set:
+    * (doc_a, doc_b, n_inter→jaccard) over ONLY the candidate docs'
+    * trigram sets — the verify half of every banded near-dup op, ONE
+    * definition for `minhash_append` and the incremental curation
+    * ingest (Graft.curateIngest). `texts` is any (doc_id, text, …)
+    * frame covering the candidates; only candidate rows are read
+    * (left-semi-pruned), and the gram frame is checkpointed for its
+    * 3 consumers (sizes + both intersection sides). Emits ALL
+    * verified pairs with their 4dp jaccard — callers threshold. */
+  private[graft] def verifiedPairs(cand: org.apache.spark.sql.DataFrame,
+      texts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b")))
+      .distinct()
+    val g = gramRows(texts.join(candDocs, Seq("doc_id"), "left_semi"))
+      .localCheckpoint() // 3 consumers: sizes + both intersection sides
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4))
+  }
+
   /** Band-index rollup of a (doc_id, text, …) batch: the persisted
     * index's rows (pb, doc_id, band, bk) — `minhash_append`'s kernel,
     * shared with the streaming ingest (StreamOps.minhashIndexMerge)
@@ -612,25 +645,7 @@ object SimilarityOps extends OpModule {
           greatest(col("ia"), col("ib")).as("doc_b"))
         .distinct()
       // exact verify over ONLY the candidate docs' grams
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b")))
-        .distinct()
-      val g = gramRows(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-        .localCheckpoint() // 3 consumers: sizes + both intersection sides
-      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      cand
-        .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-        .join(g.select(col("doc_id").as("doc_b"), col("g")),
-          Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          "doc_b")
-        .withColumn("jaccard",
-          round(col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")), 4))
+      verifiedPairs(cand, docs)
         .filter(col("jaccard") >= 0.4)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },

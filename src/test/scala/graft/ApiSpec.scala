@@ -810,4 +810,61 @@ class ApiSpec extends AnyFunSuite {
     }
     assert(ids(1).subsetOf(ids(0)) && ids(2).subsetOf(ids(1)))
   }
+
+  test("Graft.curateIngest: tick-by-tick stage tables equal the " +
+      "one-shot kernels; ticks rewrite only touched hash prefixes") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate_inc").toString + "/t"
+    val docs = Tables(spark, sfDir, "documents")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // seed (everything but the 40 newest) + two bounded 20-doc ticks,
+    // ids monotone across ticks (curateIngest's append contract)
+    val seed = docs.filter(col("doc_id") <= mx - 40)
+    val t1 = docs.filter(col("doc_id") > mx - 40 &&
+      col("doc_id") <= mx - 20)
+    val t2 = docs.filter(col("doc_id") > mx - 20)
+    Graft.curateIngest(seed, base)
+    Graft.curateIngest(t1, base)
+    val report = Graft.curateIngest(t2, base)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // final tables equal the one-shot declared kernels over ALL docs
+    val q1 = text.CurationOps.qualitySignals(docs).filter(col("keep_q"))
+      .select(col("doc_id"), col("text"),
+        col("n").cast("long").as("n_tokens"))
+    val ex = text.CurationOps.exactKeepers(q1)
+    val nd = text.CurationOps.nearDupSurvivors(ex, 0.4)
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = Map("quality" -> q1, "dedup_exact" -> ex,
+      "dedup_near" -> nd)
+    for ((st, kernel) <- want) {
+      val table = st match {
+        case "quality" => s"$base/quality"
+        case "dedup_exact" => s"$base/exact"
+        case "dedup_near" => s"$base/near"
+      }
+      val got = sources.Snapshots.readAsOf(spark, table, report(st)._3)
+      assert(idsOf(got) == idsOf(kernel), s"$st ids diverge")
+      assert(report(st)._1 == kernel.count(), s"$st count diverges")
+      assert(report(st)._2 ==
+        kernel.agg(sum(col("n_tokens"))).head.getLong(0),
+        s"$st tokens diverge")
+    }
+    // write amplification: each tick version wrote strictly fewer
+    // bytes than its table's seed version (touched prefixes only)
+    for (t <- Seq("quality", "exact", "near")) {
+      val table = s"$base/$t"
+      val vLast = sources.Snapshots.latest(spark, table)
+      assert(vLast >= 2L, s"$t never merged a tick")
+      val seedBytes = sources.Snapshots.bytesWritten(spark, table, 1L)
+      val tickBytes = sources.Snapshots.bytesWritten(spark, table, vLast)
+      assert(tickBytes < seedBytes,
+        s"$t tick rewrote the table: seed=$seedBytes tick=$tickBytes")
+    }
+    // the report is curate's shape and the stages nest
+    assert(report.keySet == Set("quality", "dedup_exact", "dedup_near"))
+    assert(report("dedup_near")._1 <= report("dedup_exact")._1 &&
+      report("dedup_exact")._1 <= report("quality")._1)
+  }
 }

@@ -165,11 +165,17 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // ann_recall grades the IVF probe path against the facade's
     // exact-top-k contract — the index-quality eval as a data
     // product (r14)
+    // ann_recall_suite widens that gate to all four query paths x
+    // nprobe — the index-selection table a deployment reads (r15)
     "vectorTopK" -> Seq("ivf_topk_trained", "ivf_append", "pca_topcomp",
-      "hard_negatives", "ann_recall"),
+      "hard_negatives", "ann_recall", "ann_recall_suite"),
     // ivfpq_topk composes the PQ facade family's codes/ADC kernel
-    // with the IVF coarse quantizer (r14)
-    "quantizeInt8" -> Seq("pq_topk_trained", "ivfpq_topk"),
+    // with the IVF coarse quantizer (r14); ivfpq_append is that
+    // composition PERSISTED — the snapshot codes index with
+    // frozen-half incremental ingest and a partition-pruned probe
+    // (the dedup_append/ivf_append lifecycle) (r15)
+    "quantizeInt8" -> Seq("pq_topk_trained", "ivfpq_topk",
+      "ivfpq_append"),
     // dedup_spans resolves dup_span_frac's duplicated spans into
     // their token-coverage union — same gram kernel, span-removal
     // contract (r14); gopher_filter is the facade's score as a
