@@ -433,27 +433,17 @@ object SimilarityOps extends OpModule {
   private[graft] def minhashDetPairs(input: org.apache.spark.sql.DataFrame,
       threshold: Double): org.apache.spark.sql.DataFrame = {
       graft.ext.GraftFunctions.register(input.sparkSession)
-      val grams = gramRows(input)
-      val sig = sigTable(grams)
-      val bands = bandRows(sig)
+      val bands = bandRows(sigTable(gramRows(input)))
       val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bk"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bk")),
           Seq("band", "bk"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
         .distinct()
-      val sizes = sig.select(col("doc_id"), col("n"))
-      val inter = cand
-        .join(grams.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-        .join(grams.select(col("doc_id").as("doc_b"), col("g")), Seq("doc_b", "g"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-        .withColumn("jaccard",
-          round(col("n_inter").cast("double") /
-            (col("n_a") + col("n_b") - col("n_inter")), 4))
+      // the shared hashed-gram verify kernel (it re-grams ONLY the
+      // candidate docs; the string grams above exist solely to feed
+      // the md5 signature family the oracle mirrors)
+      verifiedPairs(cand, input)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -511,14 +501,27 @@ object SimilarityOps extends OpModule {
     * frame covering the candidates; only candidate rows are read
     * (left-semi-pruned), and the gram frame is checkpointed for its
     * 3 consumers (sizes + both intersection sides). Emits ALL
-    * verified pairs with their 4dp jaccard — callers threshold. */
+    * verified pairs with their 4dp jaccard — callers threshold.
+    *
+    * Grams shuffle and join as `ngram_hashes` xxhash64 LONGS, not
+    * ~50-byte strings — the rareGramStats precedent applied to the
+    * verify half: the intersection join is |pairs| × |shared grams|
+    * rows (the r15 mutated-sf10 fixture measured it at ~2 B rows for
+    * curation_funnel's near-dup stage, where every clone pair is a
+    * REAL near-dup instead of an exact-stage casualty), so key bytes
+    * are the dominant shuffle cost; equality is all the count needs,
+    * no gram reaches the output, and a 64-bit collision perturbs one
+    * n_inter/size by 1 with birthday-bound probability (n²/2⁶⁵). */
   private[graft] def verifiedPairs(cand: org.apache.spark.sql.DataFrame,
       texts: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    graft.ext.GraftFunctions.register(texts.sparkSession)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
       .distinct()
-    val g = gramRows(texts.join(candDocs, Seq("doc_id"), "left_semi"))
+    val g = texts.join(candDocs, Seq("doc_id"), "left_semi")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr("ngram_hashes(toks, 3)"))
       .localCheckpoint() // 3 consumers: sizes + both intersection sides
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
