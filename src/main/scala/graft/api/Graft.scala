@@ -1506,9 +1506,25 @@ object Graft {
     * write amplification.
     *
     * Returns the [[curate]]-shaped report (stage_no, stage, n_docs,
-    * n_tokens, version) from the three committed survivor tables. */
+    * n_tokens, version) from the three committed survivor tables.
+    *
+    * `version` (None for batch callers) switches the commit protocol
+    * to a CALLER-FIXED version — the streaming `foreachBatch` ledger
+    * mode ([[graft.streaming.StreamOps.curateStreamMerge]] passes
+    * batchId + 1): every stage table commits AT `v` via
+    * `commitPartitionedAs`/`commitPartitionsAs`, a stage whose `v` is
+    * already committed is skipped (per-TABLE idempotency — a tick
+    * that crashed between stage commits resumes exactly where it
+    * died), and every pre-tick read uses `latestBefore(table, v)` so
+    * a replayed tick recomputes against the same table states the
+    * first attempt saw (plain `latest` would include the crashed
+    * attempt's own partial commits and double-merge). Per-table
+    * idempotency is sufficient for exactly-once overall because each
+    * stage's output is a deterministic function of (batch, pre-tick
+    * table states) — the monotone-doc_id contract again. */
   def curateIngest(batch: DataFrame, base: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4,
+      version: Option[Long] = None): DataFrame = {
     val s = batch.sparkSession
     graft.ext.GraftFunctions.register(s)
     import graft.sources.Snapshots
@@ -1516,6 +1532,12 @@ object Graft {
     val qT = s"$base/quality"; val eT = s"$base/exact"
     val nT = s"$base/near"; val bT = s"$base/bands"
     val survivorCols = Seq("hp", "h", "doc_id", "text", "n_tokens")
+    // the pre-tick read point: in ledger mode, the latest version
+    // BELOW the tick's own (replay must not see the crashed attempt's
+    // partial commits); in batch mode, plain latest
+    def preV(table: String): Long = version
+      .map(v => Snapshots.latestBefore(s, table, v))
+      .getOrElse(Snapshots.latest(s, table))
     // stage-1 rows of THIS batch (per-doc pure battery + content hash)
     val qb = CurationOps.qualitySignals(batch)
       .filter(col("keep_q"))
@@ -1524,31 +1546,52 @@ object Graft {
       .withColumn("hp", substring(col("h"), 1, 1))
       .select(survivorCols.map(col): _*)
       .localCheckpoint() // consumers: quality merge + exact stage
-    val seeded = Snapshots.latest(s, qT) > 0L
-    require(seeded || !qb.isEmpty,
-      "curateIngest's first batch must contain at least one " +
-        "quality survivor — an empty frame cannot seed the tables")
+    val seeded = preV(qT) > 0L
+    if (version.isEmpty)
+      require(seeded || !qb.isEmpty,
+        "curateIngest's first batch must contain at least one " +
+          "quality survivor — an empty frame cannot seed the tables")
+    else if (!seeded && qb.isEmpty) {
+      // ledger mode can't throw on a degenerate first tick — the
+      // stream must keep running; the tick leaves a version gap on
+      // all four tables and reports nothing
+      import s.implicits._
+      return Seq.empty[(Int, String, Long, Long, Long)]
+        .toDF("stage_no", "stage", "n_docs", "n_tokens", "version")
+    }
     // merge a batch's survivor rows into a stage table: touched
     // hash-prefix partitions only (the dedup_append merge shape)
     def mergeInto(table: String, rows: DataFrame, partCol: String,
         cols: Seq[String]): Long = {
-      val prevV = Snapshots.latest(s, table)
-      if (prevV == 0L) Snapshots.commitPartitioned(
-        rows.select(cols.map(col): _*), table, partCol)
+      if (version.exists(v => Snapshots.versionExists(s, table, v)))
+        return version.get // this stage already committed its tick
+      val prevV = preV(table)
+      if (prevV == 0L) version match {
+        case Some(v) =>
+          Snapshots.commitPartitionedAs(
+            rows.select(cols.map(col): _*), table, partCol, v); v
+        case None => Snapshots.commitPartitioned(
+          rows.select(cols.map(col): _*), table, partCol)
+      }
       else if (rows.isEmpty) prevV // nothing to merge this tick
-      else Snapshots.commitPartitions(
-        Snapshots.readAsOf(s, table, prevV)
+      else {
+        val merged = Snapshots.readAsOf(s, table, prevV)
           .join(broadcast(rows.select(col(partCol)).distinct()),
             Seq(partCol), "left_semi")
           .select(cols.map(col): _*)
-          .unionByName(rows.select(cols.map(col): _*)),
-        table, partCol)
+          .unionByName(rows.select(cols.map(col): _*))
+        version match {
+          case Some(v) =>
+            Snapshots.commitPartitionsAs(merged, table, partCol, v); v
+          case None => Snapshots.commitPartitions(merged, table, partCol)
+        }
+      }
     }
     val vQ = mergeInto(qT, qb, "hp", survivorCols)
     // stage-2: batch keepers — hash unseen in the committed table
     // (probe prunes to the batch's own hash prefixes) AND batch-group
     // min doc_id
-    val prevE = Snapshots.latest(s, eT)
+    val prevE = preV(eT)
     val unseen =
       if (prevE == 0L) qb
       else qb.join(
@@ -1569,7 +1612,7 @@ object Graft {
     val kbBands = SimilarityOps.minhashIndexRollup(
       kb.select(col("doc_id"), col("text")))
       .localCheckpoint() // consumers: probe + bands merge
-    val prevB = Snapshots.latest(s, bT)
+    val prevB = preV(bT)
     val allBands =
       if (prevB == 0L) kbBands
       else Snapshots.readAsOf(s, bT, prevB)
@@ -1593,11 +1636,22 @@ object Graft {
       .select(col("doc_b").as("doc_id")).distinct()
     val nb = kb.join(dropped, Seq("doc_id"), "left_anti")
     val vN = mergeInto(nT, nb, "hp", survivorCols)
-    if (!kbBands.isEmpty) {
-      if (prevB == 0L) Snapshots.commitPartitioned(kbBands, bT, "pb")
-      else Snapshots.commitPartitions(
-        SimilarityOps.minhashIndexMergeFrames(
-          Snapshots.readAsOf(s, bT, prevB), kbBands), bT, "pb")
+    if (!kbBands.isEmpty &&
+        !version.exists(v => Snapshots.versionExists(s, bT, v))) {
+      if (prevB == 0L) version match {
+        case Some(v) =>
+          Snapshots.commitPartitionedAs(kbBands, bT, "pb", v)
+        case None => Snapshots.commitPartitioned(kbBands, bT, "pb")
+      }
+      else {
+        val merged = SimilarityOps.minhashIndexMergeFrames(
+          Snapshots.readAsOf(s, bT, prevB), kbBands)
+        version match {
+          case Some(v) =>
+            Snapshots.commitPartitionsAs(merged, bT, "pb", v)
+          case None => Snapshots.commitPartitions(merged, bT, "pb")
+        }
+      }
     }
     def stageRow(no: Int, name: String, table: String,
         v: Long): DataFrame =

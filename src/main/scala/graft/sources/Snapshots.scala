@@ -79,6 +79,14 @@ object Snapshots {
   def latest(s: SparkSession, base: String): Long =
     versions(s, base).lastOption.getOrElse(0L)
 
+  /** Latest committed version STRICTLY BELOW `v`; 0 when none. The
+    * pre-tick read point for fixed-version ledgers: on a replay the
+    * tick's own version (and any later one) must be invisible to the
+    * recompute, and version numbers may be sparse (skipped batches
+    * leave gaps), so "the version before v" is a search, not v−1. */
+  def latestBefore(s: SparkSession, base: String, v: Long): Long =
+    versions(s, base).takeWhile(_ < v).lastOption.getOrElse(0L)
+
   /** The data directory a committed version's marker names (relative
     * to `base`); falls back to the legacy `v=<N>` layout for markers
     * with no content. Throws for an uncommitted version. */

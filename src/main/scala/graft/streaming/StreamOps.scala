@@ -525,6 +525,54 @@ object StreamOps {
     }
   }
 
+  /** Streaming incremental CURATION — the whole `Graft.curateIngest`
+    * pipeline (quality battery → exact dedup → near-dup dedup, each
+    * stage a hash-prefix-partitioned snapshot table, plus the
+    * persisted MinHash band index) as a `foreachBatch` body: the
+    * product-level capstone over the three single-index maintainers
+    * ([[dedupIndexMerge]] / [[minhashIndexMerge]] /
+    * [[semdedupIndexMerge]]). The tick kernel IS `curateIngest` run
+    * in its fixed-version ledger mode (version = batchId + 1), so
+    * stream and batch curation cannot drift — StreamingSpec asserts
+    * streamed ≡ tick-by-tick ≡ one-shot per stage table.
+    *
+    * Exactly-once differs from the single-table maintainers in one
+    * way: a tick commits FOUR tables, so the guard is per-TABLE, not
+    * per-tick — a tick that crashed between stage commits is resumed
+    * by the replay (already-committed stages skip, the rest recompute
+    * against `latestBefore(v)` reads and commit), which is exactly
+    * the recovery a multi-table transaction needs without a
+    * cross-table commit protocol. A fully-committed tick replays as a
+    * pure no-op; an empty batch (or a degenerate unseeded first
+    * batch) leaves a version gap on all four tables. The
+    * checkpoint–table coupling caveat is [[dedupIndexMerge]]'s.
+    *
+    * @return true when any stage table committed this tick. */
+  def curateStreamMerge(batch: DataFrame, batchId: Long,
+      base: String, threshold: Double = 0.4): Boolean = {
+    import graft.sources.Snapshots
+    val s = batch.sparkSession
+    val v = batchId + 1
+    val tables = Seq("quality", "exact", "near", "bands")
+      .map(t => s"$base/$t")
+    if (tables.forall(t => Snapshots.versionExists(s, t, v))) {
+      replayGuard(s, tables.head, v, "curateStreamMerge")
+      false // fully-committed tick re-offered: pure no-op
+    }
+    else if (batch.isEmpty) false // nothing to apply; v stays a gap
+    else {
+      val before = tables.map(t => Snapshots.versionExists(s, t, v))
+      // the stage commits inside curateIngest are EAGER (each commit
+      // runs its own write job); the returned report frame is lazy
+      // and unused here — callers wanting the report read the
+      // committed tables (or call curateIngest directly)
+      graft.api.Graft.curateIngest(batch, base, threshold, Some(v))
+      tables.zip(before).exists { case (t, had) =>
+        !had && Snapshots.versionExists(s, t, v)
+      }
+    }
+  }
+
   /** Warn when a "replay" hit is suspicious: a genuinely re-offered
     * batch (snapshot committed, checkpoint write lost) is always the
     * table's LATEST version; a version hit strictly below latest

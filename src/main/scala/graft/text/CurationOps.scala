@@ -1246,9 +1246,52 @@ object CurationOps extends OpModule {
       FROM s
       GROUP BY source"""))
 
+  /** Weighted sampling WITHOUT replacement at corpus scale —
+    * Efraimidis–Spirakis A-Res (2006, "Weighted random sampling with
+    * a reservoir" — public paper): each row draws key = u^(1/w) and
+    * the sample is the top-M keys, which selects each row with
+    * probability proportional to its weight among the survivors. Here
+    * in its log-monotone form skey = ln(u)/w (same order, no
+    * underflow at large w), with u the engine-portable Knuth-hash
+    * uniform of doc_id (the `split_hash` idiom, +0.5 to dodge
+    * ln(0)) — so the "random" draw is a PURE FUNCTION of doc_id:
+    * re-runs and incremental appends never flip a selected doc, the
+    * membership-stability contract every sampler in this module
+    * keeps. Weight here is doc length (token-budget sampling ∝
+    * size); composing with `dsir_weights` (w = exp(dsir_w)) gives
+    * DSIR's importance-resampling step.
+    *
+    * Scale: one scan, per-row arithmetic, then top-M — planned as
+    * TakeOrderedAndProject (per-partition bounded heaps + one M-row
+    * merge on the driver), no global sort, no shuffle of anything
+    * data-sized. The 6-dp rounding before the ORDER gives both
+    * engines the same total order (the perplexity_mix precedent);
+    * doc_id breaks the rounding ties deterministically. */
+  val weightedSample = Op(
+    "weighted_sample",
+    (s, d) =>
+      Tables(s, d, "documents")
+        .withColumn("w", col("n_chars") + lit(1.0))
+        .withColumn("u",
+          (expr("pmod((doc_id % 100000) * 2654435761, 1000000)") +
+            lit(0.5)) / lit(1000000.0))
+        .withColumn("skey", round(log(col("u")) / col("w"), 6))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("w"), col("skey")),
+    Some("""
+      SELECT doc_id, w, skey FROM (
+        SELECT doc_id, n_chars + 1.0 AS w,
+               ROUND(LN((((doc_id % 100000) * 2654435761 % 1000000
+                          + 1000000) % 1000000 + 0.5) / 1000000.0)
+                     / (n_chars + 1.0), 6) AS skey
+        FROM documents)
+      ORDER BY skey DESC, doc_id LIMIT 100"""))
+
   override def ops: Seq[Op] = Seq(redactTerms, repRatio,
     sampleStratified, packSequences, dedupKeepBest, contamination,
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
     domainCap, mixTemperature, shuffleShard, klSourceDivergence,
-    dedupAppend, gopherFilter, epochPlan, curationFunnel, datasetCard)
+    dedupAppend, gopherFilter, epochPlan, curationFunnel, datasetCard,
+    weightedSample)
 }

@@ -687,7 +687,93 @@ object LmOps extends OpModule {
              MIN(lp) AS lo_lp, MAX(lp) AS hi_lp
       FROM b GROUP BY bucket"""))
 
+  /** CCNet-style per-LANGUAGE perplexity bucketing (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data" — public paper): each document scored by its OWN
+    * language's unigram LM (the per-lang dictionary is the CCNet
+    * move `perplexity_mix` doesn't make — a Chinese doc scored
+    * against the global token distribution is penalized for not
+    * being English, not for being low quality), then cut into exact
+    * per-lang TERCILES — head / middle / tail, bucket 0 = most
+    * probable — by rank over the (lp desc, doc_id) per-lang total
+    * order. Output is the per-(lang, bucket) audit a mixing policy
+    * reads: doc and token counts plus the lp range of each bucket.
+    *
+    * Scale: tokens shuffle once as (lang, xxhash64(token)) into the
+    * dictionary (vocab-sized × |langs|; the rareGramStats long-key
+    * precedent — a 64-bit collision merges two count cells, never
+    * corrupts structure), scoring is one dictionary join, and the
+    * only data-sized ordered step is the exact-rank kernel
+    * (`Ranks.withGlobalRank` over (lang, lp desc, doc_id): range
+    * shuffle + zipWithIndex, no single-task window). Per-lang ranks
+    * come from the GLOBAL rank minus a per-lang offset — the offset
+    * table is |langs| rows (≤ a few hundred at web scale), so its
+    * cumulative window is a broadcast-sized frame, never data-sized.
+    * A `ROW_NUMBER() OVER (PARTITION BY lang ...)` window would
+    * instead sort each language's full corpus in one task per lang —
+    * the single-reducer killer for an 80%-English crawl. */
+  val ccnetBuckets = Op(
+    "ccnet_buckets",
+    (s, d) => {
+      val docs = Tables(s, d, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("lang"), xxhash64(col("w")).as("g"))
+      // per-lang unigram dictionary; materialized once for its two
+      // consumers (per-lang totals + the scoring join)
+      val cu = toks.groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nu = cu.groupBy(col("lang")).agg(sum(col("c")).as("nu"))
+      val scored = toks
+        .join(broadcast(cu), Seq("lang", "g"))
+        .join(broadcast(nu), "lang")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("nt"),
+          round(avg(log(col("c") * lit(1.0) / col("nu"))), 4).as("lp"))
+      val ranked = graft.ops.Ranks.withGlobalRank(
+        scored, "rk", col("lang"), col("lp").desc, col("doc_id"))
+      // per-lang sizes and rank offsets: |langs| rows, so the
+      // cumulative-sum window is a constant-sized frame
+      val lw = org.apache.spark.sql.expressions.Window
+        .orderBy(col("lang"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val off = scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nl"))
+        .withColumn("ofs", coalesce(sum(col("nl")).over(lw), lit(0L)))
+      ranked.join(broadcast(off), "lang")
+        .withColumn("rkl", col("rk") - col("ofs"))
+        .withColumn("bucket", expr("((rkl - 1) * 3) DIV nl"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          max(col("lp")).as("hi_lp"),
+          min(col("lp")).as("lo_lp"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      cu AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
+      nu AS (SELECT lang, SUM(c) AS nu FROM cu GROUP BY lang),
+      scored AS (
+        SELECT doc_id, t.lang, COUNT(*) AS nt,
+               ROUND(AVG(LN(c * 1.0 / nu)), 4) AS lp
+        FROM toks t JOIN cu USING (lang, w) JOIN nu USING (lang)
+        GROUP BY doc_id, t.lang),
+      ranked AS (
+        SELECT lang, nt, lp,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY lp DESC, doc_id) AS rkl,
+               COUNT(*) OVER (PARTITION BY lang) AS nl
+        FROM scored)
+      SELECT lang, ((rkl - 1) * 3) // nl AS bucket,
+             COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             MAX(lp) AS hi_lp, MIN(lp) AS lo_lp
+      FROM ranked GROUP BY 1, 2"""))
+
   override def ops: Seq[Op] =
     Seq(chunkDocs, pmiBigrams, unigramLogprob, bigramLogprob, bpeMerges,
-      cooccurTopk, bpeEncode, zipfFit, perplexityMix)
+      cooccurTopk, bpeEncode, zipfFit, perplexityMix, ccnetBuckets)
 }

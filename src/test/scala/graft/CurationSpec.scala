@@ -335,4 +335,30 @@ class CurationSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_langs") >= 1L)
     }
   }
+
+  test("weighted_sample: A-Res selection is length-biased, " +
+      "deterministic, and plans as TakeOrderedAndProject") {
+    val sel = q("weighted_sample")
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-M must avoid a global sort:\n" + plan.take(800))
+    val rows = sel.collect()
+    assert(rows.length == 100)
+    // skey = ln(u)/w is negative everywhere (u < 1, w > 0)
+    rows.foreach(r => assert(r.getAs[Double]("skey") < 0.0))
+    // weighted selection is biased toward heavy (long) docs: the
+    // sample's mean weight must clearly exceed the corpus mean (the
+    // fixture has 500 docs with ~4x weight spread; a uniform sample's
+    // mean would match the corpus mean in expectation)
+    val docs = Tables(spark, sfDir, "documents")
+    val corpusMean = docs.agg(avg(col("n_chars") + lit(1.0)))
+      .head.getDouble(0)
+    val sampleMean = rows.map(_.getAs[Double]("w")).sum / rows.length
+    assert(sampleMean > corpusMean * 1.1,
+      s"no length bias: sample $sampleMean vs corpus $corpusMean")
+    // membership is a pure function of doc_id: a re-run is identical
+    val again = q("weighted_sample").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSeq)
+  }
 }

@@ -147,8 +147,12 @@ class FacadeCoverageSpec extends AnyFunSuite {
     "unigramLogprob" -> Seq("bigram_logprob", "oov_rate"),
     // distribution-divergence curation diagnostics: same
     // count-table-vs-corpus shape as the DSIR importance weights,
-    // different statistic (per-source KL, not per-doc weights) (r13)
-    "importanceWeights" -> Seq("kl_source_divergence"),
+    // different statistic (per-source KL, not per-doc weights) (r13);
+    // weighted_sample is the family's SELECTION step — A-Res
+    // weighted sampling without replacement over a weight column,
+    // the importance-RESAMPLING half of DSIR (r15)
+    "importanceWeights" -> Seq("kl_source_divergence",
+      "weighted_sample"),
     // minhash_append is the facade family's PERSISTED band index with
     // incremental ingest (the dedup_append/ivf_append lifecycle) (r14)
     "minhashPairs" -> Seq("dedup_minhash", "ngram_jaccard",
@@ -204,8 +208,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // (rank quartiles over the unigram-LM score, per-bucket Knuth
     // keep rates) (r14); epoch_plan is the same τ-exponent weighting
     // emitted as the per-source repeat PLAN instead of sampled rows
-    // (r14)
-    "mixTemperature" -> Seq("perplexity_mix", "epoch_plan"))
+    // (r14); ccnet_buckets is the per-LANGUAGE form — each doc
+    // scored by its own language's LM, exact per-lang terciles via
+    // the global-rank-minus-offset kernel (r15)
+    "mixTemperature" -> Seq("perplexity_mix", "epoch_plan",
+      "ccnet_buckets"))
 
   /** The GA report DSL (Graft.query(): dimensions/metrics/filters/
     * segments/sort/paging) — these ops pin the DSL to GA-v3 report

@@ -181,4 +181,30 @@ class LmOpsSpec extends AnyFunSuite {
       assert(rows(b)._3 <= rows(b)._4)
     }
   }
+
+  test("ccnet_buckets: per-lang terciles partition each language, " +
+      "lp ranges tile head->tail, every lang has 3 buckets") {
+    val rows = q("ccnet_buckets").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap // (lang, bucket) -> (n_docs, n_tokens, hi_lp, lo_lp)
+    val docs = Tables(spark, sfDir, "documents")
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet.map(_._1) == perLang.keySet)
+    for (lang <- perLang.keys) {
+      val b = (0L to 2L).map(i => rows((lang, i)))
+      // terciles partition the language; sizes within 1 of n/3
+      assert(b.map(_._1).sum == perLang(lang), s"$lang doc sum")
+      b.foreach(t => assert(
+        math.abs(t._1 - perLang(lang) / 3.0) <= 1.0,
+        s"$lang tercile size ${t._1} vs ${perLang(lang)}/3"))
+      // bucket 0 = head (highest lp); ranges tile downward
+      for (i <- 0 until 2)
+        assert(b(i)._4 >= b(i + 1)._3 - 1e-12,
+          s"$lang bucket $i lo ${b(i)._4} < bucket ${i + 1} " +
+            s"hi ${b(i + 1)._3}")
+      b.foreach(t => assert(t._3 >= t._4 && t._2 > 0L))
+    }
+  }
 }

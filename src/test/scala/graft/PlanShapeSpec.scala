@@ -328,7 +328,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "order_lines_hist" -> "line-count domain rollup: ≤7 distinct values",
       "mad_outliers" -> "(group, distinct-value) rollup: value-domain-bounded",
       "pareto_front" -> "(group, distinct-value) dominance rollup",
-      "interval_overlaps" -> "day-grid prefix sums: calendar-sized")
+      "interval_overlaps" -> "day-grid prefix sums: calendar-sized",
+      "ccnet_buckets" -> "per-lang rank-offset rollup: ≤|langs| rows")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val globals = fn(spark, sfDir).queryExecution.optimizedPlan.collect {

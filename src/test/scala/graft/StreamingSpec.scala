@@ -1137,4 +1137,132 @@ class StreamingSpec extends AnyFunSuite {
     StreamArt.write()
     info(s"minhash_index ${"%.0f".format(sf1Docs.length / iSec)} rows/s")
   }
+
+  test("curateStreamMerge: streamed curation equals the one-shot " +
+      "kernels; full-tick replays no-op; a partial tick resumes") {
+    ext.GraftFunctions.register(spark)
+    val srcDir = freshDir() + "/curate_src"
+    val base = freshDir() + "/curate"
+    val chkDir = freshDir() + "/chk"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // 3 monotone doc_id slices (curateIngest's append contract)
+    def slice(i: Int): org.apache.spark.sql.DataFrame = i match {
+      case 0 => docs.filter(col("doc_id") <= mx - 40)
+      case 1 => docs.filter(col("doc_id") > mx - 40 &&
+        col("doc_id") <= mx - 20)
+      case 2 => docs.filter(col("doc_id") > mx - 20)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamOps.curateStreamMerge(b, id, base)
+          ()
+        }
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ids(t: String, v: Long): Set[Long] =
+      sources.Snapshots.readAsOf(spark, s"$base/$t", v)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    slice(0).coalesce(1).write.mode("append").parquet(srcDir)
+    slice(1).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // ticks 0,1 -> versions 1,2 on all four stage tables
+    for (t <- Seq("quality", "exact", "near", "bands"))
+      assert(sources.Snapshots.versions(spark, s"$base/$t")
+        == Seq(1L, 2L), s"$t versions after 2 ticks")
+    // a re-offered FULLY-committed tick is a pure no-op
+    val before = ids("near", 2L)
+    assert(!StreamOps.curateStreamMerge(slice(1), 1L, base))
+    assert(ids("near", 2L) == before)
+    // a tick that crashed BETWEEN stage commits (quality landed, the
+    // rest died — simulated by deleting their version-3 markers)
+    // resumes on replay: the committed stage skips, the rest
+    // recompute against latestBefore reads and commit
+    assert(StreamOps.curateStreamMerge(slice(2), 2L, base))
+    for (t <- Seq("exact", "near", "bands")) {
+      val m = new java.io.File(s"$base/$t/_commits/3")
+      assert(m.exists, s"$t v3 marker missing before crash sim")
+      assert(m.delete())
+    }
+    assert(StreamOps.curateStreamMerge(slice(2), 2L, base))
+    for (t <- Seq("quality", "exact", "near", "bands"))
+      assert(sources.Snapshots.versions(spark, s"$base/$t")
+        == Seq(1L, 2L, 3L), s"$t versions after recovery")
+    // an empty batch leaves a version gap on every table
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docs.schema)
+    assert(!StreamOps.curateStreamMerge(empty, 3L, base))
+    for (t <- Seq("quality", "exact", "near", "bands"))
+      assert(sources.Snapshots.versions(spark, s"$base/$t")
+        == Seq(1L, 2L, 3L))
+    // streamed stage tables == the one-shot declared kernels
+    val q1 = text.CurationOps.qualitySignals(docs).filter(col("keep_q"))
+      .select(col("doc_id"), col("text"),
+        col("n").cast("long").as("n_tokens"))
+    val ex = text.CurationOps.exactKeepers(q1)
+    val nd = text.CurationOps.nearDupSurvivors(ex, 0.4)
+    def kIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids("quality", 3L) == kIds(q1), "quality diverges")
+    assert(ids("exact", 3L) == kIds(ex), "exact diverges")
+    assert(ids("near", 3L) == kIds(nd), "near diverges")
+  }
+
+  test("sf1 replay throughput: streaming curation pipeline") {
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
+      "synthesized sf1 fixture not present (tools/make_sf.py)")
+    ext.GraftFunctions.register(spark)
+    val srcDir = freshDir() + "/curate_sf1_src"
+    val base = freshDir() + "/curate_sf1"
+    // 5 doc_id-ordered slices so ticks honor the append contract
+    val rows = spark.read.parquet("/tmp/sf1/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    rows.grouped((rows.length + 4) / 5).foreach(sl =>
+      sl.toSeq.toDF("doc_id", "text", "n_chars").coalesce(1)
+        .write.mode("append").parquet(srcDir))
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .schema(rows.take(1).toSeq
+        .toDF("doc_id", "text", "n_chars").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.curateStreamMerge(b, id, base)
+        ()
+      }
+      .option("checkpointLocation", freshDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val iSec = (System.nanoTime() - t0) / 1e9
+    for (t <- Seq("quality", "exact", "near", "bands"))
+      assert(sources.Snapshots.versions(spark, s"$base/$t").size == 5,
+        s"$t did not commit all 5 ticks")
+    val nQ = sources.Snapshots.readAsOf(spark, s"$base/quality",
+      sources.Snapshots.latest(spark, s"$base/quality")).count()
+    val nN = sources.Snapshots.readAsOf(spark, s"$base/near",
+      sources.Snapshots.latest(spark, s"$base/near")).count()
+    assert(nQ > 0L && nN > 0L && nN <= nQ)
+    StreamArt.shapes("curate") =
+      s"""{"shape":"curate","op":"foreachBatch curateStreamMerge""" +
+        s""" 5 ticks (quality+exact+near+bands)","rows_per_sec":${
+          "%.0f".format(rows.length / iSec)},""" +
+        s""""rows":${rows.length},"seconds":${"%.2f".format(iSec)},""" +
+        s""""versions":5,"quality_docs":$nQ,"near_docs":$nN,""" +
+        s""""store":"snapshot"}"""
+    StreamArt.write()
+    info(s"curate ${"%.0f".format(rows.length / iSec)} rows/s")
+  }
 }
