@@ -94,7 +94,8 @@ object Bench {
     * (`ivfpq_append`'s timing includes its two snapshot commits by
     * design — the write path IS the op; `ann_recall_suite` includes
     * the Lloyd training of its trained-IVF path). */
-  val r15: Seq[String] = Seq("ivfpq_append", "ann_recall_suite")
+  val r15: Seq[String] = Seq("ivfpq_append", "ann_recall_suite",
+    "ccnet_buckets", "weighted_sample", "gopher_ablation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

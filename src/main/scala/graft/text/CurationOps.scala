@@ -830,6 +830,98 @@ object CurationOps extends OpModule {
               AND (CAST(nd AS DOUBLE) / n >= 0.4)) AS keep
       FROM s"""))
 
+  /** Per-rule ablation of the gopher battery — the diagnostic a
+    * curation run reads BEFORE tuning thresholds: for each rule,
+    * how many docs fail it at all (n_fail), how many fail ONLY it
+    * (n_only — the docs that single rule costs the corpus: relax it
+    * and exactly these come back), and the tokens those marginal
+    * docs carry. A rule with large n_fail but tiny n_only is
+    * redundant with the rest of the battery; a rule owning most of
+    * its failures alone is the one to re-examine.
+    *
+    * Scale: one row-local battery pass (the shared `qualitySignals`
+    * kernel — native rep_stats, no shuffle), a 5-way per-row explode
+    * of (rule, pass) structs, then a 5-key rollup with map-side
+    * partials. One corpus scan, constant-sized output, at any SF. */
+  val gopherAblation = Op(
+    "gopher_ablation",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val rules = Seq("len" -> "r_len", "wordlen" -> "r_wordlen",
+        "stop" -> "r_stop", "dom" -> "r_dom",
+        "distinct" -> "r_distinct")
+      val sig = qualitySignals(Tables(s, d, "documents"))
+        .withColumn("n_fails",
+          rules.map { case (_, c) =>
+            when(col(c), 0).otherwise(1)
+          }.reduce(_ + _))
+      sig
+        .select(col("n"), col("n_fails"),
+          explode(array(rules.map { case (name, c) =>
+            struct(lit(name).as("rule"), col(c).as("pass"))
+          }: _*)).as("x"))
+        .groupBy(col("x.rule").as("rule"))
+        .agg(
+          sum(when(!col("x.pass"), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(!col("x.pass") && col("n_fails") === 1, 1L)
+            .otherwise(0L)).as("n_only"),
+          coalesce(sum(when(!col("x.pass") && col("n_fails") === 1,
+            col("n").cast("long")).otherwise(0L)), lit(0L))
+            .as("tokens_only"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n,
+               CAST(len(list_distinct(toks)) AS INT) AS nd,
+               CAST(list_aggregate(
+                 list_transform(list_distinct(toks),
+                   w -> len(list_filter(toks, x -> x = w))),
+                 'max') AS INT) AS top1,
+               CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a'))
+                 AS INT) AS n_stop,
+               CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                 AS mwl
+        FROM t),
+      r AS (
+        SELECT n,
+               (n BETWEEN 20 AND 90) AS r_len,
+               (mwl >= 4.0 AND mwl <= 5.0) AS r_wordlen,
+               (CAST(n_stop AS DOUBLE) / n >= 0.02) AS r_stop,
+               (CAST(top1 AS DOUBLE) / n <= 0.12) AS r_dom,
+               (CAST(nd AS DOUBLE) / n >= 0.4) AS r_distinct
+        FROM s),
+      f AS (
+        SELECT n, r_len, r_wordlen, r_stop, r_dom, r_distinct,
+               (CASE WHEN r_len THEN 0 ELSE 1 END +
+                CASE WHEN r_wordlen THEN 0 ELSE 1 END +
+                CASE WHEN r_stop THEN 0 ELSE 1 END +
+                CASE WHEN r_dom THEN 0 ELSE 1 END +
+                CASE WHEN r_distinct THEN 0 ELSE 1 END) AS n_fails
+        FROM r),
+      x AS (
+        SELECT 'len' AS rule, r_len AS pass, n, n_fails FROM f
+        UNION ALL
+        SELECT 'wordlen', r_wordlen, n, n_fails FROM f
+        UNION ALL
+        SELECT 'stop', r_stop, n, n_fails FROM f
+        UNION ALL
+        SELECT 'dom', r_dom, n, n_fails FROM f
+        UNION ALL
+        SELECT 'distinct', r_distinct, n, n_fails FROM f)
+      SELECT rule,
+             CAST(SUM(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail,
+             CAST(SUM(CASE WHEN NOT pass AND n_fails = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_only,
+             CAST(COALESCE(SUM(CASE WHEN NOT pass AND n_fails = 1
+                                    THEN n ELSE 0 END), 0) AS BIGINT)
+               AS tokens_only
+      FROM x GROUP BY rule"""))
+
   /** Epoch planning for a temperature-weighted source mixture — the
     * "how many repeats of each source hit the token budget" calc
     * every pre-training data plan starts from (the τ-weighting is
@@ -1293,5 +1385,5 @@ object CurationOps extends OpModule {
     contaminationBloom, sampleBudget, mixUniform, dsirWeights,
     domainCap, mixTemperature, shuffleShard, klSourceDivergence,
     dedupAppend, gopherFilter, epochPlan, curationFunnel, datasetCard,
-    weightedSample)
+    weightedSample, gopherAblation)
 }

@@ -361,4 +361,34 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSeq
     assert(again == rows.map(_.getAs[Long]("doc_id")).toSeq)
   }
+
+  test("gopher_ablation reconciles with gopher_filter: n_only sums " +
+      "to single-rule failures, n_fail to per-rule failures") {
+    val ab = q("gopher_ablation").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ab.keySet ==
+      Set("len", "wordlen", "stop", "dom", "distinct"))
+    val gf = q("gopher_filter")
+    val ruleCol = Map("len" -> "r_len", "wordlen" -> "r_wordlen",
+      "stop" -> "r_stop", "dom" -> "r_dom",
+      "distinct" -> "r_distinct")
+    val nFails = ruleCol.values.map(c =>
+      when(col(c), 0).otherwise(1): org.apache.spark.sql.Column)
+      .reduce(_ + _)
+    for ((rule, c) <- ruleCol) {
+      assert(ab(rule)._1 == gf.filter(!col(c)).count(),
+        s"$rule n_fail")
+      assert(ab(rule)._2 ==
+        gf.withColumn("nf", nFails)
+          .filter(!col(c) && col("nf") === 1).count(),
+        s"$rule n_only")
+      assert(ab(rule)._2 <= ab(rule)._1)
+    }
+    // marginal failures are disjoint across rules: the sum of n_only
+    // equals the count of docs failing exactly one rule
+    val oneRule = gf.withColumn("nf", nFails)
+      .filter(col("nf") === 1).count()
+    assert(ab.values.map(_._2).sum == oneRule)
+  }
 }

@@ -190,8 +190,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // publishes (r14)
     // dataset_card is the per-source release summary over the same
     // battery signals (quality pass rate, exact-dup rate) (r14)
+    // gopher_ablation is the battery's per-rule marginal-attrition
+    // diagnostic (same qualitySignals kernel, n_only attribution)
+    // (r15)
     "qualityScore" -> Seq("dedup_spans", "gopher_filter",
-      "curation_funnel", "dataset_card"),
+      "curation_funnel", "dataset_card", "gopher_ablation"),
     // dedup_append is the facade's hash-dedup contract as a PERSISTED
     // incrementally-merged snapshot index (the ivf_append lifecycle
     // pattern) (r14)

@@ -1216,15 +1216,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids("near", 3L) == kIds(nd), "near diverges")
   }
 
-  test("sf1 replay throughput: streaming curation pipeline") {
+  test("sf1m replay throughput: streaming curation pipeline") {
     import spark.implicits._
-    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
-      "synthesized sf1 fixture not present (tools/make_sf.py)")
+    // the MUTATED fixture, not the clone union: on byte-identical
+    // clones every tick after the first is 100% already-seen hashes,
+    // so the exact/near/bands stages correctly leave version gaps
+    // forever (asserted semantics, useless throughput evidence);
+    // mutated clones carry fresh hashes and a realistic Jaccard
+    // spectrum, so every stage works every tick
+    assume(new java.io.File("/tmp/sf1m/documents.parquet").exists(),
+      "synthesized sf1m fixture not present (tools/make_sf.py --mutate)")
     ext.GraftFunctions.register(spark)
     val srcDir = freshDir() + "/curate_sf1_src"
     val base = freshDir() + "/curate_sf1"
     // 5 doc_id-ordered slices so ticks honor the append contract
-    val rows = spark.read.parquet("/tmp/sf1/documents.parquet")
+    val rows = spark.read.parquet("/tmp/sf1m/documents.parquet")
       .select("doc_id", "text", "n_chars")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy(_._1)
@@ -1261,7 +1267,7 @@ class StreamingSpec extends AnyFunSuite {
           "%.0f".format(rows.length / iSec)},""" +
         s""""rows":${rows.length},"seconds":${"%.2f".format(iSec)},""" +
         s""""versions":5,"quality_docs":$nQ,"near_docs":$nN,""" +
-        s""""store":"snapshot"}"""
+        s""""fixture":"sf1m","store":"snapshot"}"""
     StreamArt.write()
     info(s"curate ${"%.0f".format(rows.length / iSec)} rows/s")
   }
