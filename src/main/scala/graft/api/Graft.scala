@@ -1559,6 +1559,21 @@ object Graft {
       return Seq.empty[(Int, String, Long, Long, Long)]
         .toDF("stage_no", "stage", "n_docs", "n_tokens", "version")
     }
+    // the batch/ledger commit dispatch, shared by every stage: batch
+    // mode takes the optimistic next version, ledger mode commits AT
+    // the tick's fixed version
+    def seedCommit(rows: DataFrame, table: String,
+        partCol: String): Long = version match {
+      case Some(v) =>
+        Snapshots.commitPartitionedAs(rows, table, partCol, v); v
+      case None => Snapshots.commitPartitioned(rows, table, partCol)
+    }
+    def mergeCommit(merged: DataFrame, table: String,
+        partCol: String): Long = version match {
+      case Some(v) =>
+        Snapshots.commitPartitionsAs(merged, table, partCol, v); v
+      case None => Snapshots.commitPartitions(merged, table, partCol)
+    }
     // merge a batch's survivor rows into a stage table: touched
     // hash-prefix partitions only (the dedup_append merge shape)
     def mergeInto(table: String, rows: DataFrame, partCol: String,
@@ -1566,26 +1581,16 @@ object Graft {
       if (version.exists(v => Snapshots.versionExists(s, table, v)))
         return version.get // this stage already committed its tick
       val prevV = preV(table)
-      if (prevV == 0L) version match {
-        case Some(v) =>
-          Snapshots.commitPartitionedAs(
-            rows.select(cols.map(col): _*), table, partCol, v); v
-        case None => Snapshots.commitPartitioned(
-          rows.select(cols.map(col): _*), table, partCol)
-      }
+      if (prevV == 0L)
+        seedCommit(rows.select(cols.map(col): _*), table, partCol)
       else if (rows.isEmpty) prevV // nothing to merge this tick
-      else {
-        val merged = Snapshots.readAsOf(s, table, prevV)
+      else mergeCommit(
+        Snapshots.readAsOf(s, table, prevV)
           .join(broadcast(rows.select(col(partCol)).distinct()),
             Seq(partCol), "left_semi")
           .select(cols.map(col): _*)
-          .unionByName(rows.select(cols.map(col): _*))
-        version match {
-          case Some(v) =>
-            Snapshots.commitPartitionsAs(merged, table, partCol, v); v
-          case None => Snapshots.commitPartitions(merged, table, partCol)
-        }
-      }
+          .unionByName(rows.select(cols.map(col): _*)),
+        table, partCol)
     }
     val vQ = mergeInto(qT, qb, "hp", survivorCols)
     // stage-2: batch keepers — hash unseen in the committed table
@@ -1638,20 +1643,11 @@ object Graft {
     val vN = mergeInto(nT, nb, "hp", survivorCols)
     if (!kbBands.isEmpty &&
         !version.exists(v => Snapshots.versionExists(s, bT, v))) {
-      if (prevB == 0L) version match {
-        case Some(v) =>
-          Snapshots.commitPartitionedAs(kbBands, bT, "pb", v)
-        case None => Snapshots.commitPartitioned(kbBands, bT, "pb")
-      }
-      else {
-        val merged = SimilarityOps.minhashIndexMergeFrames(
-          Snapshots.readAsOf(s, bT, prevB), kbBands)
-        version match {
-          case Some(v) =>
-            Snapshots.commitPartitionsAs(merged, bT, "pb", v)
-          case None => Snapshots.commitPartitions(merged, bT, "pb")
-        }
-      }
+      if (prevB == 0L) seedCommit(kbBands, bT, "pb")
+      else mergeCommit(
+        SimilarityOps.minhashIndexMergeFrames(
+          Snapshots.readAsOf(s, bT, prevB), kbBands),
+        bT, "pb")
     }
     def stageRow(no: Int, name: String, table: String,
         v: Long): DataFrame =

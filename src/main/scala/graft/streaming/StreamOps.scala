@@ -545,7 +545,18 @@ object StreamOps {
     * cross-table commit protocol. A fully-committed tick replays as a
     * pure no-op; an empty batch (or a degenerate unseeded first
     * batch) leaves a version gap on all four tables. The
-    * checkpoint–table coupling caveat is [[dedupIndexMerge]]'s.
+    * checkpoint–table coupling caveat is [[dedupIndexMerge]]'s, with
+    * one SHARPER edge here: because stage tables can legitimately
+    * carry version GAPS (a tick whose batch was all dups merges
+    * quality but gaps exact/near/bands), a reset checkpoint over
+    * surviving tables can re-land a NEW batch on a version that only
+    * SOME tables have — indistinguishable by version numbers from a
+    * crash-resume, and a resume with DIFFERENT batch content would
+    * merge the new docs into some stage tables but not others
+    * (breaking exact ⊆ quality). The partial-resume warning below
+    * flags every such tick; resumes are rare enough to audit, and
+    * resetting table and checkpoint together (the trio's contract)
+    * never produces one.
     *
     * @return true when any stage table committed this tick. */
   def curateStreamMerge(batch: DataFrame, batchId: Long,
@@ -555,12 +566,26 @@ object StreamOps {
     val v = batchId + 1
     val tables = Seq("quality", "exact", "near", "bands")
       .map(t => s"$base/$t")
-    if (tables.forall(t => Snapshots.versionExists(s, t, v))) {
+    val marked = tables.filter(t => Snapshots.versionExists(s, t, v))
+    if (marked.size == tables.size) {
       replayGuard(s, tables.head, v, "curateStreamMerge")
       false // fully-committed tick re-offered: pure no-op
     }
     else if (batch.isEmpty) false // nothing to apply; v stays a gap
     else {
+      if (marked.nonEmpty) {
+        marked.foreach(t => replayGuard(s, t, v, "curateStreamMerge"))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"curateStreamMerge: resuming tick version $v — " +
+            s"${marked.map(_.split('/').last).mkString("/")} already " +
+            "committed it, the remaining stage tables will be " +
+            "computed and committed now. Legitimate after a crash " +
+            "between stage commits; if the streaming checkpoint was " +
+            "instead RESET over surviving tables, this batch is NEW " +
+            "data landing on an old tick's partial version and the " +
+            "stage tables will diverge — reset tables and checkpoint " +
+            "together.")
+      }
       val before = tables.map(t => Snapshots.versionExists(s, t, v))
       // the stage commits inside curateIngest are EAGER (each commit
       // runs its own write job); the returned report frame is lazy

@@ -739,8 +739,15 @@ object LmOps extends OpModule {
         .orderBy(col("lang"))
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, -1)
-      val off = scored.groupBy(col("lang"))
-        .agg(count(lit(1)).as("nl"))
+      // per-lang sizes from the DOCS table, not from `scored`:
+      // withGlobalRank is an opaque RDD, so an agg over `scored`
+      // would re-execute the whole tokenize/join/score lineage just
+      // to count ≤|langs| rows (the perplexity_mix count(text)
+      // lesson). scored has exactly one row per non-null-text doc
+      // (explode of split('') still yields one token), so
+      // count(text) per lang IS scored's per-lang row count.
+      val off = docs.groupBy(col("lang"))
+        .agg(count(col("text")).as("nl"))
         .withColumn("ofs", coalesce(sum(col("nl")).over(lw), lit(0L)))
       ranked.join(broadcast(off), "lang")
         .withColumn("rkl", col("rk") - col("ofs"))
