@@ -1660,4 +1660,32 @@ object Graft {
       .unionByName(stageRow(2, "dedup_exact", eT, vE))
       .unionByName(stageRow(3, "dedup_near", nT, vN))
   }
+
+  /** STREAMING curation — the third member of the family
+    * ([[curate]] one-shot audit, [[curateIngest]] batch ticks, this
+    * op a continuous crawl): attaches
+    * `graft.streaming.StreamOps.curateStreamMerge` as the
+    * `foreachBatch` body of `docs` (a streaming DataFrame of
+    * doc_id/text/n_chars rows, doc_ids monotone across batches — the
+    * append contract) and starts the query. Each micro-batch runs the
+    * curateIngest tick kernel in its fixed-version ledger mode
+    * (version = batchId + 1), so the committed stage tables under
+    * `base` are identical to batch ticks over the same slices, crash
+    * recovery is per-table resume, and replays are no-ops — see
+    * curateStreamMerge's scaladoc for the checkpoint–table coupling
+    * caveats. The returned query runs until stopped (pair with
+    * `Trigger.AvailableNow` upstream semantics by configuring the
+    * reader; this facade deliberately leaves trigger choice to the
+    * caller's reader/writer defaults). */
+  def curateStream(docs: DataFrame, base: String, checkpoint: String,
+      threshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        graft.streaming.StreamOps.curateStreamMerge(b, id, base,
+          threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

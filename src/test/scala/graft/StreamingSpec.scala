@@ -1216,6 +1216,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids("near", 3L) == kIds(nd), "near diverges")
   }
 
+  test("Graft.curateStream facade: the attached query seeds and " +
+      "maintains the stage tables") {
+    ext.GraftFunctions.register(spark)
+    val srcDir = freshDir() + "/facade_src"
+    val base = freshDir() + "/facade_curate"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    docs.coalesce(1).write.parquet(srcDir)
+    val q = graft.api.Graft.curateStream(
+      spark.readStream.schema(docs.schema).parquet(srcDir),
+      base, freshDir() + "/chk")
+    q.processAllAvailable()
+    q.stop()
+    for (t <- Seq("quality", "exact", "near", "bands"))
+      assert(sources.Snapshots.latest(spark, s"$base/$t") == 1L,
+        s"$t not seeded at version 1")
+    val gotQ = sources.Snapshots.readAsOf(spark, s"$base/quality", 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wantQ = text.CurationOps.qualitySignals(docs)
+      .filter(col("keep_q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotQ == wantQ)
+  }
+
   test("sf1m replay throughput: streaming curation pipeline") {
     import spark.implicits._
     // the MUTATED fixture, not the clone union: on byte-identical
