@@ -191,13 +191,14 @@ object VectorOps extends OpModule {
     * sub-vectors, L2 argmin with code tie-break, rounded per-cell
     * means, keep-previous coalesce); assumes a `sub` CTE with
     * (vec_id, s, sv DOUBLE[]) is already in scope. */
-  private def pqLloydSql(rounds: Int): String = {
+  private def pqLloydSql(rounds: Int, k: Int = 16,
+      x: String = "p"): String = {
     val p0 =
-      """p0 AS (
+      s"""${x}0 AS (
         |  SELECT vec_id AS code, s, sv AS c_sv
-        |  FROM sub WHERE vec_id < 16)""".stripMargin
+        |  FROM sub WHERE vec_id < $k)""".stripMargin
     val rs = (1 to rounds).map { r =>
-      s"""pa$r AS (
+      s"""$x${r}a AS (
          |  SELECT vec_id, s, code FROM (
          |    SELECT sub.vec_id, sub.s, cb.code,
          |           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
@@ -205,23 +206,79 @@ object VectorOps extends OpModule {
          |               + list_dot_product(c_sv, c_sv)
          |               - 2 * list_dot_product(sv, c_sv), 4) ASC,
          |             cb.code) AS rn
-         |    FROM sub JOIN p${r - 1} cb USING (s))
+         |    FROM sub JOIN $x${r - 1} cb USING (s))
          |  WHERE rn = 1),
-         |pm$r AS (
+         |$x${r}m AS (
          |  SELECT s, code, list(v ORDER BY pos) AS c_sv
          |  FROM (SELECT s, code, pos, ROUND(AVG(x), 4) AS v
          |        FROM (SELECT a.s, a.code,
          |                     unnest(range(1, len(sub.sv) + 1)) AS pos,
          |                     unnest(sub.sv) AS x
-         |              FROM pa$r a
+         |              FROM $x${r}a a
          |              JOIN sub ON a.vec_id = sub.vec_id AND a.s = sub.s)
          |        GROUP BY s, code, pos)
          |  GROUP BY s, code),
-         |p$r AS (
+         |$x$r AS (
          |  SELECT p.s, p.code, COALESCE(m.c_sv, p.c_sv) AS c_sv
-         |  FROM p${r - 1} p LEFT JOIN pm$r m USING (s, code))""".stripMargin
+         |  FROM $x${r - 1} p LEFT JOIN $x${r}m m USING (s, code))""".stripMargin
     }
     (p0 +: rs).mkString(",\n")
+  }
+
+  /** PQ sub-codebook Lloyd refinement — the training loop factored
+    * out of `pq_topk_trained` so the recall suite can train grown
+    * codebooks with the exact same kernel: round-0 sub-codebooks are
+    * the first-`k` seed sub-vectors widened float→double (identical
+    * bits, so round 1 scores exactly as the float seeds did); each
+    * round assigns every sub-vector to its nearest current cell (the
+    * packed-key min argmin — pqKey's codegen'd HashAggregate form of
+    * min_by(code, (d2, code)) with zero BigDecimal work), recomputes
+    * cells as 4dp-rounded per-(s, code, dim) means, and KEEPS the
+    * previous cell when a cluster empties. Returns (s, code,
+    * c_sv: array<double>, c2).
+    *
+    * Each round materializes twice (localCheckpoint): the assignment
+    * — pinning its 32-way partitioning, since AQE coalesces the
+    * ~tens-of-MB agg exchange to ~1 partition and the 8× posexplode
+    * BLOWUP downstream then runs single-task (measured 16 s vs 1 s
+    * per means pass at sf10; the advisory size is pre-Generate, so
+    * AQE can't see it) — and the codebook, whose two-consumer chain
+    * fork (next round's assignment + keep-previous join) would
+    * otherwise re-execute ~2^rounds times (measured: 72 s sf10). */
+  private def pqLloydRefine(emb: DataFrame, sub: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val selfDotD = (c: String) => expr(s"dot_fd($c, $c)")
+    var cb = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("code"),
+        explode(sequence(lit(0), lit(7))).as("s"),
+        col("embedding"))
+      .withColumn("c_sv", expr(
+        "transform(slice(embedding, s * 8 + 1, 8)," +
+          " x -> CAST(x AS DOUBLE))"))
+      .select(col("s"), col("code"), col("c_sv"))
+      .withColumn("c2", selfDotD("c_sv"))
+    (1 to rounds).foreach { _ =>
+      val a = sub.join(broadcast(cb), "s")
+        .withColumn("k", pqKey(dotD("sv", "c_sv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"),
+          (col("k") % 65536L).as("code"))
+        .localCheckpoint()
+      val means = a.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(round(avg(col("col")), 4).as("v"))
+        .groupBy(col("s"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
+          " x -> x.v)").as("newsv"))
+      cb = cb.join(means, Seq("s", "code"), "left")
+        .select(col("s"), col("code"),
+          coalesce(col("newsv"), col("c_sv")).as("c_sv"))
+        .withColumn("c2", selfDotD("c_sv"))
+        .localCheckpoint()
+    }
+    cb
   }
 
   /** Deterministic sign-bit LSH bucket: bit i set iff dim i+1 > 0.
@@ -1166,55 +1223,7 @@ object VectorOps extends OpModule {
         .localCheckpoint()
       // cell self-dot: once per k·m codebook cell in the broadcast,
       // not once per scored corpus pair
-      val selfDotD = (c: String) => expr(s"dot_fd($c, $c)")
-      // round-0 sub-codebooks: seed sub-vectors widened float->double
-      // (identical bits, so round 1 scores exactly as the float seeds
-      // did); train: assign each sub-vector to its nearest current
-      // cell (map-side min_by argmin), recompute cells as rounded
-      // per-(s, code, dim) means, keep-previous for emptied cells
-      var cb = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("code"),
-          explode(sequence(lit(0), lit(7))).as("s"),
-          col("embedding"))
-        .withColumn("c_sv", expr(
-          "transform(slice(embedding, s * 8 + 1, 8)," +
-            " x -> CAST(x AS DOUBLE))"))
-        .select(col("s"), col("code"), col("c_sv"))
-        .withColumn("c2", selfDotD("c_sv"))
-      (1 to LloydRounds).foreach { _ =>
-        // argmin via the packed integer key (pqKey scaladoc) — the
-        // codegen'd HashAggregate form of min_by(code, (d2, code))
-        // with zero BigDecimal work in the scored loop
-        val a = sub.join(broadcast(cb), "s")
-          .withColumn("k", pqKey(dotD("sv", "c_sv")))
-          .groupBy(col("vec_id"), col("s"))
-          .agg(min(col("k")).as("k"))
-          .select(col("vec_id"), col("s"),
-            (col("k") % 65536L).as("code"))
-          // pin the assignment's 32-way partitioning: AQE coalesces
-          // the ~tens-of-MB agg exchange to ~1 partition, and the
-          // 8x posexplode BLOWUP downstream then runs single-task
-          // (measured 16 s vs 1 s per means pass at sf10 — the
-          // advisory size is pre-Generate, so AQE can't see it)
-          .localCheckpoint()
-        val means = a.join(sub, Seq("vec_id", "s"))
-          .select(col("s"), col("code"), posexplode(col("sv")))
-          .groupBy(col("s"), col("code"), col("pos"))
-          .agg(round(avg(col("col")), 4).as("v"))
-          .groupBy(col("s"), col("code"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, v)))," +
-            " x -> x.v)").as("newsv"))
-        // materialize the 128-cell codebook each round — same
-        // two-consumer chain fork as lloydRefine (next round's
-        // assignment + the keep-previous join; then codes AND the
-        // ADC table off the final frame): unmaterialized, the chain
-        // re-executes ~2^rounds times (measured: 72 s sf10 forked)
-        cb = cb.join(means, Seq("s", "code"), "left")
-          .select(col("s"), col("code"),
-            coalesce(col("newsv"), col("c_sv")).as("c_sv"))
-          .withColumn("c2", selfDotD("c_sv"))
-          .localCheckpoint()
-      }
+      val cb = pqLloydRefine(emb, sub, 16, LloydRounds)
       // encode + ADC against the refined double codebook (same
       // packed-key argmin as the training rounds)
       val codes = sub.join(broadcast(cb), "s")
@@ -1852,6 +1861,14 @@ object VectorOps extends OpModule {
     * nprobe=16). One row per (path, nprobe): mean recall over the
     * 8-query panel as an exact integer hit count / 80.
     *
+    * The `pq64` row makes the table's own conclusion EXECUTABLE: the
+    * 16-cell-per-subspace codebook is what dominates PQ error (r14
+    * finding), so the same flat-ADC path is graded again with the
+    * codebook grown to 64 cells per subspace (first-64 seeds, same
+    * encode/ADC kernels, 6 bits/code instead of 4) — the knob a
+    * deployment reading this table would turn, with its recall
+    * recovery measured in the same artifact it reads.
+    *
     * Every path reuses the declared ops' own kernels (frozen/trained
     * argmax assignment, the packed-key PQ encode, per-query integer
     * ADC tables), so the table grades the indexes users actually
@@ -1880,12 +1897,12 @@ object VectorOps extends OpModule {
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("vec_id"))
-      // exact ground truth: ONE scored scan, shared by all 7 rows
+      // exact ground truth: ONE scored scan, shared by all 8 rows
       val exact = top10(emb.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("score", round(dot("embedding", "q_emb"), 4))
         .select(col("q_id"), col("vec_id"), col("score")))
-        .localCheckpoint() // 7 consumers: one hit-join per graded row
+        .localCheckpoint() // 8 consumers: one hit-join per graded row
       def recallRow(path: String, nprobe: Int,
           retr: DataFrame): DataFrame =
         exact.join(retr, Seq("q_id", "vec_id"), "left_semi")
@@ -1966,6 +1983,54 @@ object VectorOps extends OpModule {
           .select(col("q_id"), col("vec_id"))
         top10(pqScores.join(cands, Seq("q_id", "vec_id"), "left_semi"))
       }
+      // ---- the grown codebook (pq64): same encode/ADC kernels, 64
+      // seed cells per subspace — the knob the 16-cell rows say to turn
+      val cb64 = sub.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("code"), col("s"),
+          col("sv").as("c_sv"), col("s2").as("c2"))
+      val codes64 = sub.join(broadcast(cb64), "s")
+        .withColumn("k", pqKey(dot("sv", "c_sv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
+      val adcq64 = sub.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
+        .join(broadcast(cb64), "s")
+        .withColumn("qdot_i",
+          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("q_id"), col("s"), col("code"), col("qdot_i"))
+      val pqScores64 = codes64.join(broadcast(adcq64), Seq("s", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdot_i")).as("adc_i"))
+        .select(col("q_id"), col("vec_id"),
+          col("adc_i").cast("double").as("score"))
+      // ---- Lloyd-TRAINED codebooks at both sizes (pq_topk_trained's
+      // own factored kernel): the other half of the PQ grid —
+      // {16, 64} cells × {seed, trained} isolates the two knobs
+      def pqScoresTrained(cbk: DataFrame): DataFrame = {
+        val codesK = sub.join(broadcast(cbk), "s")
+          .withColumn("k", pqKey(dotD("sv", "c_sv")))
+          .groupBy(col("vec_id"), col("s"))
+          .agg(min(col("k")).as("k"))
+          .select(col("vec_id"), col("s"),
+            (col("k") % 65536L).as("code"))
+        val adcqK = sub.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("s"),
+            col("sv").as("q_sv"))
+          .join(broadcast(cbk), "s")
+          .withColumn("qdot_i",
+            round(dotD("q_sv", "c_sv") * 10000, 0).cast("long"))
+          .select(col("q_id"), col("s"), col("code"), col("qdot_i"))
+        codesK.join(broadcast(adcqK), Seq("s", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum(col("qdot_i")).as("adc_i"))
+          .select(col("q_id"), col("vec_id"),
+            col("adc_i").cast("double").as("score"))
+      }
+      val tr16 = pqLloydRefine(emb, sub, 16, LloydRounds)
+      val tr64 = pqLloydRefine(emb, sub, 64, LloydRounds)
       recallRow("ivf", 2, ivfRetr(assignedF, probesF, 2))
         .unionByName(recallRow("ivf", 8, ivfRetr(assignedF, probesF, 8)))
         .unionByName(
@@ -1975,6 +2040,11 @@ object VectorOps extends OpModule {
         .unionByName(recallRow("ivfpq", 2, ivfpqRetr(2)))
         .unionByName(recallRow("ivfpq", 8, ivfpqRetr(8)))
         .unionByName(recallRow("pq", 16, top10(pqScores)))
+        .unionByName(recallRow("pq64", 64, top10(pqScores64)))
+        .unionByName(
+          recallRow("pq_trained", 16, top10(pqScoresTrained(tr16))))
+        .unionByName(
+          recallRow("pq64_trained", 64, top10(pqScoresTrained(tr64))))
     },
     Some {
       def rif(n: Int, a: String, p: String, cexp: String) = s"""
@@ -1999,6 +2069,37 @@ object VectorOps extends OpModule {
           JOIN af a ON a.vec_id = s.vec_id
           JOIN pf p ON p.c_id = a.c_id AND p.q_id = s.q_id
             AND p.rn <= $n)
+        WHERE rn <= 10)"""
+      // encode + per-query ADC + top-10 against a TRAINED codebook
+      // chain cbn (the pqLloydSql output), emitting r_$x
+      def rtr(x: String, cbn: String) = s"""
+      codes_$x AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN $cbn cb USING (s))
+        WHERE rn = 1),
+      adcq_$x AS (
+        SELECT qq.vec_id AS q_id, cb.s, cb.code,
+               CAST(ROUND(list_dot_product(qq.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT vec_id, s, sv FROM sub WHERE vec_id < 8) qq
+        JOIN $cbn cb USING (s)),
+      pqs_$x AS (
+        SELECT adcq_$x.q_id, codes_$x.vec_id, SUM(qdot_i) AS adc_i
+        FROM codes_$x JOIN adcq_$x USING (s, code)
+        WHERE codes_$x.vec_id <> adcq_$x.q_id
+        GROUP BY 1, 2),
+      r_$x AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_i DESC, vec_id) AS rn
+          FROM pqs_$x)
         WHERE rn <= 10)"""
       def row(path: String, np: Int, r: String) =
         s"""SELECT '$path' AS path, $np AS nprobe,
@@ -2092,6 +2193,40 @@ object VectorOps extends OpModule {
                    ORDER BY adc_i DESC, vec_id) AS rn
           FROM pqs)
         WHERE rn <= 10),
+      cb64 AS (SELECT vec_id AS code, s, sv AS c_sv
+               FROM sub WHERE vec_id < 64),
+      codes64 AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb64.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb64.code) AS rn
+          FROM sub JOIN cb64 USING (s))
+        WHERE rn = 1),
+      adcq64 AS (
+        SELECT qq.vec_id AS q_id, cb64.s, cb64.code,
+               CAST(ROUND(list_dot_product(qq.sv, cb64.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT vec_id, s, sv FROM sub WHERE vec_id < 8) qq
+        JOIN cb64 USING (s)),
+      pqs64 AS (
+        SELECT adcq64.q_id, codes64.vec_id, SUM(qdot_i) AS adc_i
+        FROM codes64 JOIN adcq64 USING (s, code)
+        WHERE codes64.vec_id <> adcq64.q_id
+        GROUP BY 1, 2),
+      r_pq64 AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_i DESC, vec_id) AS rn
+          FROM pqs64)
+        WHERE rn <= 10),
+      ${pqLloydSql(LloydRounds, 16, "tp")},
+      ${pqLloydSql(LloydRounds, 64, "tq")},
+      ${rtr("tp", s"tp$LloydRounds")},
+      ${rtr("tq", s"tq$LloydRounds")},
       ${rif(2, "af", "pf", "CAST(q.q_emb AS DOUBLE[])")},
       ${rif(8, "af", "pf", "CAST(q.q_emb AS DOUBLE[])")},
       ${rif(2, "atr", "ptr", "CAST(q.q_emb AS DOUBLE[])")},
@@ -2104,7 +2239,10 @@ object VectorOps extends OpModule {
       UNION ALL ${row("ivf_trained", 8, "r_atr_8")}
       UNION ALL ${row("ivfpq", 2, "r_ipq_2")}
       UNION ALL ${row("ivfpq", 8, "r_ipq_8")}
-      UNION ALL ${row("pq", 16, "r_pq")}"""
+      UNION ALL ${row("pq", 16, "r_pq")}
+      UNION ALL ${row("pq64", 64, "r_pq64")}
+      UNION ALL ${row("pq_trained", 16, "r_tp")}
+      UNION ALL ${row("pq64_trained", 64, "r_tq")}"""
     })
 
   override def ops: Seq[Op] =
