@@ -578,15 +578,19 @@ object StreamOps {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"curateStreamMerge: resuming tick version $v — " +
             s"${marked.map(_.split('/').last).mkString("/")} already " +
-            "committed it, the remaining stage tables will be " +
-            "computed and committed now. Legitimate after a crash " +
-            "between stage commits; if the streaming checkpoint was " +
-            "instead RESET over surviving tables, this batch is NEW " +
-            "data landing on an old tick's partial version and the " +
-            "stage tables will diverge — reset tables and checkpoint " +
-            "together.")
+            "committed it; the remaining stage tables recompute now " +
+            "and either commit at this version (if it is still ahead " +
+            "of their latest) or fail commit's version-ordering " +
+            "require (if the table has already moved past it). " +
+            "Legitimate after a crash between stage commits; if the " +
+            "streaming checkpoint was instead RESET over surviving " +
+            "tables, this batch is NEW data landing on an old tick's " +
+            "partial version — the require catches the moved-past " +
+            "case, but a batch landing exactly one version ahead " +
+            "would merge into some stage tables and not others. " +
+            "Reset tables and checkpoint together.")
       }
-      val before = tables.map(t => Snapshots.versionExists(s, t, v))
+      val before = tables.map(marked.contains)
       // the stage commits inside curateIngest are EAGER (each commit
       // runs its own write job); the returned report frame is lazy
       // and unused here — callers wanting the report read the

@@ -743,10 +743,15 @@ object LmOps extends OpModule {
       // withGlobalRank is an opaque RDD, so an agg over `scored`
       // would re-execute the whole tokenize/join/score lineage just
       // to count ≤|langs| rows (the perplexity_mix count(text)
-      // lesson). scored has exactly one row per non-null-text doc
-      // (explode of split('') still yields one token), so
-      // count(text) per lang IS scored's per-lang row count.
-      val off = docs.groupBy(col("lang"))
+      // lesson). scored has exactly one row per non-null-(lang,text)
+      // doc — explode of split('') still yields one token, and the
+      // dictionary equi-join drops null langs (null keys never
+      // match) — so the offset population must exclude null langs
+      // too, or every real language's offset is inflated by docs the
+      // rank never counted and the tercile boundaries shift off the
+      // oracle's.
+      val off = docs.filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
         .agg(count(col("text")).as("nl"))
         .withColumn("ofs", coalesce(sum(col("nl")).over(lw), lit(0L)))
       ranked.join(broadcast(off), "lang")

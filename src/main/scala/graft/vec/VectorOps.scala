@@ -1897,12 +1897,12 @@ object VectorOps extends OpModule {
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("vec_id"))
-      // exact ground truth: ONE scored scan, shared by all 8 rows
+      // exact ground truth: ONE scored scan, shared by all 10 rows
       val exact = top10(emb.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("score", round(dot("embedding", "q_emb"), 4))
         .select(col("q_id"), col("vec_id"), col("score")))
-        .localCheckpoint() // 8 consumers: one hit-join per graded row
+        .localCheckpoint() // 10 consumers: one hit-join per graded row
       def recallRow(path: String, nprobe: Int,
           retr: DataFrame): DataFrame =
         exact.join(retr, Seq("q_id", "vec_id"), "left_semi")
@@ -1983,32 +1983,12 @@ object VectorOps extends OpModule {
           .select(col("q_id"), col("vec_id"))
         top10(pqScores.join(cands, Seq("q_id", "vec_id"), "left_semi"))
       }
-      // ---- the grown codebook (pq64): same encode/ADC kernels, 64
-      // seed cells per subspace — the knob the 16-cell rows say to turn
-      val cb64 = sub.filter(col("vec_id") < 64)
-        .select(col("vec_id").as("code"), col("s"),
-          col("sv").as("c_sv"), col("s2").as("c2"))
-      val codes64 = sub.join(broadcast(cb64), "s")
-        .withColumn("k", pqKey(dot("sv", "c_sv")))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(col("k")).as("k"))
-        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
-      val adcq64 = sub.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("s"), col("sv").as("q_sv"))
-        .join(broadcast(cb64), "s")
-        .withColumn("qdot_i",
-          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
-        .select(col("q_id"), col("s"), col("code"), col("qdot_i"))
-      val pqScores64 = codes64.join(broadcast(adcq64), Seq("s", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(sum(col("qdot_i")).as("adc_i"))
-        .select(col("q_id"), col("vec_id"),
-          col("adc_i").cast("double").as("score"))
-      // ---- Lloyd-TRAINED codebooks at both sizes (pq_topk_trained's
-      // own factored kernel): the other half of the PQ grid —
-      // {16, 64} cells × {seed, trained} isolates the two knobs
-      def pqScoresTrained(cbk: DataFrame): DataFrame = {
+      // ---- the rest of the PQ grid: {16, 64} cells × {seed,
+      // trained} isolates the two codebook knobs. ONE encode+ADC
+      // kernel serves every codebook — dot_fd widens float elements
+      // exactly, so a float seed codebook scores bit-identically to
+      // its double widening (the DotProductMixed contract)
+      def pqAdcScores(cbk: DataFrame): DataFrame = {
         val codesK = sub.join(broadcast(cbk), "s")
           .withColumn("k", pqKey(dotD("sv", "c_sv")))
           .groupBy(col("vec_id"), col("s"))
@@ -2029,6 +2009,10 @@ object VectorOps extends OpModule {
           .select(col("q_id"), col("vec_id"),
             col("adc_i").cast("double").as("score"))
       }
+      val cb64 = sub.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("code"), col("s"),
+          col("sv").as("c_sv"), col("s2").as("c2"))
+      val pqScores64 = pqAdcScores(cb64)
       val tr16 = pqLloydRefine(emb, sub, 16, LloydRounds)
       val tr64 = pqLloydRefine(emb, sub, 64, LloydRounds)
       recallRow("ivf", 2, ivfRetr(assignedF, probesF, 2))
@@ -2042,9 +2026,9 @@ object VectorOps extends OpModule {
         .unionByName(recallRow("pq", 16, top10(pqScores)))
         .unionByName(recallRow("pq64", 64, top10(pqScores64)))
         .unionByName(
-          recallRow("pq_trained", 16, top10(pqScoresTrained(tr16))))
+          recallRow("pq_trained", 16, top10(pqAdcScores(tr16))))
         .unionByName(
-          recallRow("pq64_trained", 64, top10(pqScoresTrained(tr64))))
+          recallRow("pq64_trained", 64, top10(pqAdcScores(tr64))))
     },
     Some {
       def rif(n: Int, a: String, p: String, cexp: String) = s"""
@@ -2195,34 +2179,7 @@ object VectorOps extends OpModule {
         WHERE rn <= 10),
       cb64 AS (SELECT vec_id AS code, s, sv AS c_sv
                FROM sub WHERE vec_id < 64),
-      codes64 AS (
-        SELECT vec_id, s, code FROM (
-          SELECT sub.vec_id, sub.s, cb64.code,
-                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
-                   ORDER BY ROUND(list_dot_product(sv, sv)
-                     + list_dot_product(c_sv, c_sv)
-                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
-                   cb64.code) AS rn
-          FROM sub JOIN cb64 USING (s))
-        WHERE rn = 1),
-      adcq64 AS (
-        SELECT qq.vec_id AS q_id, cb64.s, cb64.code,
-               CAST(ROUND(list_dot_product(qq.sv, cb64.c_sv) * 10000, 0)
-                 AS BIGINT) AS qdot_i
-        FROM (SELECT vec_id, s, sv FROM sub WHERE vec_id < 8) qq
-        JOIN cb64 USING (s)),
-      pqs64 AS (
-        SELECT adcq64.q_id, codes64.vec_id, SUM(qdot_i) AS adc_i
-        FROM codes64 JOIN adcq64 USING (s, code)
-        WHERE codes64.vec_id <> adcq64.q_id
-        GROUP BY 1, 2),
-      r_pq64 AS (
-        SELECT q_id, vec_id FROM (
-          SELECT q_id, vec_id,
-                 ROW_NUMBER() OVER (PARTITION BY q_id
-                   ORDER BY adc_i DESC, vec_id) AS rn
-          FROM pqs64)
-        WHERE rn <= 10),
+      ${rtr("pq64", "cb64")},
       ${pqLloydSql(LloydRounds, 16, "tp")},
       ${pqLloydSql(LloydRounds, 64, "tq")},
       ${rtr("tp", s"tp$LloydRounds")},
