@@ -342,6 +342,14 @@ class CurationSpec extends AnyFunSuite {
     val plan = sel.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       "top-M must avoid a global sort:\n" + plan.take(800))
+    // the scan must prune to (doc_id, n_chars): reading `text` for a
+    // sample keyed on id+length would drag the corpus's dominant
+    // bytes through a scan that never uses them
+    val read = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(read.contains("doc_id") && read.contains("n_chars")
+      && !read.contains("text"),
+      s"scan not pruned to (doc_id, n_chars): $read")
     val rows = sel.collect()
     assert(rows.length == 100)
     // skey = ln(u)/w is negative everywhere (u < 1, w > 0)
