@@ -186,7 +186,12 @@ object Bench {
     val failed = best.count(_._2 < 0)
     val total =
       if (failed > 0) -1.0 else best.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"runs":3,"failed":$failed,"sf":"$sfDir"}""")
+    // heap geometry moves the headline ~1.5 s (8 GB vs 64 GB measured
+    // on the identical r15 binary — SCALE.md protocol note), so the
+    // artifact records it: a future heap change shows up in the JSON
+    // instead of reading as a code regression
+    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"runs":3,"failed":$failed,"heap_gb":$heapGb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

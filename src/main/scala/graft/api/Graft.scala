@@ -1562,16 +1562,34 @@ object Graft {
     // the batch/ledger commit dispatch, shared by every stage: batch
     // mode takes the optimistic next version, ledger mode commits AT
     // the tick's fixed version
+    // a false from the As-commits means the version was already there
+    // (either this tick's own guard raced a replay — benign — or a
+    // concurrent second writer took it, violating the single-writer-
+    // per-table contract and interleaving another stream's rows into
+    // the ledger). Silent before r16 (ADVICE); now always surfaced.
+    def unconfirmed(table: String, v: Long): Unit =
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"curateIngest: fixed-version commit of $table@$v returned " +
+          "false — the version was committed by someone else between " +
+          "this tick's guard and its write. Benign iff it was a " +
+          "re-offered replay of THIS stream's tick; if a second " +
+          "writer shares the table, the single-writer contract is " +
+          "broken and the stage's reported rows are the other " +
+          "writer's. Audit the table's writers.")
     def seedCommit(rows: DataFrame, table: String,
         partCol: String): Long = version match {
       case Some(v) =>
-        Snapshots.commitPartitionedAs(rows, table, partCol, v); v
+        if (!Snapshots.commitPartitionedAs(rows, table, partCol, v))
+          unconfirmed(table, v)
+        v
       case None => Snapshots.commitPartitioned(rows, table, partCol)
     }
     def mergeCommit(merged: DataFrame, table: String,
         partCol: String): Long = version match {
       case Some(v) =>
-        Snapshots.commitPartitionsAs(merged, table, partCol, v); v
+        if (!Snapshots.commitPartitionsAs(merged, table, partCol, v))
+          unconfirmed(table, v)
+        v
       case None => Snapshots.commitPartitions(merged, table, partCol)
     }
     // merge a batch's survivor rows into a stage table: touched
@@ -1636,7 +1654,7 @@ object Graft {
        else Snapshots.readAsOf(s, eT, prevE)
          .select(survivorCols.map(col): _*).unionByName(kb))
         .select(col("doc_id"), col("text"))
-    val dropped = SimilarityOps.verifiedPairs(cand, candTexts)
+    val dropped = SimilarityOps.verifiedPairs(cand, candTexts, threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val nb = kb.join(dropped, Seq("doc_id"), "left_anti")

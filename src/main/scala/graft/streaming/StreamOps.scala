@@ -571,8 +571,12 @@ object StreamOps {
       replayGuard(s, tables.head, v, "curateStreamMerge")
       false // fully-committed tick re-offered: pure no-op
     }
-    else if (batch.isEmpty) false // nothing to apply; v stays a gap
     else {
+      // the partial-resume warning runs BEFORE the empty-batch return:
+      // a partially committed tick re-offered with an empty batch
+      // (possible only after a checkpoint/source reset — the exact
+      // hazard the warning exists for) must still surface the
+      // stranded partial version instead of returning silently
       if (marked.nonEmpty) {
         marked.foreach(t => replayGuard(s, t, v, "curateStreamMerge"))
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -590,6 +594,7 @@ object StreamOps {
             "would merge into some stage tables and not others. " +
             "Reset tables and checkpoint together.")
       }
+      if (batch.isEmpty) return false // nothing to apply; v stays a gap
       val before = tables.map(marked.contains)
       // the stage commits inside curateIngest are EAGER (each commit
       // runs its own write job); the returned report frame is lazy

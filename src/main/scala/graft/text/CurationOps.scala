@@ -1358,15 +1358,26 @@ object CurationOps extends OpModule {
     * merge on the driver), no global sort, no shuffle of anything
     * data-sized. The 6-dp rounding before the ORDER gives both
     * engines the same total order (the perplexity_mix precedent);
-    * doc_id breaks the rounding ties deterministically. */
+    * doc_id breaks the rounding ties deterministically.
+    *
+    * Hash domain (r16, ADVICE fix): u's period is ~1e9 — doc_id
+    * pre-reduced mod the prime 999999937 (not the old 100000, whose
+    * 100k period made same-residue docs share a draw and degraded
+    * A-Res's ∝-weight guarantee above 100k docs), Knuth-multiplied,
+    * then mod the prime 1000000007. Max intermediate 999999936 ×
+    * 2654435761 ≈ 2.65e18 < 2^63 — no BIGINT overflow in either
+    * engine. Corpora above ~1e9 docs hit the same (far rarer)
+    * residue-sharing at the new period; that residual is the
+    * documented cost of keeping u a pure overflow-free function of
+    * doc_id in portable integer arithmetic. */
   val weightedSample = Op(
     "weighted_sample",
     (s, d) =>
       Tables(s, d, "documents")
         .withColumn("w", col("n_chars") + lit(1.0))
         .withColumn("u",
-          (expr("pmod((doc_id % 100000) * 2654435761, 1000000)") +
-            lit(0.5)) / lit(1000000.0))
+          (expr("pmod((doc_id % 999999937) * 2654435761, 1000000007)") +
+            lit(0.5)) / lit(1000000007.0))
         .withColumn("skey", round(log(col("u")) / col("w"), 6))
         .orderBy(col("skey").desc, col("doc_id"))
         .limit(100)
@@ -1374,8 +1385,9 @@ object CurationOps extends OpModule {
     Some("""
       SELECT doc_id, w, skey FROM (
         SELECT doc_id, n_chars + 1.0 AS w,
-               ROUND(LN((((doc_id % 100000) * 2654435761 % 1000000
-                          + 1000000) % 1000000 + 0.5) / 1000000.0)
+               ROUND(LN((((doc_id % 999999937) * 2654435761
+                          % 1000000007 + 1000000007) % 1000000007
+                         + 0.5) / 1000000007.0)
                      / (n_chars + 1.0), 6) AS skey
         FROM documents)
       ORDER BY skey DESC, doc_id LIMIT 100"""))

@@ -443,7 +443,7 @@ object SimilarityOps extends OpModule {
       // the shared hashed-gram verify kernel (it re-grams ONLY the
       // candidate docs; the string grams above exist solely to feed
       // the md5 signature family the oracle mirrors)
-      verifiedPairs(cand, input)
+      verifiedPairs(cand, input, threshold)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -511,9 +511,25 @@ object SimilarityOps extends OpModule {
     * REAL near-dup instead of an exact-stage casualty), so key bytes
     * are the dominant shuffle cost; equality is all the count needs,
     * no gram reaches the output, and a 64-bit collision perturbs one
-    * n_inter/size by 1 with birthday-bound probability (n²/2⁶⁵). */
+    * n_inter/size by 1 with birthday-bound probability (n²/2⁶⁵).
+    *
+    * `minJaccard` arms the EXACT size-ratio prefilter:
+    * Jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a candidate pair
+    * whose distinct-gram counts are too far apart cannot clear the
+    * caller's threshold and is dropped BEFORE the |pairs|×|shared
+    * grams| intersection join — the verify tail's only remaining
+    * cost driver on realistic (mutated) fixtures. The sizes are a
+    * byproduct of the gram pass the verify already does, so the
+    * prefilter costs one |cand|-sized join against a |candDocs|-row
+    * frame. Callers round jaccard to 4dp before thresholding, so the
+    * bound carries a half-ulp slack (t − 0.00005): a pair whose true
+    * jaccard rounds UP to t is never dropped — zero recall loss, the
+    * thresholded output is row-identical. Pairs below the slacked
+    * bound do not appear in the output at all; pass the SAME
+    * threshold you filter with (or 0.0 for the full pair dump). */
   private[graft] def verifiedPairs(cand: org.apache.spark.sql.DataFrame,
-      texts: org.apache.spark.sql.DataFrame)
+      texts: org.apache.spark.sql.DataFrame,
+      minJaccard: Double = 0.0)
       : org.apache.spark.sql.DataFrame = {
     graft.ext.GraftFunctions.register(texts.sparkSession)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -524,16 +540,25 @@ object SimilarityOps extends OpModule {
       .select(col("doc_id"), expr("ngram_hashes(toks, 3)"))
       .localCheckpoint() // 3 consumers: sizes + both intersection sides
     val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    cand
-      .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("g")),
-        Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val sized = cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
         "doc_b")
+    val pre =
+      if (minJaccard > 0.0)
+        // exact bound w/ 4dp-rounding slack: round(j,4) ≥ t ⇒
+        // j ≥ t−5e-5 ⇒ min/max ≥ t−5e-5 (j ≤ min/max, sizes exact)
+        sized.filter(least(col("n_a"), col("n_b")).cast("double") >=
+          lit(minJaccard - 0.00005) *
+            greatest(col("n_a"), col("n_b")).cast("double"))
+      else sized
+    pre
+      .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("g")),
+        Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4))
@@ -648,7 +673,7 @@ object SimilarityOps extends OpModule {
           greatest(col("ia"), col("ib")).as("doc_b"))
         .distinct()
       // exact verify over ONLY the candidate docs' grams
-      verifiedPairs(cand, docs)
+      verifiedPairs(cand, docs, 0.4)
         .filter(col("jaccard") >= 0.4)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
