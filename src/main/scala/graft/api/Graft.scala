@@ -1445,9 +1445,25 @@ object Graft {
     * (ApiSpec locks the reconciliation). Requires `doc_id`, `text`,
     * `n_chars` columns.
     *
+    * `embeddings` (r16, VERDICT r15 task 4) arms the FOURTH stage —
+    * semantic dedup over the near-dup survivors: a (doc_id,
+    * embedding) frame covering any subset of the docs; survivors
+    * with a vector are assigned to frozen seeds (the `semK`
+    * lowest-doc_id EMBEDDED survivors — `semdedup_append`'s
+    * lowest-id seed rule with a fixed k; re-clustering as the corpus
+    * grows is a rebuild, the scheduled-maintenance path) and a doc
+    * is dropped iff a LOWER-id same-cluster survivor scores rounded
+    * cosine ≥ `semThreshold` (`semdedup`'s EXISTS-lower-id rule,
+    * evidence = ALL embedded stage-3 survivors, dropped or not).
+    * Docs without a vector always pass — no evidence, no drop. v4 =
+    * the semantic keepers; the report gains a `dedup_semantic` row.
+    *
     * Returns (stage_no, stage, n_docs, n_tokens, version). */
   def curate(docs: DataFrame, base: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4,
+      embeddings: Option[DataFrame] = None,
+      semThreshold: Double = 0.3,
+      semK: Int = 16): DataFrame = {
     val s = docs.sparkSession
     graft.ext.GraftFunctions.register(s)
     import graft.sources.Snapshots
@@ -1470,9 +1486,52 @@ object Graft {
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
         .select(lit(no).as("stage_no"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"), lit(v).as("version"))
-    stageRow(1, "quality", v1)
+    val report3 = stageRow(1, "quality", v1)
       .unionByName(stageRow(2, "dedup_exact", v2))
       .unionByName(stageRow(3, "dedup_near", v3))
+    embeddings match {
+      case None => report3
+      case Some(embAll) =>
+        val e3 = Snapshots.readAsOf(s, base, v3)
+        // embedded stage-3 survivors: the semantic stage's whole world
+        val ne = e3.select(col("doc_id"))
+          .join(embAll.select(col("doc_id"), col("embedding")),
+            Seq("doc_id"))
+          .localCheckpoint() // consumers: seeds + assignment rollup
+        val seeds = ne.orderBy(col("doc_id")).limit(semK)
+          .select(col("doc_id").as("c_id"), col("embedding").as("c_emb"))
+        val dropped = semanticDroppedIds(ne, seeds, semThreshold)
+        val v4 = Snapshots.commit(
+          e3.join(dropped, Seq("doc_id"), "left_anti"), base)
+        report3.unionByName(stageRow(4, "dedup_semantic", v4))
+    }
+  }
+
+  /** The semantic-dedup drop set shared by [[curate]] and
+    * [[curateIngest]]'s one-shot form: assign `embedded` (doc_id,
+    * embedding) rows to the frozen `seeds` (c_id, c_emb) via the
+    * `semdedup_append` rollup kernel, then return the doc_ids with a
+    * LOWER-id same-cluster neighbor at rounded cosine ≥ `threshold`.
+    * The pair self-join is salted `saltB` ways (the `semdedup`
+    * precedent: parallelism k·saltB instead of k, identical pair
+    * set); evidence = every assigned row, dropped or not (the
+    * EXISTS-lower-id rule is not a transitive closure). */
+  private def semanticDroppedIds(embedded: DataFrame, seeds: DataFrame,
+      threshold: Double, saltB: Int = 16): DataFrame = {
+    val assigned = graft.vec.VectorOps.semdedupIndexRollup(
+      embedded.select(col("doc_id").as("vec_id"), col("embedding")),
+      seeds)
+      .localCheckpoint() // consumers: both sides of the pair self-join
+    val lower = assigned.select(col("c_id").as("_ac"),
+      col("vec_id").as("_aid"), col("embedding").as("_aemb"))
+      .withColumn("_abkt", pmod(col("_aid"), lit(saltB)).cast("int"))
+    val upper = assigned.select(col("vec_id"), col("embedding"),
+      col("c_id"), explode(sequence(lit(0), lit(saltB - 1))).as("_bkt"))
+    upper.join(lower, col("c_id") === col("_ac") &&
+        col("_bkt") === col("_abkt") && col("_aid") < col("vec_id"))
+      .withColumn("_s", round(expr("dot_f(embedding, _aemb)"), 4))
+      .filter(col("_s") >= threshold)
+      .select(col("vec_id").as("doc_id")).distinct()
   }
 
   /** INCREMENTAL curation — the rolling-crawl form of [[curate]]
@@ -1524,7 +1583,10 @@ object Graft {
     * table states) — the monotone-doc_id contract again. */
   def curateIngest(batch: DataFrame, base: String,
       threshold: Double = 0.4,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      embeddings: Option[DataFrame] = None,
+      semThreshold: Double = 0.3,
+      semK: Int = 16): DataFrame = {
     val s = batch.sparkSession
     graft.ext.GraftFunctions.register(s)
     import graft.sources.Snapshots
@@ -1657,7 +1719,13 @@ object Graft {
     val dropped = SimilarityOps.verifiedPairs(cand, candTexts, threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_b").as("doc_id")).distinct()
+    // materialized: nb's lineage is the whole band-probe + verify
+    // chain, and it has 2-4 consumers (mergeInto's isEmpty + union,
+    // plus the semantic stage's embed join and anti-join) — unchecked
+    // it re-executed the verify per consumer (TickProbe r16: the
+    // isEmpty alone was 12% of the tick)
     val nb = kb.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     val vN = mergeInto(nT, nb, "hp", survivorCols)
     if (!kbBands.isEmpty &&
         !version.exists(v => Snapshots.versionExists(s, bT, v))) {
@@ -1667,6 +1735,101 @@ object Graft {
           Snapshots.readAsOf(s, bT, prevB), kbBands),
         bT, "pb")
     }
+    // stage-4 (armed by `embeddings`): semantic dedup of the batch's
+    // stage-3 survivors against the persisted cluster index — three
+    // more tables (sem/ survivors by hp, semidx/ cluster index by
+    // c_id, semseeds/ the frozen catalog-sized seed set). Seeds
+    // freeze on the SEED tick as the semK lowest-doc_id embedded
+    // survivors of that batch — the monotone-doc_id contract puts
+    // the corpus's k lowest ids in the first batch, so ticks ≡
+    // one-shot exactly when the seed batch carries ≥ semK embedded
+    // survivors (fewer freezes a smaller set; logged). Until a tick
+    // has an embedded survivor the stage is a pure pass-through and
+    // the three tables stay unseeded (version gaps).
+    val semStage = embeddings.map { embAll =>
+      import graft.vec.VectorOps
+      val sT = s"$base/sem"; val iT = s"$base/semidx"
+      val dT = s"$base/semseeds"
+      val nbe = nb.select(col("doc_id"))
+        .join(embAll.select(col("doc_id"), col("embedding")),
+          Seq("doc_id"))
+        .localCheckpoint() // consumers: seed slice + assignment rollup
+      def seedCommitFlat(rows: DataFrame, table: String): Long =
+        version match {
+          case Some(v) =>
+            if (!Snapshots.commitAs(rows, table, v)) unconfirmed(table, v)
+            v
+          case None => Snapshots.commit(rows, table)
+        }
+      val prevD = preV(dT)
+      val seeds: DataFrame =
+        if (prevD > 0L) Snapshots.readAsOf(s, dT, prevD)
+        else if (version.exists(v => Snapshots.versionExists(s, dT, v)))
+          Snapshots.readAsOf(s, dT, version.get) // replayed seed tick
+        else if (nbe.isEmpty) // nothing to seed from yet: pass-through
+          nbe.limit(0).select(col("doc_id").as("c_id"),
+            col("embedding").as("c_emb"))
+        else {
+          val sd = nbe.orderBy(col("doc_id")).limit(semK)
+            .select(col("doc_id").as("c_id"),
+              col("embedding").as("c_emb"))
+          val nSeeds = sd.count()
+          if (nSeeds < semK)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"curateIngest: seeding $dT with $nSeeds < semK=$semK " +
+                "embedded survivors — the frozen seed set is smaller " +
+                "than requested, and a one-shot curate over the full " +
+                "corpus would pick a different (larger) set; for " +
+                "tick ≡ one-shot give the seed batch ≥ semK embedded " +
+                "docs")
+          seedCommitFlat(sd, dT)
+          sd
+        }
+      val dropped =
+        if (seeds.isEmpty) nbe.limit(0).select(col("doc_id"))
+        else {
+          val batchIdx = VectorOps.semdedupIndexRollup(
+            nbe.select(col("doc_id").as("vec_id"), col("embedding")),
+            seeds)
+            .localCheckpoint() // consumers: touched semi, merge, probe
+          val prevI = preV(iT)
+          val touched = batchIdx.select(col("c_id")).distinct()
+          // evidence = committed index (all earlier embedded stage-3
+          // survivors, touched clusters only — the clustered layout's
+          // pruned read) + this batch's own rows; monotone ids make
+          // committed rows always the lower-id side
+          val allIdx =
+            if (prevI == 0L) batchIdx
+            else Snapshots.readAsOf(s, iT, prevI)
+              .join(broadcast(touched), Seq("c_id"), "left_semi")
+              .select(col("c_id"), col("vec_id"), col("embedding"))
+              .unionByName(batchIdx)
+          val drops = allIdx
+            .select(col("c_id"), col("vec_id").as("_aid"),
+              col("embedding").as("_aemb"))
+            .join(batchIdx.select(col("c_id"), col("vec_id").as("_bid"),
+              col("embedding").as("_bemb")), Seq("c_id"))
+            .filter(col("_aid") < col("_bid"))
+            .withColumn("_s", round(expr("dot_f(_bemb, _aemb)"), 4))
+            .filter(col("_s") >= semThreshold)
+            .select(col("_bid").as("doc_id")).distinct()
+          if (!batchIdx.isEmpty &&
+              !version.exists(v => Snapshots.versionExists(s, iT, v))) {
+            if (prevI == 0L) seedCommit(batchIdx, iT, "c_id")
+            else mergeCommit(
+              VectorOps.semdedupIndexMergeFrames(
+                Snapshots.readAsOf(s, iT, prevI), batchIdx),
+              iT, "c_id")
+          }
+          drops
+        }
+      // materialized for mergeInto's two passes (isEmpty + union) —
+      // sb's lineage re-runs the cluster probe otherwise
+      val sb = nb.join(dropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val vS = mergeInto(sT, sb, "hp", survivorCols)
+      (sT, vS)
+    }
     def stageRow(no: Int, name: String, table: String,
         v: Long): DataFrame =
       Snapshots.readAsOf(s, table, v)
@@ -1674,9 +1837,12 @@ object Graft {
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
         .select(lit(no).as("stage_no"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"), lit(v).as("version"))
-    stageRow(1, "quality", qT, vQ)
+    val report3 = stageRow(1, "quality", qT, vQ)
       .unionByName(stageRow(2, "dedup_exact", eT, vE))
       .unionByName(stageRow(3, "dedup_near", nT, vN))
+    semStage.map { case (sT, vS) =>
+      report3.unionByName(stageRow(4, "dedup_semantic", sT, vS))
+    }.getOrElse(report3)
   }
 
   /** STREAMING curation — the third member of the family
@@ -1694,14 +1860,22 @@ object Graft {
     * caveats. The returned query runs until stopped (pair with
     * `Trigger.AvailableNow` upstream semantics by configuring the
     * reader; this facade deliberately leaves trigger choice to the
-    * caller's reader/writer defaults). */
+    * caller's reader/writer defaults).
+    *
+    * `embeddings` (r16): a STATIC (doc_id, embedding) lookup frame
+    * arming the semantic fourth stage on every tick — see
+    * [[curateIngest]] and `curateStreamMerge` for the three extra
+    * tables and the frozen-seed contract. */
   def curateStream(docs: DataFrame, base: String, checkpoint: String,
-      threshold: Double = 0.4)
+      threshold: Double = 0.4,
+      embeddings: Option[DataFrame] = None,
+      semThreshold: Double = 0.3,
+      semK: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         graft.streaming.StreamOps.curateStreamMerge(b, id, base,
-          threshold)
+          threshold, embeddings, semThreshold, semK)
         ()
       }
       .option("checkpointLocation", checkpoint)

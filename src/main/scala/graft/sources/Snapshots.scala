@@ -296,7 +296,7 @@ object Snapshots {
     val v = vs.last
     manifestOf(s, base, v) match {
       case None => s.read.parquet(s"$base/${dataDirOf(s, base, v)}")
-      case Some(m) => readManifest(s, base, m)
+      case Some(m) => readManifest(s, base, m, manifestPartType(s, base, v))
     }
   }
 
@@ -316,10 +316,37 @@ object Snapshots {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-        val i = line.lastIndexOf('\t')
-        (line.substring(0, i), line.substring(i + 1))
-      })
+      Some(text.split('\n').toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { line =>
+          val i = line.lastIndexOf('\t')
+          (line.substring(0, i), line.substring(i + 1))
+        })
+    }
+  }
+
+  /** The partition column's WRITER-side type, recorded as the
+    * manifest's `#type` header (r16). Hive partition-value type
+    * inference is per-READ and data-dependent — a version whose live
+    * partition values happen to all parse numeric infers the column
+    * as int, while its sibling versions (or the in-flight frames it
+    * merges with) carry strings, and the join coercion then casts
+    * e.g. hash prefix 'b' to BIGINT and throws. Recording the type
+    * once at write time makes every read return the column exactly
+    * as committed. Absent for pre-header manifests → reads fall back
+    * to inference (the old behavior). */
+  private def manifestPartType(s: SparkSession, base: String,
+      v: Long): Option[String] = {
+    val f = fs(s, base)
+    val p = new Path(manifestDir(base), v.toString)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split('\n').find(_.startsWith("#type\t"))
+        .map(_.stripPrefix("#type\t").trim)
     }
   }
 
@@ -332,11 +359,12 @@ object Snapshots {
       manifestOf(s, base, version).toSeq.flatten.map(_._2)).distinct
 
   private def writeManifest(s: SparkSession, base: String, v: Long,
-      m: Manifest): Unit = {
+      m: Manifest, partType: String): Unit = {
     val f = fs(s, base)
     val out = f.create(new Path(manifestDir(base), v.toString), false)
     try out.write(
-      m.map { case (p, d) => s"$p\t$d" }.mkString("\n").getBytes(UTF_8))
+      (s"#type\t$partType" +:
+        m.map { case (p, d) => s"$p\t$d" }).mkString("\n").getBytes(UTF_8))
     finally out.close()
   }
 
@@ -380,14 +408,14 @@ object Snapshots {
     * format manifest would enumerate, reached through O(#partitions)
     * metadata. */
   private def readManifest(s: SparkSession, base: String,
-      m: Manifest): DataFrame = {
+      m: Manifest, partType: Option[String] = None): DataFrame = {
     require(m.nonEmpty,
       "empty manifest: this version committed no partitions and owns " +
         "no inherited ones — an empty partitioned table version is " +
         "rejected at commit time; use commit() for full snapshots")
     m.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, parts) =>
-      val c = org.apache.spark.sql.functions
-        .col(manifestPartCol(parts.head._1)).cast("string")
+      val partCol = manifestPartCol(parts.head._1)
+      val c = org.apache.spark.sql.functions.col(partCol).cast("string")
       val raw = parts.map(p => p._1.substring(p._1.indexOf('=') + 1))
       val (nulls, escaped) = raw.partition(_ == HiveNullPart)
       val vals = escaped.map(unescapePathName)
@@ -395,9 +423,14 @@ object Snapshots {
         if (vals.isEmpty) c.isNull
         else if (nulls.isEmpty) c.isin(vals: _*)
         else c.isin(vals: _*) || c.isNull
-      s.read.option("basePath", s"$base/$dir")
+      val g = s.read.option("basePath", s"$base/$dir")
         .parquet(s"$base/$dir")
         .filter(pred)
+      // pin the partition column to its committed type: per-dir hive
+      // inference is data-dependent (an all-numeric dir group infers
+      // int where the table's column is string) — see manifestPartType
+      partType.fold(g)(t => g.withColumn(partCol,
+        org.apache.spark.sql.functions.col(partCol).cast(t)))
     }.reduce(_ unionByName _)
   }
 
@@ -445,7 +478,8 @@ object Snapshots {
           "for full — possibly empty — snapshots")
     }
     // manifest before marker: a version is only visible complete
-    writeManifest(s, base, v, parts)
+    writeManifest(s, base, v, parts,
+      df.schema(partCol).dataType.catalogString)
     if (tryMarker(s, base, v, dir)) true
     else {
       f.delete(new Path(manifestDir(base), v.toString), false)
@@ -564,7 +598,13 @@ object Snapshots {
       .toSet
     val merged = (prev.filterNot(p => touched(p._1)) ++
       touched.toSeq.sorted.map(p => (p, dir))).sortBy(_._1)
-    writeManifest(s, base, v, merged)
+    // the merged version keeps the PRIOR version's recorded partition
+    // type when it has one (the table's committed contract outranks
+    // this batch frame's — a caller-side cast must not flip the
+    // column type mid-table), else this frame's
+    writeManifest(s, base, v, merged,
+      manifestPartType(s, base, prevVersion)
+        .getOrElse(df.schema(partCol).dataType.catalogString))
     if (tryMarker(s, base, v, dir)) true
     else {
       f.delete(new Path(manifestDir(base), v.toString), false)

@@ -558,13 +558,28 @@ object StreamOps {
     * resetting table and checkpoint together (the trio's contract)
     * never produces one.
     *
+    * `embeddings` (r16): a STATIC (doc_id, embedding) frame arming
+    * curateIngest's semantic fourth stage — three more tables
+    * (`sem`/`semidx`/`semseeds`) join the per-table resume set. The
+    * frame is static because the vectors are a lookup the tick joins
+    * against, not a second stream; docs the frame misses pass the
+    * stage untouched. With the stage armed the fully-committed
+    * fast path fires rarely (semseeds commits once ever, legitimate
+    * gaps follow), so re-offered ticks take the idempotent recompute
+    * path instead — correct, just not short-circuited.
+    *
     * @return true when any stage table committed this tick. */
   def curateStreamMerge(batch: DataFrame, batchId: Long,
-      base: String, threshold: Double = 0.4): Boolean = {
+      base: String, threshold: Double = 0.4,
+      embeddings: Option[DataFrame] = None,
+      semThreshold: Double = 0.3,
+      semK: Int = 16): Boolean = {
     import graft.sources.Snapshots
     val s = batch.sparkSession
     val v = batchId + 1
-    val tables = Seq("quality", "exact", "near", "bands")
+    val tables = (Seq("quality", "exact", "near", "bands") ++
+      (if (embeddings.isDefined) Seq("sem", "semidx", "semseeds")
+       else Nil))
       .map(t => s"$base/$t")
     val marked = tables.filter(t => Snapshots.versionExists(s, t, v))
     if (marked.size == tables.size) {
@@ -600,7 +615,8 @@ object StreamOps {
       // runs its own write job); the returned report frame is lazy
       // and unused here — callers wanting the report read the
       // committed tables (or call curateIngest directly)
-      graft.api.Graft.curateIngest(batch, base, threshold, Some(v))
+      graft.api.Graft.curateIngest(batch, base, threshold, Some(v),
+        embeddings, semThreshold, semK)
       tables.zip(before).exists { case (t, had) =>
         !had && Snapshots.versionExists(s, t, v)
       }

@@ -619,6 +619,13 @@ object LmOps extends OpModule {
     "perplexity_mix",
     (s, d) => {
       val docs = Tables(s, d, "documents")
+      // deliberately TWO tokenize passes (dictionary rollup + scoring
+      // join re-scan the text column): the r16 A/B materialized the
+      // hashed token frame once (localCheckpoint) and LOST at sf10 —
+      // the 33M-row checkpoint write+read costs more than the saved
+      // parquet scan (SCALE.md r16), and at 100 TB the token frame
+      // outgrows executor storage while re-scanning only re-reads
+      // pruned columns. Re-scan wins at both ends.
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
       val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -716,6 +723,13 @@ object LmOps extends OpModule {
     "ccnet_buckets",
     (s, d) => {
       val docs = Tables(s, d, "documents")
+      // deliberately TWO tokenize passes (the dictionary rollup and
+      // the scoring join each re-scan + re-explode): the r16 A/B
+      // materialized this hashed token frame once (localCheckpoint)
+      // and LOST at sf10 — 9.1 s two-scan vs 9.7-11.8 s single-scan,
+      // the 33M-row checkpoint write+read outweighing the saved
+      // pruned-column parquet scan (SCALE.md r16) — and at 100 TB
+      // the token frame outgrows executor storage anyway.
       val toks = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
         .select(col("doc_id"), col("lang"), xxhash64(col("w")).as("g"))

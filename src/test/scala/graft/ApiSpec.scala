@@ -867,4 +867,124 @@ class ApiSpec extends AnyFunSuite {
     assert(report("dedup_near")._1 <= report("dedup_exact")._1 &&
       report("dedup_exact")._1 <= report("quality")._1)
   }
+
+  /** The test's (doc_id, embedding) lookup: the fixture embeddings
+    * keyed by doc_id, plus PLANTED semantic clones — higher-id docs
+    * carrying byte-identical copies of low-id vectors, so the
+    * semantic stage has real drops to make (identical vectors share
+    * an argmax cluster and score rounded cosine 1.0 ≥ 0.3). */
+  private def embLookup(sf: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val planted = emb.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 300L).as("doc_id"), col("embedding"))
+    val late = emb.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 489L).as("doc_id"), col("embedding"))
+    emb.unionByName(planted).unionByName(late)
+  }
+
+  test("Graft.curate with embeddings: the semantic fourth stage " +
+      "matches the public semdedup kernel and spares unembedded docs") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate_sem").toString + "/t"
+    val docs = Tables(spark, sfDir01, "documents")
+    val embAll = embLookup(sfDir01)
+    val report = Graft.curate(docs, base, 0.4, Some(embAll), 0.3, 8)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(report.keySet ==
+      Set("quality", "dedup_exact", "dedup_near", "dedup_semantic"))
+    def idsAt(v: Long): Set[Long] =
+      sources.Snapshots.readAsOf(spark, base, v)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearIds = idsAt(report("dedup_near")._3)
+    val semIds = idsAt(report("dedup_semantic")._3)
+    assert(semIds.subsetOf(nearIds), "semantic stage added docs")
+    // independent recompute via the PUBLIC Graft.semdedup facade:
+    // same frozen-seed rule (8 lowest embedded survivors), same
+    // EXISTS-lower-id drop — two implementations, one answer
+    val embSurv = embAll.filter(col("doc_id").isin(nearIds.toSeq: _*))
+    val seeds = embSurv.orderBy(col("doc_id")).limit(8)
+      .select(col("doc_id").as("c_id"), col("embedding").as("c_emb"))
+    val droppedWant = Graft.semdedup(embSurv, "embedding", "doc_id",
+      seeds, "c_id", "c_emb", 0.3)
+      .filter(col("kept") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nearIds -- semIds == droppedWant,
+      "facade drop set diverges from Graft.semdedup")
+    assert(droppedWant.nonEmpty,
+      "fixture produced no semantic drops — planted clones missing")
+    // docs with no vector are never semantically dropped
+    val embedded = embAll.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert((nearIds -- embedded).subsetOf(semIds),
+      "an unembedded doc was dropped by the semantic stage")
+  }
+
+  test("Graft.curateIngest with embeddings: ticks equal the one-shot " +
+      "semantic stage; sem/semidx rewrite only touched partitions") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curate_sem_inc").toString + "/t"
+    val oneShot = java.nio.file.Files
+      .createTempDirectory("graft_curate_sem_one").toString + "/t"
+    val docs = Tables(spark, sfDir01, "documents")
+    val embAll = embLookup(sfDir01)
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // 5-doc ticks: small enough to land in a strict subset of the 16
+    // hash prefixes, so the touched-only write amplification is
+    // observable (a 20-doc tick spreads over ~14/16 prefixes and the
+    // "merge < seed bytes" signal drowns); t1 carries the planted
+    // late clone (doc 490) so a cross-tick semantic drop exercises
+    // the committed-index probe
+    val seed = docs.filter(col("doc_id") <= mx - 10)
+    val t1 = docs.filter(col("doc_id") > mx - 10 &&
+      col("doc_id") <= mx - 5)
+    val t2 = docs.filter(col("doc_id") > mx - 5)
+    Graft.curateIngest(seed, base, 0.4, None, Some(embAll), 0.3, 8)
+    Graft.curateIngest(t1, base, 0.4, None, Some(embAll), 0.3, 8)
+    val report = Graft.curateIngest(t2, base, 0.4, None,
+      Some(embAll), 0.3, 8)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(report.keySet ==
+      Set("quality", "dedup_exact", "dedup_near", "dedup_semantic"))
+    val oneReport = Graft.curate(docs, oneShot, 0.4,
+      Some(embAll), 0.3, 8)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    def oneIds(v: Long): Set[Long] =
+      sources.Snapshots.readAsOf(spark, oneShot, v)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val semTick = sources.Snapshots
+      .readAsOf(spark, s"$base/sem", report("dedup_semantic")._3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(semTick == oneIds(oneReport("dedup_semantic")),
+      "tick-by-tick semantic survivors diverge from the one-shot")
+    // the cluster index covers every embedded stage-3 survivor and the
+    // frozen seeds are the one-shot's (monotone ids: the seed batch
+    // holds the corpus's 8 lowest embedded survivors)
+    val idxIds = sources.Snapshots
+      .readAsOf(spark, s"$base/semidx",
+        sources.Snapshots.latest(spark, s"$base/semidx"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val nearTick = sources.Snapshots
+      .readAsOf(spark, s"$base/near", report("dedup_near")._3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val embedded = embAll.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(idxIds == (nearTick & embedded),
+      "semidx does not hold exactly the embedded stage-3 survivors")
+    // write amplification on the two new merging tables
+    for (t <- Seq("sem", "semidx")) {
+      val table = s"$base/$t"
+      val vLast = sources.Snapshots.latest(spark, table)
+      assert(vLast >= 2L, s"$t never merged a tick")
+      val seedBytes = sources.Snapshots.bytesWritten(spark, table, 1L)
+      val tickBytes = sources.Snapshots.bytesWritten(spark, table, vLast)
+      assert(tickBytes < seedBytes,
+        s"$t tick rewrote the table: seed=$seedBytes tick=$tickBytes")
+    }
+    // seeds froze once: a single semseeds version across all ticks
+    assert(sources.Snapshots.versions(spark, s"$base/semseeds")
+      == Seq(1L), "semseeds re-committed after the seed tick")
+  }
 }

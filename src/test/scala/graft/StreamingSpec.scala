@@ -1216,6 +1216,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids("near", 3L) == kIds(nd), "near diverges")
   }
 
+  test("curateStreamMerge with embeddings: the streamed semantic " +
+      "stage equals the one-shot; sem-family tables crash-resume") {
+    ext.GraftFunctions.register(spark)
+    val base = freshDir() + "/curate_sem"
+    val oneShot = freshDir() + "/curate_sem_one"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // the (doc_id, embedding) lookup with PLANTED semantic clones:
+    // docs 300-309 copy vectors 0-9 (same batch as their originals),
+    // doc mx-5 copies vector 1 (a LATER tick, so its drop must come
+    // from the committed cluster index, not a batch-mate)
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val embAll = emb
+      .unionByName(emb.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 300L).as("doc_id"), col("embedding")))
+      .unionByName(emb.filter(col("doc_id") === 1L)
+        .select(lit(mx - 5).as("doc_id"), col("embedding")))
+    def slice(i: Int): org.apache.spark.sql.DataFrame = i match {
+      case 0 => docs.filter(col("doc_id") <= mx - 40)
+      case 1 => docs.filter(col("doc_id") > mx - 40 &&
+        col("doc_id") <= mx - 20)
+      case 2 => docs.filter(col("doc_id") > mx - 20)
+    }
+    val semTables =
+      Seq("quality", "exact", "near", "bands", "sem", "semidx", "semseeds")
+    for (i <- 0 until 3)
+      StreamOps.curateStreamMerge(slice(i), i.toLong, base, 0.4,
+        Some(embAll), 0.3, 8)
+    // semseeds froze on the seed tick; the merging tables ticked
+    assert(sources.Snapshots.versions(spark, s"$base/semseeds")
+      == Seq(1L))
+    assert(sources.Snapshots.latest(spark, s"$base/sem") == 3L)
+    // crash between stage commits with the SEM stage unfinished:
+    // core tables committed, sem family died — the replay resumes it
+    for (t <- Seq("sem", "semidx")) {
+      val m = new java.io.File(s"$base/$t/_commits/3")
+      assert(m.exists, s"$t v3 marker missing before crash sim")
+      assert(m.delete())
+    }
+    assert(StreamOps.curateStreamMerge(slice(2), 2L, base, 0.4,
+      Some(embAll), 0.3, 8))
+    assert(sources.Snapshots.latest(spark, s"$base/sem") == 3L,
+      "sem did not resume")
+    assert(sources.Snapshots.latest(spark, s"$base/semidx") == 3L,
+      "semidx did not resume")
+    // streamed final tables equal the one-shot 4-stage curate
+    val oneReport = graft.api.Graft.curate(docs, oneShot, 0.4,
+      Some(embAll), 0.3, 8)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    def tIds(t: String): Set[Long] =
+      sources.Snapshots.readAsOf(spark, s"$base/$t", Long.MaxValue)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def oIds(v: Long): Set[Long] =
+      sources.Snapshots.readAsOf(spark, oneShot, v)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tIds("near") == oIds(oneReport("dedup_near")),
+      "streamed near stage diverges")
+    assert(tIds("sem") == oIds(oneReport("dedup_semantic")),
+      "streamed semantic stage diverges")
+    // the planted late clone was dropped by the committed index iff
+    // it survived the earlier stages — and its original, being
+    // lower-id, always outlives it
+    if (tIds("near").contains(mx - 5))
+      assert(!tIds("sem").contains(mx - 5),
+        "late planted clone survived the semantic stage")
+    for (t <- semTables)
+      assert(sources.Snapshots.versions(spark, s"$base/$t").nonEmpty,
+        s"$t never committed")
+  }
+
   test("Graft.curateStream facade: the attached query seeds and " +
       "maintains the stage tables") {
     ext.GraftFunctions.register(spark)

@@ -26,10 +26,17 @@ the dedup ops' declared worst case — whereas real crawl near-dups
 live on a Jaccard spectrum; at RATE=0.05 a trigram survives with
 p≈0.86, putting clone pairs around Jaccard ~0.7–0.8 with variance,
 the regime banded LSH + exact verify is actually tuned for. Replica 0
-stays byte-identical so exact-dedup still has real work. Only
-`documents.text` mutates; keys, counts, and every other table are the
-standard clone union (n_chars is re-derived so text-derived stats
-stay consistent).
+stays byte-identical so exact-dedup still has real work.
+`documents.text` mutates as above; `embeddings.embedding` mutates in
+the same switch (VERDICT r15 task 3 — the semantic family's fixture
+realism): replica i > 0 vectors are perturbed v' = (v + eps*u) /
+sqrt(1 + eps^2) with u a per-replica-seeded gaussian direction
+orthogonalized against v (unit norm preserved EXACTLY, clone-pair
+cosine vs replica 0 exactly 1/sqrt(1+eps^2)), eps drawn per vector
+from U(0.10, 0.75) so clone cosines span ~[0.80, 0.995] — a realistic
+near-dup spectrum instead of the degenerate all-1.0 byte clones.
+Keys, counts, and every other table are the standard clone union
+(n_chars is re-derived so text-derived stats stay consistent).
 """
 import sys
 
@@ -89,6 +96,30 @@ def mutate_texts(t: pa.Table, replica: int, rate: float,
                         pa.array([len(s) for s in out], type=ncf.type))
 
 
+def mutate_embeddings(t: pa.Table, replica: int) -> pa.Table:
+    """Perturb replica > 0 unit vectors at a controlled cosine:
+    v' = (v + eps*u)/sqrt(1+eps^2), u a seeded gaussian direction
+    orthogonalized against v and normalized, eps ~ U(0.10, 0.75) per
+    vector — so cos(v, v') = 1/sqrt(1+eps^2) EXACTLY (u ⊥ v), the
+    clone-pair spectrum spans ~[0.80, 0.995], and ||v'|| = 1 to
+    float32 round-off. Deterministic per replica (seed family
+    disjoint from mutate_texts')."""
+    import numpy as np
+    rng = np.random.default_rng(2_000_029 * replica + 7)
+    field = t.schema.field("embedding")
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n, d = E.shape
+    eps = rng.uniform(0.10, 0.75, size=(n, 1))
+    g = rng.standard_normal((n, d))
+    # orthogonalize against v (rows of E are unit-norm), then unit-norm u
+    g -= (g * E).sum(axis=1, keepdims=True) * E
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    V = (E + eps * g) / np.sqrt(1.0 + eps * eps)
+    out = pa.array([row for row in V.astype(np.float32)], type=field.type)
+    return t.set_column(t.schema.get_field_index("embedding"),
+                        "embedding", out)
+
+
 def main(src: str, dst: str, k: int, mutate: float = 0.0) -> None:
     import os
     os.makedirs(dst, exist_ok=True)
@@ -131,6 +162,8 @@ def main(src: str, dst: str, k: int, mutate: float = 0.0) -> None:
                     r = r.set_column(r.schema.get_field_index(c), c, col)
                 if name == "documents" and mutate > 0:
                     r = mutate_texts(r, i, mutate, vocab)
+                if name == "embeddings" and mutate > 0:
+                    r = mutate_embeddings(r, i)
             replicas.append(r)
         out = pa.concat_tables(replicas)
         pq.write_table(out, f"{dst}/{name}.parquet")
