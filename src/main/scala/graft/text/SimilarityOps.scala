@@ -535,16 +535,27 @@ object SimilarityOps extends OpModule {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
       .distinct()
-    val g = texts.join(candDocs, Seq("doc_id"), "left_semi")
+    // per-candidate-doc DISTINCT-gram hash ARRAY (≤ n_tokens−2 longs,
+    // bounded by doc length): the intersection count is computed
+    // row-locally per pair via array_intersect instead of the r15
+    // |pairs|×|shared grams| gram-key equi-join — that join shuffled
+    // ~2 B skinny rows into a |pairs|-group HashAggregate at sf10m,
+    // where this shape shuffles each doc's array once per pair it
+    // appears in (bounded: pairs × ~2·8·grams bytes) and aggregates
+    // nothing (r16 A/B in SCALE.md). Same xxhash64 gram keys, same
+    // counts, same collision caveat; array order is irrelevant
+    // (only sizes reach the output).
+    val garr = texts.join(candDocs, Seq("doc_id"), "left_semi")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), expr("ngram_hashes(toks, 3)"))
-      .localCheckpoint() // 3 consumers: sizes + both intersection sides
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
+      .localCheckpoint() // 2 consumers: both pair sides
     val sized = cand
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-        "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-        "doc_b")
+      .join(garr.select(col("doc_id").as("doc_a"),
+        col("gs").as("gs_a"), col("n").as("n_a")), "doc_a")
+      .join(garr.select(col("doc_id").as("doc_b"),
+        col("gs").as("gs_b"), col("n").as("n_b")), "doc_b")
     val pre =
       if (minJaccard > 0.0)
         // exact bound w/ 4dp-rounding slack: round(j,4) ≥ t ⇒
@@ -554,14 +565,13 @@ object SimilarityOps extends OpModule {
             greatest(col("n_a"), col("n_b")).cast("double"))
       else sized
     pre
-      .join(g.select(col("doc_id").as("doc_a"), col("g")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("g")),
-        Seq("doc_b", "g"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("n_inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jaccard"))
   }
 
   /** Band-index rollup of a (doc_id, text, …) batch: the persisted
