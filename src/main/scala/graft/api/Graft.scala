@@ -1580,7 +1580,23 @@ object Graft {
     * attempt's own partial commits and double-merge). Per-table
     * idempotency is sufficient for exactly-once overall because each
     * stage's output is a deterministic function of (batch, pre-tick
-    * table states) — the monotone-doc_id contract again. */
+    * table states) — the monotone-doc_id contract again.
+    *
+    * `embeddings` (r16) arms the semantic FOURTH stage: a static
+    * (doc_id, embedding) lookup the tick joins against. Three more
+    * tables under `base` — `sem/` (stage-4 survivors, hash-prefix
+    * partitioned), `semidx/` (the frozen-seed cluster index over ALL
+    * embedded stage-3 survivors, c_id-partitioned so the at-ingest
+    * probe is a pruned read), `semseeds/` (catalog-sized, committed
+    * once at the seed tick) — with the same per-table resume/gap
+    * semantics. A batch doc drops iff a LOWER-id embedded stage-3
+    * survivor (committed or batch-mate) shares its cluster at
+    * rounded cosine ≥ `semThreshold`; docs the lookup misses pass
+    * untouched. Seeds freeze as the `semK` lowest-doc_id embedded
+    * survivors of the seed tick — under the monotone-id contract
+    * those ARE the corpus's k lowest, making ticks ≡ [[curate]]'s
+    * one-shot stage exactly (give the seed batch ≥ semK embedded
+    * survivors; fewer freezes a smaller set and logs). */
   def curateIngest(batch: DataFrame, base: String,
       threshold: Double = 0.4,
       version: Option[Long] = None,
