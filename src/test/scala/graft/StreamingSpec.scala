@@ -1367,4 +1367,64 @@ class StreamingSpec extends AnyFunSuite {
     StreamArt.write()
     info(s"curate ${"%.0f".format(rows.length / iSec)} rows/s")
   }
+
+  test("sf1m replay throughput: streaming curation with the " +
+      "semantic fourth stage (7 tables per tick)") {
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1m/documents.parquet").exists(),
+      "synthesized sf1m fixture not present (tools/make_sf.py --mutate)")
+    ext.GraftFunctions.register(spark)
+    val srcDir = freshDir() + "/curate_sem_sf1_src"
+    val base = freshDir() + "/curate_sem_sf1"
+    val rows = spark.read.parquet("/tmp/sf1m/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    rows.grouped((rows.length + 4) / 5).foreach(sl =>
+      sl.toSeq.toDF("doc_id", "text", "n_chars").coalesce(1)
+        .write.mode("append").parquet(srcDir))
+    // the static (doc_id, embedding) lookup: the fixture's mutated
+    // embeddings keyed by doc_id (covers 20k of the 50k docs)
+    val embAll = spark.read.parquet("/tmp/sf1m/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val t0 = System.nanoTime()
+    val q = spark.readStream
+      .schema(rows.take(1).toSeq
+        .toDF("doc_id", "text", "n_chars").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.curateStreamMerge(b, id, base, 0.4, Some(embAll))
+        ()
+      }
+      .option("checkpointLocation", freshDir())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val iSec = (System.nanoTime() - t0) / 1e9
+    for (t <- Seq("quality", "exact", "near", "bands", "sem"))
+      assert(sources.Snapshots.versions(spark, s"$base/$t").size == 5,
+        s"$t did not commit all 5 ticks")
+    assert(sources.Snapshots.versions(spark, s"$base/semseeds")
+      == Seq(1L), "seeds must freeze once")
+    val nN = sources.Snapshots.readAsOf(spark, s"$base/near",
+      sources.Snapshots.latest(spark, s"$base/near")).count()
+    val nS = sources.Snapshots.readAsOf(spark, s"$base/sem",
+      sources.Snapshots.latest(spark, s"$base/sem")).count()
+    val nI = sources.Snapshots.readAsOf(spark, s"$base/semidx",
+      sources.Snapshots.latest(spark, s"$base/semidx")).count()
+    assert(nS > 0L && nS <= nN, "sem must be a subset of near")
+    assert(nI > 0L, "cluster index never populated")
+    StreamArt.shapes("curate_sem") =
+      s"""{"shape":"curate_sem","op":"foreachBatch curateStreamMerge""" +
+        s""" 5 ticks (quality+exact+near+bands+sem+semidx+semseeds)",""" +
+        s""""rows_per_sec":${"%.0f".format(rows.length / iSec)},""" +
+        s""""rows":${rows.length},"seconds":${"%.2f".format(iSec)},""" +
+        s""""versions":5,"near_docs":$nN,"sem_docs":$nS,""" +
+        s""""index_rows":$nI,"fixture":"sf1m","store":"snapshot"}"""
+    StreamArt.write()
+    info(s"curate_sem ${"%.0f".format(rows.length / iSec)} rows/s " +
+      s"(near $nN -> sem $nS, index $nI)")
+  }
 }
