@@ -344,6 +344,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "data-sized global window(s) planned:\n" + offenders.mkString("\n"))
   }
 
+  test("the near-dup verify stays row-local: array_intersect, no " +
+      "gram-keyed exchange") {
+    // regression guard for the r16 rewrite: verifiedPairs computes
+    // each pair's intersection with array_intersect over per-doc
+    // gram-hash arrays. The r15 shape — a gram-key equi-join
+    // producing |pairs|×|shared grams| rows through an exchange and
+    // a |pairs|-group aggregate — was the sf10m funnel's 77 s tail.
+    // Any exchange hash-partitioned on the gram column would mean
+    // the join shape came back.
+    val plan = q("minhash_det").queryExecution.executedPlan.toString
+    assert(plan.contains("array_intersect"),
+      "verify no longer scores pairs row-locally:\n" + plan.take(600))
+    val gramExchanges = plan.linesIterator.filter(l =>
+      l.contains("hashpartitioning") &&
+        l.matches(""".*hashpartitioning\([^)]*\bg#.*"""))
+    assert(gramExchanges.isEmpty,
+      "gram-keyed exchange planned in the verify:\n" +
+        gramExchanges.mkString("\n"))
+  }
+
   test("decile_lift/rfm_segments never sort per-customer data globally") {
     // regression guard for the r5 'weak' finding: their only global
     // windows must order config-bounded helper tables (__pid offsets,

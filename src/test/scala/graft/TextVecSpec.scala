@@ -531,6 +531,38 @@ class TextVecSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0.75)))
   }
 
+  test("verifiedPairs' size-ratio prefilter is exact: below-bound " +
+      "pairs vanish, in-bound pairs keep their full jaccard") {
+    import spark.implicits._
+    // distinct-trigram counts: d1 = 8 (10 tokens), d2 = 8 (shares 6
+    // grams with d1 -> j = 6/10 = 0.6), d3 = 3 (5 tokens, ratio vs
+    // d1 = 3/8 = 0.375 — CANNOT clear 0.6 and must be prefiltered;
+    // its true jaccard vs d1 is 0 anyway, so the assertion is on
+    // PRESENCE, which only the prefilter controls at minJaccard=0)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h x y"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    def run(t: Double): Map[(Long, Long), Double] =
+      text.SimilarityOps.verifiedPairs(cand, docs, t)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          r.getAs[Double]("jaccard")).toMap
+    // unfiltered: both candidate pairs verified, exact jaccards
+    val all = run(0.0)
+    assert(all == Map((1L, 2L) -> 0.6, (1L, 3L) -> 0.0))
+    // armed at 0.6: the (1,3) pair is bound out BEFORE intersection
+    // (3/8 < 0.6 − 0.00005); the surviving pair's jaccard is
+    // untouched by the prefilter
+    assert(run(0.6) == Map((1L, 2L) -> 0.6))
+    // the half-ulp slack: a threshold just ABOVE a pair's exact
+    // size ratio still keeps it when round(j, 4) could reach the
+    // threshold — here ratio = 1.0 ≥ anything, so 0.6001 keeps
+    // (1,2) in the VERIFIED set (callers then threshold it away)
+    assert(run(0.6001).contains((1L, 2L)))
+  }
+
   test("semdedup_append and ivf_append fail loudly, not via the " +
       "empty-commit guard, when no base corpus exists") {
     import spark.implicits._
