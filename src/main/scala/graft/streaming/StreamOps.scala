@@ -419,13 +419,24 @@ object StreamOps {
       val b = CurationOps.dedupIndexRollup(batch)
         .localCheckpoint() // 2 consumers: touched semi + merge
       val prevV = Snapshots.latest(s, base)
-      if (prevV == 0L) Snapshots.commitPartitionedAs(b, base, "hp", v)
+      if (prevV == 0L)
+        Snapshots.commitPartitionedAs(clustered(b, "hp"), base, "hp", v)
       else Snapshots.commitPartitionsAs(
-        CurationOps.dedupIndexMergeFrames(
-          Snapshots.readAsOf(s, base, prevV), b),
+        clustered(CurationOps.dedupIndexMergeFrames(
+          Snapshots.readAsOf(s, base, prevV), b), "hp"),
         base, "hp", v)
     }
   }
+
+  /** One file per hive partition per version: hash-repartition a tick
+    * frame by its partition column before the partitioned write —
+    * unclustered, partitionBy writes up to #tasks tiny files per
+    * partition per commit and successive versions compound the file
+    * count every pruned read lists (the curateIngest precedent, r16;
+    * TickProbe measured the maintainers commit-bound). The exchange
+    * moves only the tick's touched-partition rows. */
+  private def clustered(rows: DataFrame, partCol: String): DataFrame =
+    rows.repartition(org.apache.spark.sql.functions.col(partCol))
 
   /** Streaming incremental MinHash-LSH band-index maintenance — the
     * `minhash_append` merge as a `foreachBatch` body, completing the
@@ -471,10 +482,11 @@ object StreamOps {
       if (b.isEmpty) false // no doc had >= 3 tokens; v stays a gap
       else {
         val prevV = Snapshots.latest(s, base)
-        if (prevV == 0L) Snapshots.commitPartitionedAs(b, base, "pb", v)
+        if (prevV == 0L)
+          Snapshots.commitPartitionedAs(clustered(b, "pb"), base, "pb", v)
         else Snapshots.commitPartitionsAs(
-          SimilarityOps.minhashIndexMergeFrames(
-            Snapshots.readAsOf(s, base, prevV), b),
+          clustered(SimilarityOps.minhashIndexMergeFrames(
+            Snapshots.readAsOf(s, base, prevV), b), "pb"),
           base, "pb", v)
       }
     }
@@ -517,10 +529,12 @@ object StreamOps {
       val b = VectorOps.semdedupIndexRollup(batch, seeds)
         .localCheckpoint() // 2 consumers: touched semi + merge
       val prevV = Snapshots.latest(s, base)
-      if (prevV == 0L) Snapshots.commitPartitionedAs(b, base, "c_id", v)
+      if (prevV == 0L)
+        Snapshots.commitPartitionedAs(clustered(b, "c_id"), base,
+          "c_id", v)
       else Snapshots.commitPartitionsAs(
-        VectorOps.semdedupIndexMergeFrames(
-          Snapshots.readAsOf(s, base, prevV), b),
+        clustered(VectorOps.semdedupIndexMergeFrames(
+          Snapshots.readAsOf(s, base, prevV), b), "c_id"),
         base, "c_id", v)
     }
   }
