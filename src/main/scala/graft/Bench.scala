@@ -97,7 +97,72 @@ object Bench {
   val r15: Seq[String] = Seq("ivfpq_append", "ann_recall_suite",
     "ccnet_buckets", "weighted_sample", "gopher_ablation")
 
+  /** Bench protocol: timings are only comparable on the pinned 8 GB
+    * driver heap (the identical binary moves ~1.5 s between 8 GB and
+    * 64+ GB at local[32] sf0.1 — GC geometry, not code; SCALE.md
+    * protocol note). `heap_gb` rounds maxMemory to the NEAREST GiB
+    * because Serial/Parallel GC exclude a survivor space from
+    * maxMemory, so an 8 GB `-Xmx` floor-divides to 7 (ADVICE r16). */
+  private def heapGb: Long =
+    (Runtime.getRuntime.maxMemory + (1L << 29)) >> 30
+
+  /** When launched off-protocol (any heap but 8 GB), re-exec this
+    * main once under `-Xmx8g` — same JVM module flags, same
+    * classpath, same env — so the artifact of record is always an
+    * in-protocol measurement no matter how the caller sized the
+    * heap (r16's headline shipped at 89 GB and read as a ~1 s
+    * regression). Returns None when the child ran and printed its
+    * JSON line (already relayed); Some(reason) when the re-exec
+    * could not produce one (e.g. an sbt layered-classloader launch
+    * where java.class.path lacks the project classes) — the caller
+    * then measures inline and self-labels `off_protocol`. */
+  private def reexecAt8g(args: Array[String]): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val jvm = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val inherited = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filter(a => a.startsWith("--add-opens") ||
+          a.startsWith("--add-exports") ||
+          a.startsWith("--enable-native-access") ||
+          a.startsWith("-D"))
+      val cmd = (Seq(jvm) ++ inherited ++ Seq("-Xmx8g", "-cp",
+        System.getProperty("java.class.path"), "graft.Bench") ++
+        args).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("GRAFT_BENCH_NO_REEXEC", "1")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val code = p.waitFor()
+      if (code == 0 && out.contains("\"metric\"")) {
+        print(out); None
+      } else Some(s"re-exec exit=$code jsonSeen=" +
+        out.contains("\"metric\""))
+    } catch { case e: Exception => Some(e.toString) }
+  }
+
   def main(args: Array[String]): Unit = {
+    // enforce the heap protocol BEFORE any Spark work: an
+    // off-protocol launch re-execs at 8 GB (fallback: measure here
+    // and stamp off_protocol so the artifact is self-labeling)
+    var offProtocol = false
+    if (heapGb != 8L && !sys.env.contains("GRAFT_BENCH_NO_REEXEC")) {
+      reexecAt8g(args) match {
+        case None => return // child measured in-protocol and printed
+        case Some(reason) =>
+          offProtocol = true
+          System.err.println(s"Bench: OFF-PROTOCOL heap ${heapGb}g " +
+            s"(pinned 8g) and re-exec failed ($reason) — timings " +
+            "are not comparable to BASELINE/SCALE rows")
+      }
+    } else if (heapGb != 8L) {
+      offProtocol = true
+      System.err.println(s"Bench: OFF-PROTOCOL heap ${heapGb}g " +
+        "(pinned 8g; re-exec suppressed) — timings are not " +
+        "comparable to BASELINE/SCALE rows")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -189,9 +254,9 @@ object Bench {
     // heap geometry moves the headline ~1.5 s (8 GB vs 64 GB measured
     // on the identical r15 binary — SCALE.md protocol note), so the
     // artifact records it: a future heap change shows up in the JSON
-    // instead of reading as a code regression
-    val heapGb = Runtime.getRuntime.maxMemory / (1 << 30)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"runs":3,"failed":$failed,"heap_gb":$heapGb,"sf":"$sfDir"}""")
+    // instead of reading as a code regression. off_protocol flags the
+    // (rare) fallback path where the 8 GB re-exec could not run.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"runs":3,"failed":$failed,"heap_gb":$heapGb,"off_protocol":$offProtocol,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

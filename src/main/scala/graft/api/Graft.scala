@@ -1447,7 +1447,10 @@ object Graft {
     *
     * `embeddings` (r16, VERDICT r15 task 4) arms the FOURTH stage —
     * semantic dedup over the near-dup survivors: a (doc_id,
-    * embedding) frame covering any subset of the docs; survivors
+    * embedding) LOOKUP covering any subset of the docs — ONE row per
+    * doc_id (a duplicate-keyed frame duplicates the stage's join
+    * rows and the argmax silently collapses them by max score, so
+    * which vector "wins" becomes score-dependent); survivors
     * with a vector are assigned to frozen seeds (the `semK`
     * lowest-doc_id EMBEDDED survivors — `semdedup_append`'s
     * lowest-id seed rule with a fixed k; re-clustering as the corpus
@@ -1778,8 +1781,10 @@ object Graft {
     // the corpus's k lowest ids in the first batch, so ticks ≡
     // one-shot exactly when the seed batch carries ≥ semK embedded
     // survivors (fewer freezes a smaller set; logged). Until a tick
-    // has an embedded survivor the stage is a pure pass-through and
-    // the three tables stay unseeded (version gaps).
+    // has an embedded survivor the stage passes batch docs through
+    // UNFILTERED — but sem/ still seeds and ticks on every batch
+    // (sb = nb commits below); only semidx/ and semseeds/ stay
+    // unseeded (version gaps) until the seed tick.
     val semStage = embeddings.map { embAll =>
       import graft.vec.VectorOps
       val sT = s"$base/sem"; val iT = s"$base/semidx"

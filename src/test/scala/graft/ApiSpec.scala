@@ -880,7 +880,18 @@ class ApiSpec extends AnyFunSuite {
       .select((col("doc_id") + 300L).as("doc_id"), col("embedding"))
     val late = emb.filter(col("doc_id") === 1L)
       .select((col("doc_id") + 489L).as("doc_id"), col("embedding"))
-    emb.unionByName(planted).unionByName(late)
+    // the `embeddings` parameter is a LOOKUP: one row per doc_id.
+    // Anti-join the planted ids' own base vectors out before the
+    // union — a duplicate doc_id row would let the production join
+    // duplicate rows and the argmax silently pick the original
+    // vector over the planted clone (ADVICE r16)
+    val plantedIds = planted.select("doc_id")
+      .unionByName(late.select("doc_id"))
+    val all = emb.join(plantedIds, Seq("doc_id"), "left_anti")
+      .unionByName(planted).unionByName(late)
+    assert(all.groupBy("doc_id").count().filter(col("count") > 1)
+      .isEmpty, "embLookup violates the one-row-per-doc_id contract")
+    all
   }
 
   test("Graft.curate with embeddings: the semantic fourth stage " +

@@ -1230,7 +1230,11 @@ class StreamingSpec extends AnyFunSuite {
     // from the committed cluster index, not a batch-mate)
     val emb = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
+    // one row per doc_id (the lookup contract, ADVICE r16): drop the
+    // planted ids' own base vectors before unioning the clones in
     val embAll = emb
+      .filter(col("doc_id") < 300 ||
+        (col("doc_id") > 309 && col("doc_id") =!= (mx - 5)))
       .unionByName(emb.filter(col("doc_id") < 10)
         .select((col("doc_id") + 300L).as("doc_id"), col("embedding")))
       .unionByName(emb.filter(col("doc_id") === 1L)

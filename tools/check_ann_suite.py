@@ -149,7 +149,13 @@ def main(sf_dir, out_dir):
     ).fetchnumpy()
     vec_ids = emb["vec_id"].astype(np.int64)
     E = np.stack(emb["embedding"]).astype(np.float64)
-    assert (vec_ids == np.arange(len(vec_ids))).all() or True
+    # dense-contiguous vec_id precondition: the seed slices (E[:k],
+    # vec_ids < 16) and the probed-set / assignment index comparisons
+    # below all index E positionally — a gap or permutation would
+    # silently compare the wrong vectors (ADVICE r16: this assert was
+    # a no-op `... or True`)
+    assert (vec_ids == np.arange(len(vec_ids))).all(), \
+        "vec_ids are not dense-contiguous from 0 — positional slices invalid"
     q_ids = vec_ids[vec_ids < NPANEL]
     Q = E[vec_ids < NPANEL]
 
