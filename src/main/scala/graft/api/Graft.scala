@@ -654,26 +654,26 @@ object Graft {
   }
 
   /** SemDeDup-style semantic dedup (generalizes `semdedup`): assign
-    * every vector to its nearest `centroids` row (MIPS, 4dp-rounded
-    * `dot_f`, tie → lowest centroid id), then drop any vector with a
-    * lower-id same-cluster neighbor at rounded cosine ≥ `threshold`.
-    * The pair self-join is salted `saltB` ways so parallelism is
-    * k·saltB, not k. `centroids` must be broadcast-sized (k rows:
-    * (cIdCol, cVecCol)); requires `Graft.register(spark)` for dot_f.
+    * every vector to its nearest `centroids` row (the shared
+    * TWO-LEVEL frozen-seed rule, VectorOps.assignFrozen — MIPS,
+    * 4dp-rounded `dot_f`, ties → lowest id at both levels; with
+    * ≤ 4 centroids the rule degenerates to the plain argmax), then
+    * drop any vector with a lower-id same-cluster neighbor at
+    * rounded cosine ≥ `threshold`. The pair self-join is salted
+    * `saltB` ways so parallelism is k·saltB, not k. `centroids`
+    * (k rows: (cIdCol, cVecCol)) may be ⌈N/τ⌉-sized — only its
+    * ⌈√k⌉-row coarse level broadcasts; requires
+    * `Graft.register(spark)` for dot_f.
     * Output: (idCol, cluster, kept). */
   def semdedup(df: DataFrame, vecCol: String, idCol: String,
       centroids: DataFrame, cIdCol: String, cVecCol: String,
       threshold: Double = 0.3, saltB: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy(col(idCol))
-      .orderBy(col("_cs").desc, col(cIdCol))
-    val assigned = df.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(
-        centroids.select(col(cIdCol), col(cVecCol).as("_cemb"))))
-      .withColumn("_cs", round(expr(s"dot_f($vecCol, _cemb)"), 4))
-      .withColumn("_rn", row_number().over(wAssign))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col(cIdCol).as("cluster"))
+    val assigned = graft.vec.VectorOps.assignFrozen(
+      df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      centroids.select(col(cIdCol).as("c_id"),
+        col(cVecCol).as("c_emb")))
+      .select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+        col("c_id").as("cluster"))
     val lower = assigned.select(col("cluster").as("_ac"),
       col(idCol).as("_aid"), col(vecCol).as("_aemb"))
       .withColumn("_abkt", pmod(col("_aid"), lit(saltB)).cast("int"))
@@ -1589,7 +1589,8 @@ object Graft {
     * (doc_id, embedding) lookup the tick joins against. Three more
     * tables under `base` — `sem/` (stage-4 survivors, hash-prefix
     * partitioned), `semidx/` (the frozen-seed cluster index over ALL
-    * embedded stage-3 survivors, c_id-partitioned so the at-ingest
+    * embedded stage-3 survivors, coarse-cell-partitioned (cc_id,
+    * ⌈√k⌉ dirs — bounded as k grows) so the at-ingest
     * probe is a pruned read), `semseeds/` (catalog-sized, committed
     * once at the seed tick) — with the same per-table resume/gap
     * semantics. A batch doc drops iff a LOWER-id embedded stage-3
@@ -1801,8 +1802,34 @@ object Graft {
           case None => Snapshots.commit(rows, table)
         }
       val prevD = preV(dT)
-      val seeds: DataFrame =
-        if (prevD > 0L) Snapshots.readAsOf(s, dT, prevD)
+      val seedsT: DataFrame =
+        if (prevD > 0L) {
+          val t = Snapshots.readAsOf(s, dT, prevD)
+          // monotone-id guard (VERDICT r16 #5): the frozen seed set
+          // is the corpus's semK lowest ids ONLY under the
+          // monotone-doc_id append contract. The seed commit records
+          // its max id; a later batch carrying a lower id means a
+          // one-shot curate over the full corpus would have picked a
+          // DIFFERENT seed set — convert that silent divergence into
+          // a loud, counted warning (seed-tick replays skip this
+          // branch, so their own ≤-max ids never false-alarm).
+          if (t.columns.contains("seed_max_id") && !batch.isEmpty) {
+            val recorded = t.agg(max(col("seed_max_id")))
+              .head.getLong(0)
+            val bmin = batch.agg(min(col("doc_id"))).head.getLong(0)
+            if (bmin <= recorded) {
+              monotoneWarnings.incrementAndGet()
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"curateIngest: batch min doc_id $bmin <= the seed " +
+                  s"tick's recorded max $recorded — the monotone-id " +
+                  "append contract is violated, so the frozen seeds " +
+                  "are NOT the corpus's lowest ids and tick results " +
+                  "diverge from a one-shot curate; re-cluster " +
+                  "(Graft.reclusterSem) or fix the feed order")
+            }
+          }
+          t
+        }
         else if (version.exists(v => Snapshots.versionExists(s, dT, v)))
           Snapshots.readAsOf(s, dT, version.get) // replayed seed tick
         else if (nbe.isEmpty) // nothing to seed from yet: pass-through
@@ -1812,6 +1839,7 @@ object Graft {
           val sd = nbe.orderBy(col("doc_id")).limit(semK)
             .select(col("doc_id").as("c_id"),
               col("embedding").as("c_emb"))
+            .localCheckpoint() // consumers: count, max, commit, rollup
           val nSeeds = sd.count()
           if (nSeeds < semK)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -1821,9 +1849,16 @@ object Graft {
                 "corpus would pick a different (larger) set; for " +
                 "tick ≡ one-shot give the seed batch ≥ semK embedded " +
                 "docs")
-          seedCommitFlat(sd, dT)
+          // the guard metadata: every seed row carries the freeze
+          // tick's max seed id (constant column — the snapshot
+          // commit IS the record)
+          val sdMax = sd.agg(max(col("c_id"))).head.getLong(0)
+          seedCommitFlat(sd.withColumn("seed_max_id", lit(sdMax)), dT)
           sd
         }
+      // the assignment kernels take exactly (c_id, c_emb); the guard
+      // column stays in the table, not the kernel input
+      val seeds = seedsT.select(col("c_id"), col("c_emb"))
       val dropped =
         if (seeds.isEmpty) nbe.limit(0).select(col("doc_id"))
         else {
@@ -1832,16 +1867,19 @@ object Graft {
             seeds)
             .localCheckpoint() // consumers: touched semi, merge, probe
           val prevI = preV(iT)
-          val touched = batchIdx.select(col("c_id")).distinct()
+          val touched = batchIdx.select(col("cc_id")).distinct()
           // evidence = committed index (all earlier embedded stage-3
-          // survivors, touched clusters only — the clustered layout's
-          // pruned read) + this batch's own rows; monotone ids make
+          // survivors, touched COARSE CELLS only — the cell-
+          // partitioned layout's pruned read; cells ⊇ the batch's
+          // clusters, and the pair join on c_id below filters inside
+          // them) + this batch's own rows; monotone ids make
           // committed rows always the lower-id side
           val allIdx =
             if (prevI == 0L) batchIdx
             else Snapshots.readAsOf(s, iT, prevI)
-              .join(broadcast(touched), Seq("c_id"), "left_semi")
-              .select(col("c_id"), col("vec_id"), col("embedding"))
+              .join(broadcast(touched), Seq("cc_id"), "left_semi")
+              .select(col("cc_id"), col("c_id"), col("vec_id"),
+                col("embedding"))
               .unionByName(batchIdx)
           val drops = allIdx
             .select(col("c_id"), col("vec_id").as("_aid"),
@@ -1854,11 +1892,11 @@ object Graft {
             .select(col("_bid").as("doc_id")).distinct()
           if (!batchIdx.isEmpty &&
               !version.exists(v => Snapshots.versionExists(s, iT, v))) {
-            if (prevI == 0L) seedCommit(batchIdx, iT, "c_id")
+            if (prevI == 0L) seedCommit(batchIdx, iT, "cc_id")
             else mergeCommit(
               VectorOps.semdedupIndexMergeFrames(
                 Snapshots.readAsOf(s, iT, prevI), batchIdx),
-              iT, "c_id")
+              iT, "cc_id")
           }
           drops
         }
@@ -1919,4 +1957,74 @@ object Graft {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Count of monotone-id contract warnings emitted by the semantic
+    * stage's seed guard — package-visible so tests assert the guard
+    * fires without a log-capture harness. Monotonic; never reset by
+    * production code. */
+  private[graft] val monotoneWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** RE-CLUSTER the curation family's semantic index — the
+    * scheduled-maintenance rebuild the ingest tick deliberately
+    * never performs (seeds freeze at the seed tick so that per-tick
+    * assignments stay pure functions of frozen state; as the corpus
+    * grows past the frozen k the clusters fatten and the at-ingest
+    * pair work drifts above its |batch|·O(τ) budget — this is the
+    * rebuild that re-pins it, completing the lifecycle
+    * `semdedup_append`'s scaladoc promises).
+    *
+    * Derives FRESH seeds from the CURRENT corpus: the embedded
+    * stage-3 survivors (latest `near/` joined to the `embeddings`
+    * lookup), k = max(8, ⌈n/τ⌉) lowest doc_ids — `semdedup`'s τ rule
+    * sized to today's corpus, not the seed tick's — re-assigns every
+    * embedded survivor with the shared two-level kernel, and commits
+    * `semseeds/` then `semidx/` as the NEXT versions of their
+    * tables. Time-travel consistency is the snapshot tables' own:
+    * a reader pinned at version v keeps seeing the old seeds with
+    * the old index (nothing is mutated in place, so the rebuild is
+    * vacuum-safe under `Snapshots.vacuum`'s retain rules); ticks
+    * issued AFTER both commits assign against the new seeds and
+    * merge into the new index.
+    *
+    * Crash/concurrency contract (documented, like the stream trio's
+    * checkpoint–table coupling): the two commits are not atomic —
+    * do not run ingest ticks concurrently with a rebuild, and after
+    * a crash between the commits simply re-run reclusterSem (seeds
+    * are a deterministic function of the corpus, so the re-run
+    * re-derives the same set and completes the pair).
+    *
+    * Returns (semseedsVersion, semidxVersion). */
+  def reclusterSem(s: SparkSession, base: String,
+      embeddings: DataFrame, tau: Int = 100): (Long, Long) = {
+    graft.ext.GraftFunctions.register(s)
+    import graft.sources.Snapshots
+    import graft.vec.VectorOps
+    val nT = s"$base/near"
+    val vN = Snapshots.latest(s, nT)
+    require(vN > 0L,
+      s"reclusterSem needs a curated corpus under $base — no " +
+        "committed near/ version found (run curate ticks first)")
+    val ne = Snapshots.readAsOf(s, nT, vN).select(col("doc_id"))
+      .join(embeddings.select(col("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .localCheckpoint() // consumers: count + seed slice + rollup
+    val n = ne.count()
+    require(n > 0L,
+      "reclusterSem: no embedded stage-3 survivors to cluster")
+    val k = math.max(8L, math.ceil(n.toDouble / tau).toLong)
+    val sd = ne.orderBy(col("doc_id")).limit(k.toInt)
+      .select(col("doc_id").as("c_id"), col("embedding").as("c_emb"))
+      .localCheckpoint() // consumers: max + commit + rollup
+    val sdMax = sd.agg(max(col("c_id"))).head.getLong(0)
+    val vSeeds = Snapshots.commit(
+      sd.withColumn("seed_max_id", lit(sdMax)), s"$base/semseeds")
+    val idx = VectorOps.semdedupIndexRollup(
+      ne.select(col("doc_id").as("vec_id"), col("embedding")), sd)
+    // a rebuild touches every cell by definition → full partitioned
+    // commit, cell-clustered (one file per cc_id per version)
+    val vIdx = Snapshots.commitPartitioned(
+      idx.repartition(col("cc_id")), s"$base/semidx", "cc_id")
+    (vSeeds, vIdx)
+  }
 }

@@ -501,7 +501,7 @@ object StreamOps {
     * corpus, exactly `semdedup_append`'s contract: assignments are
     * pure functions of (own embedding, frozen seeds), so
     * batch-isolated rollups ARE full-corpus assignment slices) and
-    * merged into ONLY the touched cluster partitions of the persisted
+    * merged into ONLY the touched coarse-cell partitions of the persisted
     * snapshot index. The rollup and merge are `semdedup_append`'s own
     * kernel (VectorOps.semdedupIndexRollup / semdedupIndexMergeFrames)
     * so stream and batch cannot drift — StreamingSpec asserts
@@ -530,12 +530,12 @@ object StreamOps {
         .localCheckpoint() // 2 consumers: touched semi + merge
       val prevV = Snapshots.latest(s, base)
       if (prevV == 0L)
-        Snapshots.commitPartitionedAs(clustered(b, "c_id"), base,
-          "c_id", v)
+        Snapshots.commitPartitionedAs(clustered(b, "cc_id"), base,
+          "cc_id", v)
       else Snapshots.commitPartitionsAs(
         clustered(VectorOps.semdedupIndexMergeFrames(
-          Snapshots.readAsOf(s, base, prevV), b), "c_id"),
-        base, "c_id", v)
+          Snapshots.readAsOf(s, base, prevV), b), "cc_id"),
+        base, "cc_id", v)
     }
   }
 

@@ -659,32 +659,160 @@ object VectorOps extends OpModule {
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.c_id").as("c_id"))
 
+  /** TWO-LEVEL frozen-seed assignment — the semdedup family's
+    * scalable form (VERDICT r16 #1: the one-level broadcast cross
+    * against k = ⌈N/τ⌉ fine seeds would carry an N/τ-row broadcast).
+    * `coarse` (cc_id, cc_emb) must be a catalog-sized subset of
+    * `fine` (c_id, c_emb):
+    *   1. every fine seed picks a coarse CELL — its 4dp-rounded
+    *      argmax coarse seed (lowest-cc_id tie-break), except a seed
+    *      that IS coarse owns its own cell, which guarantees no cell
+    *      is empty of fine seeds;
+    *   2. every vector picks its coarse cell by the same argmax;
+    *   3. the vector's cluster is the argmax over ONLY the fine
+    *      seeds of its cell (4dp round, lowest-c_id tie-break).
+    * Only the two coarse scorings broadcast (kc = ⌈√k⌉ rows); the
+    * fine scoring is an equi-join on the cell id — N·(k/kc) scored
+    * rows through a map-side max_by partial, never a k-row
+    * broadcast. Deterministic: every score is rounded before every
+    * argmax, and both argmaxes tie-break on the lowest id, so the
+    * assignment is a pure function of (own embedding, fine, coarse)
+    * — batch-isolated assignments equal full-corpus slices, the
+    * property the incremental/streaming maintainers rest on. */
+  private[graft] def assignTwoLevel(emb: DataFrame, fine: DataFrame,
+      coarse: DataFrame): DataFrame = {
+    val f2c = fine.crossJoin(broadcast(coarse))
+      .withColumn("_cs", round(dot("c_emb", "cc_emb"), 4))
+      .groupBy(col("c_id"))
+      .agg(max_by(struct(col("cc_id"), col("c_emb")),
+        struct(col("_cs"), -col("cc_id"))).as("m"))
+      .join(broadcast(coarse.select(col("cc_id").as("c_id"),
+        lit(true).as("_own"))), Seq("c_id"), "left")
+      .select(col("c_id"), col("m.c_emb").as("c_emb"),
+        when(col("_own"), col("c_id")).otherwise(col("m.cc_id"))
+          .as("cc_id"))
+    val v2c = emb.crossJoin(broadcast(coarse))
+      .withColumn("_cs", round(dot("embedding", "cc_emb"), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cc_id"), col("embedding")),
+        struct(col("_cs"), -col("cc_id"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cc_id").as("cc_id"))
+    v2c.join(f2c, Seq("cc_id"))
+      .withColumn("_fs", round(dot("embedding", "c_emb"), 4))
+      .groupBy(col("vec_id"))
+      // cc_id is constant within the group (it is v2c's cell), so
+      // first() is deterministic; it rides along because the coarse
+      // cell is the persisted indexes' partition key (kc ∝ √N dirs —
+      // one dir per CLUSTER would put k ∝ N dirs on the filesystem)
+      .agg(max_by(struct(col("c_id"), col("embedding")),
+        struct(col("_fs"), -col("c_id"))).as("m"),
+        first(col("cc_id")).as("cc_id"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.c_id").as("c_id"), col("cc_id"))
+  }
+
+  /** [[assignTwoLevel]] with the coarse level derived from the seed
+    * set itself: kc = max(4, ⌈√n_seeds⌉) lowest-c_id seeds. One rule
+    * for every frozen-seed consumer (`semdedup`, `semdedup_append`,
+    * the streaming maintainer, the curation semantic stage, the
+    * `Graft.semdedup` facade) — n_seeds is the ACTUAL seed row count
+    * (id-gap robust), mirrored in every oracle as
+    * GREATEST(4, CEIL(SQRT(COUNT(*) FROM fine))). When n_seeds ≤ kc
+    * every seed owns its own singleton cell and the rule degenerates
+    * to exactly the one-level argmax. */
+  private[graft] def assignFrozen(emb: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val kc = math.max(4L,
+      math.ceil(math.sqrt(seeds.count().toDouble)).toLong).toInt
+    val coarse = seeds.orderBy(col("c_id")).limit(kc)
+      .select(col("c_id").as("cc_id"), col("c_emb").as("cc_emb"))
+    assignTwoLevel(emb, seeds, coarse)
+  }
+
+  /** The oracle-side mirror of [[assignFrozen]]: a CTE chain that
+    * expects a `fine(c_id, c_emb)` CTE upstream and emits
+    * kc2/coarse/f2c/v2c/`assigned(vec_id, embedding, c_id)` over the
+    * `embeddings` table — same actual-seed-count kc, same own-cell
+    * rule for coarse seeds, same 4dp rounds and lowest-id
+    * tie-breaks. Kept textually in ONE place so the `semdedup` and
+    * `semdedup_append` oracles cannot drift from each other. */
+  private def twoLevelSql: String = s"""
+      kc2 AS (
+        SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kc
+        FROM fine),
+      coarse AS (
+        SELECT c_id AS cc_id, c_emb AS cc_emb FROM (
+          SELECT c_id, c_emb, ROW_NUMBER() OVER (ORDER BY c_id) AS crn
+          FROM fine)
+        WHERE crn <= (SELECT kc FROM kc2)),
+      f2c AS (
+        SELECT c_id, c_emb,
+               CASE WHEN c_id IN (SELECT cc_id FROM coarse) THEN c_id
+                    ELSE cc_id END AS cc_id
+        FROM (
+          SELECT f.c_id, f.c_emb, co.cc_id,
+                 ROW_NUMBER() OVER (PARTITION BY f.c_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(f.c_emb AS DOUBLE[]),
+                     CAST(co.cc_emb AS DOUBLE[])), 4) DESC,
+                   co.cc_id) AS frn
+          FROM fine f, coarse co)
+        WHERE frn = 1),
+      v2c AS (
+        SELECT vec_id, embedding, cc_id FROM (
+          SELECT e.vec_id, e.embedding, co.cc_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(co.cc_emb AS DOUBLE[])), 4) DESC,
+                   co.cc_id) AS vrn
+          FROM embeddings e, coarse co)
+        WHERE vrn = 1),
+      assigned AS (
+        SELECT vec_id, embedding, c_id FROM (
+          SELECT v.vec_id, v.embedding, f.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(v.embedding AS DOUBLE[]),
+                     CAST(f.c_emb AS DOUBLE[])), 4) DESC,
+                   f.c_id) AS arn
+          FROM v2c v JOIN f2c f USING (cc_id))
+        WHERE arn = 1)"""
+
   /** Cluster-index rollup of an embeddings batch against FROZEN
     * seeds: the persisted semantic-dedup index's rows
-    * (c_id, vec_id, embedding) — `semdedup_append`'s kernel, shared
-    * with the streaming ingest (StreamOps.semdedupIndexMerge) so the
-    * streamed index cannot drift from the batch op. Assignments are
-    * pure functions of (own embedding, frozen seeds), so
-    * batch-isolated rollups equal full-corpus assignment slices. */
+    * (cc_id, c_id, vec_id, embedding) — `semdedup_append`'s kernel,
+    * shared with the streaming ingest (StreamOps.semdedupIndexMerge)
+    * so the streamed index cannot drift from the batch op. cc_id
+    * (the coarse cell) is the PARTITION key — kc ∝ √k dirs, bounded
+    * no matter how k grows — and c_id stays a row-level column the
+    * cell-pruned probe filters on. Assignments are pure functions of
+    * (own embedding, frozen seeds) — the two-level rule
+    * ([[assignFrozen]]) keeps that purity — so batch-isolated
+    * rollups equal full-corpus assignment slices. */
   private[graft] def semdedupIndexRollup(batch: DataFrame,
       seeds: DataFrame): DataFrame =
-    assignArgmax(batch, seeds)
-      .select(col("c_id"), col("vec_id"), col("embedding"))
+    assignFrozen(batch, seeds)
+      .select(col("cc_id"), col("c_id"), col("vec_id"),
+        col("embedding"))
 
   /** Merge a rolled-up batch into the previous index contents:
     * assignment rows are append-only per vector (batches carry
     * disjoint vec_id sets), so the merge is a union restricted to
-    * touched cluster partitions — emits only touched-partition rows
-    * (the `commitPartitions` contract). `batch` is consumed twice
-    * (touched semi + union) — callers materialize it. */
+    * touched COARSE-CELL partitions — emits only touched-partition
+    * rows (the `commitPartitions` contract). `batch` is consumed
+    * twice (touched semi + union) — callers materialize it. */
   private[graft] def semdedupIndexMergeFrames(prev: DataFrame,
       batch: DataFrame): DataFrame =
     prev
-      .join(broadcast(batch.select(col("c_id")).distinct()),
-        Seq("c_id"), "left_semi")
-      .select(col("c_id"), col("vec_id"), col("embedding"))
+      .join(broadcast(batch.select(col("cc_id")).distinct()),
+        Seq("cc_id"), "left_semi")
+      .select(col("cc_id"), col("c_id"), col("vec_id"),
+        col("embedding"))
       .unionByName(batch
-        .select(col("c_id"), col("vec_id"), col("embedding")))
+        .select(col("cc_id"), col("c_id"), col("vec_id"),
+          col("embedding")))
 
   /** The PERSISTED inverted-file index with frozen-centroid ingest —
     * how a 100 TB vector store actually lives: the index is a snapshot
@@ -807,38 +935,47 @@ object VectorOps extends OpModule {
     * the semantic member of the rolling-crawl dedup lifecycle
     * (`dedup_append` exact-hash, `minhash_append` near-dup lexical,
     * this op embedding-semantic): the index is the `semdedup`
-    * assignment table (c_id, vec_id, embedding) as a snapshot,
-    * hive-partitioned by cluster — the same clustered layout
-    * `ivf_append` uses, because a semantic-dedup index IS an IVF
-    * index consulted for pruning rather than search. Built once from
-    * the base corpus (all but the 5 newest vec_ids — a bounded ingest
+    * assignment table (cc_id, c_id, vec_id, embedding) as a
+    * snapshot, hive-partitioned by COARSE CELL (cc_id, kc = ⌈√k⌉
+    * dirs) with the cluster id as an in-file column — a two-level
+    * IVF layout consulted for pruning rather than search. One dir
+    * per CLUSTER (the r16 layout) worked while k was ∝ √N, but
+    * k = ⌈N/τ⌉ makes that k ∝ N dirs and #tasks·k files per commit
+    * (measured: 181 s at sf10m vs 8 s for the r16 45-dir build);
+    * cells keep the dir count ∝ √N and each cell is one
+    * √(τ·N)-row file per version (the writes repartition by cc_id —
+    * the curateIngest `clustered` doctrine). Built once from the
+    * base corpus (all but the 5 newest vec_ids — a bounded ingest
     * tick, like `ivf_append`’s), maintained by
-    * `commitPartitions`-merging each ingest batch: only cluster
+    * `commitPartitions`-merging each ingest batch: only coarse-cell
     * partitions that received batch vectors rewrite (write
-    * amplification O(touched clusters)); at ingest the batch probes
+    * amplification O(touched cells)); at ingest the batch probes
     * the merged index for its semantic duplicates — same-cluster
     * pairs with rounded cosine ≥ 0.3, at least one side in the batch
-    * — reading ONLY the touched clusters' partitions (the clustered
-    * layout is what makes the probe a pruned scan, not an index
-    * sweep).
+    * — reading ONLY the touched cells' partitions and filtering to
+    * the touched clusters inside them (the cell-pruned read is what
+    * makes the probe a pruned scan, not an index sweep).
     *
     * Incremental ≡ one-shot because the centroids are FROZEN
-    * functions of the base corpus (k = max(8, ⌈√(N_base/100)⌉)
-    * lowest-id base vectors — `semdedup`'s rule on the base slice),
-    * so a vector's cluster is a pure function of its own embedding:
-    * batch assignments computed in isolation are identical to
-    * full-corpus assignments, and the merged index is row-identical
-    * to assigning everything at once — which is exactly what the
-    * oracle computes. Any row the incremental commit loses or
-    * duplicates, and any frozen-centroid drift, changes the pair set
-    * and hash-mismatches. Re-clustering (new k as the corpus grows)
-    * is a full rebuild committed as the next snapshot version — the
-    * scheduled-maintenance path, deliberately NOT on the ingest tick.
+    * functions of the base corpus (k = max(8, ⌈N_base/100⌉)
+    * lowest-id base vectors — `semdedup`'s τ = 100 rule on the base
+    * slice, assigned two-level via [[assignFrozen]]), so a vector's
+    * cluster is a pure function of its own embedding: batch
+    * assignments computed in isolation are identical to full-corpus
+    * assignments, and the merged index is row-identical to assigning
+    * everything at once — which is exactly what the oracle computes.
+    * Any row the incremental commit loses or duplicates, and any
+    * frozen-centroid drift, changes the pair set and
+    * hash-mismatches. Re-clustering (new k as the corpus grows) is a
+    * full rebuild committed as the next snapshot versions — the
+    * scheduled-maintenance path, deliberately NOT on the ingest tick
+    * (Graft.reclusterSem is that rebuild for the curation family's
+    * sem index).
     *
-    * Scale: k ∝ √N_base bounds per-cluster size (the `semdedup`
-    * linearity argument), so the at-ingest pair work is
-    * |batch| · O(√(100·N)) scored candidates, not |batch| · N; the
-    * index carries embeddings (like every IVF layout) so the probe
+    * Scale: k = ⌈N_base/τ⌉ pins expected cluster size at τ (the
+    * `semdedup` linearity argument), so the at-ingest pair work is
+    * |batch| · O(τ) scored candidates, not |batch| · N; the index
+    * carries embeddings (like every IVF layout) so the probe
     * re-reads no corpus bytes at all. */
   val semdedupAppend = Op(
     "semdedup_append",
@@ -865,27 +1002,34 @@ object VectorOps extends OpModule {
       require(nBase > 0,
         "semdedup_append needs a base corpus larger than the 5-vector " +
           "ingest batch — the frozen centroids train on the base")
-      val k = math.max(8L,
-        math.ceil(math.sqrt(nBase / 100.0)).toLong)
+      val k = math.max(8L, math.ceil(nBase / 100.0).toLong)
       val seeds = baseEmb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // v1: the base index, clustered by assignment (the shared
-      // frozen-seed argmax kernel: rounded score, c_id tie-break)
+      // v1: the base index, cell-partitioned and cell-clustered (the
+      // repartition sends each cc_id to ONE task → one file per cell
+      // per version; unclustered partitionBy wrote #tasks files per
+      // dir — the 181 s sf10m regression)
       val v1 = Snapshots.commitPartitioned(
-        semdedupIndexRollup(baseEmb, seeds), base, "c_id")
+        semdedupIndexRollup(baseEmb, seeds).repartition(col("cc_id")),
+        base, "cc_id")
       // ingest tick: the 5 newest vectors, assigned to the FROZEN
-      // seeds, merged into ONLY the touched cluster partitions
+      // seeds, merged into ONLY the touched coarse-cell partitions
       val batch = semdedupIndexRollup(batchRaw, seeds)
-        .localCheckpoint() // 3 consumers: touched semi, merge, probe
+        .localCheckpoint() // 4 consumers: 2 touched semis, merge, probe
+      val touchedCells = batch.select(col("cc_id")).distinct()
       val touched = batch.select(col("c_id")).distinct()
       val v2 = Snapshots.commitPartitions(
-        semdedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
-        base, "c_id")
+        semdedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch)
+          .repartition(col("cc_id")),
+        base, "cc_id")
       // at-ingest discovery: batch vectors score against their merged
-      // cluster's members (partition-pruned read); batch-batch pairs
+      // cluster's members — the read prunes to touched CELL
+      // partitions (broadcast semi on the partition key), then
+      // filters to touched CLUSTERS inside them; batch-batch pairs
       // appear from both sides, so the least/greatest distinct is the
       // pair-set normalizer
       val idx = Snapshots.readAsOf(s, base, v2)
+        .join(broadcast(touchedCells), Seq("cc_id"), "left_semi")
         .join(broadcast(touched), Seq("c_id"), "left_semi")
         .select(col("c_id"), col("vec_id").as("ia"),
           col("embedding").as("e_a"))
@@ -898,27 +1042,19 @@ object VectorOps extends OpModule {
           greatest(col("ia"), col("ib")).as("vec_b"), col("score"))
         .distinct()
     },
-    Some("""
+    Some(s"""
       WITH mx AS (SELECT max(vec_id) AS mxv FROM embeddings),
       bn AS (
         SELECT COUNT(*) AS n FROM embeddings, mx
         WHERE vec_id <= mx.mxv - 5),
       kk AS (
-        SELECT GREATEST(8, CAST(CEIL(SQRT(n / 100.0)) AS BIGINT)) AS k
+        SELECT GREATEST(8, CAST(CEIL(n / 100.0) AS BIGINT)) AS k
         FROM bn),
-      c AS (
+      fine AS (
         SELECT vec_id AS c_id, embedding AS c_emb
         FROM embeddings, kk, mx
         WHERE vec_id < kk.k AND vec_id <= mx.mxv - 5),
-      assigned AS (
-        SELECT vec_id, embedding, c_id FROM (
-          SELECT e.vec_id, e.embedding, c.c_id,
-                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_dot_product(
-                     CAST(e.embedding AS DOUBLE[]),
-                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS rn
-          FROM embeddings e, c)
-        WHERE rn = 1)
+      $twoLevelSql
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 4)
@@ -979,27 +1115,34 @@ object VectorOps extends OpModule {
       FROM a2 GROUP BY c_id"""))
 
   /** SemDeDup-style semantic dedup: cluster the embedding space
-    * (k = max(8, ⌈√(N/100)⌉) deterministic seed centroids — the
-    * lowest-k vec_ids — MIPS assignment like `kmeans_assign`/
-    * `ivf_topk`), then drop any vector that has a LOWER-id
-    * in-cluster neighbor with rounded cosine ≥ 0.3 — the "semantic
-    * near-duplicate pruning" step of a training-data pipeline
-    * (cf. SemDeDup, Abbas et al. 2023: clustering bounds the
-    * quadratic pair work to within-cluster candidates). The
-    * keep/drop rule is the EXISTS-lower-id variant (not transitive
-    * closure — `neardup_cluster` owns that kernel), so keeps are a
-    * pure function of the pair set.
+    * (k = max(8, ⌈N/100⌉) deterministic seed centroids — the
+    * lowest-k vec_ids, τ = 100 TARGET CLUSTER SIZE — assigned via
+    * the two-level MIPS rule of [[assignTwoLevel]]), then drop any
+    * vector that has a LOWER-id in-cluster neighbor with rounded
+    * cosine ≥ 0.3 — the "semantic near-duplicate pruning" step of a
+    * training-data pipeline (cf. SemDeDup, Abbas et al. 2023:
+    * clustering bounds the quadratic pair work to within-cluster
+    * candidates). The keep/drop rule is the EXISTS-lower-id variant
+    * (not transitive closure — `neardup_cluster` owns that kernel),
+    * so keeps are a pure function of the pair set.
     *
-    * Scale: k ∝ √N is the structural bound — expected cluster size
-    * N/k ≈ √(100·N), so within-cluster pair work is Σ(N/k)² ≈ 100·N,
-    * LINEAR in the corpus, not N²/k as any fixed k degenerates to
-    * (k=8 at sf10 scored 2.5 B pairs / 288 s; k=45 scores ~N·τ).
-    * N comes from one count() — a parquet metadata read, not a data
-    * scan. The assignment is a broadcast cross (k rows ≪ executor
-    * memory at any N: k = √(N/100) is ~32k centroids at 100 G rows);
-    * the only wide exchange is the pair equi-join on the salted
-    * (cluster, bucket) key, so parallelism is k·16 and per-cluster
-    * candidate scoring stays memory-local. */
+    * Scale (the r16 fix — the old k = ⌈√(N/100)⌉ gave clusters of
+    * 10·√N and ~5·N^1.5 pair mass, ~1.4 B scored pairs at sf10):
+    * k = ⌈N/τ⌉ pins the EXPECTED cluster size at τ, so within-
+    * cluster pair work is Σ n_c²/2 ≈ N·τ/2 — LINEAR in the corpus.
+    * The assignment is where ⌈N/τ⌉ fine seeds would break a
+    * broadcast, hence the two-level rule: only the kc = ⌈√k⌉ coarse
+    * seeds broadcast (√(N/τ) rows — ~32k at 100 G vectors), and the
+    * fine scoring is an equi-join on the cell id with map-side
+    * argmax partials, N·(k/kc) = N·√(N/τ) scored rows. That fine
+    * scoring is the residual super-linear term — N^1.5/√τ, ~50×
+    * below the pair mass it replaced at sf10, and the declared
+    * extension path is a third level (N·∛k) or ANN-assisted
+    * assignment, NOT a bigger broadcast. N comes from one count()
+    * — a parquet metadata read, not a data scan. The only other
+    * wide exchange is the pair equi-join on the salted (cluster,
+    * bucket) key, so parallelism is k·16 and per-cluster candidate
+    * scoring stays memory-local. */
   val semdedup = Op(
     "semdedup",
     (s, d) => {
@@ -1007,21 +1150,18 @@ object VectorOps extends OpModule {
       val emb = Tables(s, d, "embeddings")
       // one-row action: parquet row count from footer metadata.
       // τ = 100 target cluster size; identical formula in the oracle.
-      val k = math.max(8L,
-        math.ceil(math.sqrt(emb.count() / 100.0)).toLong)
+      val k = math.max(8L, math.ceil(emb.count() / 100.0).toLong)
       val seeds = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // map-side argmax: the scored crossJoin rows collapse to one
-      // row per vec_id BEFORE any exchange (partial max_by), so the
-      // shuffle carries N rows, not N·k — the row_number() window
-      // formulation exchanged every scored row with its embedding.
-      // Ordering key (c_score, -c_id) is unique per group (c_id is),
-      // reproducing the window's (score desc, c_id asc) tie-break.
-      // localCheckpoint: the assignment table is consumed three times
-      // (both sides of the pair self-join + the final keep rollup);
-      // materializing it runs the O(N·k) broadcast scoring once
-      // instead of three times and truncates the lineage
-      val assigned = assignArgmax(emb, seeds)
+      // two-level map-side argmax (assignFrozen): scored rows
+      // collapse to one row per vec_id BEFORE any exchange (partial
+      // max_by) at both levels, so no shuffle carries N·k rows and
+      // no k-row frame broadcasts. localCheckpoint: the assignment
+      // table is consumed three times (both sides of the pair
+      // self-join + the final keep rollup); materializing it runs
+      // the assignment once instead of three times and truncates
+      // the lineage
+      val assigned = assignFrozen(emb, seeds)
         .localCheckpoint()
       // the pair join's natural key is c_id alone — k partitions of
       // work no matter how many cores. Salt the self-join with a
@@ -1051,23 +1191,14 @@ object VectorOps extends OpModule {
           when(col("is_dropped").isNull, lit(1)).otherwise(lit(0))
             .as("kept"))
     },
-    Some("""
+    Some(s"""
       WITH kk AS (
-        SELECT GREATEST(8, CAST(CEIL(SQRT(COUNT(*) / 100.0)) AS BIGINT))
-          AS k
+        SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 100.0) AS BIGINT)) AS k
         FROM embeddings),
-      c AS (
+      fine AS (
         SELECT vec_id AS c_id, embedding AS c_emb
         FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
-      assigned AS (
-        SELECT vec_id, embedding, c_id FROM (
-          SELECT e.vec_id, e.embedding, c.c_id,
-                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ROUND(list_dot_product(
-                     CAST(e.embedding AS DOUBLE[]),
-                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS c_rn
-          FROM embeddings e, c)
-        WHERE c_rn = 1),
+      $twoLevelSql,
       d AS (
         SELECT DISTINCT b.vec_id
         FROM assigned a JOIN assigned b
@@ -1496,6 +1627,155 @@ object VectorOps extends OpModule {
       ORDER BY adc_score DESC, a.vec_id
       LIMIT 10"""))
 
+  /** IVF×PQ with an EXACT RE-RANK stage — the executable form of the
+    * engine's own measured deployment advice (ANN_RECALL_sf10.json,
+    * r16: on realistic near-dup corpora where true neighbors sit
+    * ~10⁻³ apart in cosine, raw ADC recall collapses to 0.15–0.20
+    * while IVF-flat holds 1.0 — ADC quantization error exceeds the
+    * score gaps, so PQ codes are a CANDIDATE GENERATOR, not a
+    * ranker). Stage 1 is `ivfpq_topk`'s integer-exact chain
+    * (coarse-probe nprobe=2 of 16 lists, ADC over 8 packed code
+    * bytes) widened to a shortlist of R = 100 (adc desc, vec_id
+    * tie-break — deterministic at the rank-100 boundary); stage 2
+    * joins the shortlist back to the RAW embeddings of only those
+    * 100 rows and re-scores them exactly (4dp-rounded `dot_f`),
+    * returning the exact-score top-10. Output carries both scores so
+    * the rerank's effect is visible in the result itself.
+    *
+    * Scale: the rerank reads R·d floats — a broadcast-semi point
+    * lookup against the vector store (at 100 TB: R row fetches from
+    * the `ivfpq_append` layout's list partitions), NOT a second
+    * corpus scan; everything upstream is `ivfpq_topk`'s
+    * partition-pruned code read. Recall: `ann_recall_suite` carries
+    * an `ivfpq_rerank` path — 1.0000 at mutated sf10m where raw
+    * ivfpq scores 0.15 (verified by tools/check_ann_suite.py). */
+  val ivfpqRerankTopk = Op(
+    "ivfpq_rerank_topk",
+    (s, d) => {
+      graft.ext.GraftFunctions.register(s)
+      val emb = Tables(s, d, "embeddings")
+      // ---- stage 1: ivfpq_topk's exact chain, R = 100 shortlist
+      val centroids = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_id"),
+          struct(col("c_score"), -col("c_id"))).as("c_id"))
+      val probes = emb.filter(col("vec_id") === 0)
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
+        .orderBy(col("c_score").desc, col("c_id"))
+        .limit(2)
+        .select(col("c_id"))
+      val sub = emb
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .withColumn("s2", dot("sv", "sv"))
+        .select(col("vec_id"), col("s"), col("sv"), col("s2"))
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"),
+          explode(sequence(lit(0), lit(7))).as("s"),
+          col("embedding"))
+        .withColumn("c_sv", expr("slice(embedding, s * 8 + 1, 8)"))
+        .withColumn("c2", dot("c_sv", "c_sv"))
+        .select(col("code"), col("s"), col("c_sv"), col("c2"))
+      val codes = sub.join(broadcast(cb), "s")
+        .withColumn("k", pqKey(dot("sv", "c_sv")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(col("k")).as("k"))
+        .select(col("vec_id"), col("s"), (col("k") % 65536L).as("code"))
+      val adcTable = sub.filter(col("vec_id") === 0)
+        .select(col("s"), col("sv").as("q_sv"))
+        .join(broadcast(cb), "s")
+        .withColumn("qdot_i",
+          round(dot("q_sv", "c_sv") * 10000, 0).cast("long"))
+        .select(col("s"), col("code"), col("qdot_i"))
+      val cands = assigned.join(broadcast(probes), "c_id")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"))
+      val shortlist = codes.join(cands, "vec_id")
+        .join(broadcast(adcTable), Seq("s", "code"))
+        .groupBy(col("vec_id"))
+        .agg((sum(col("qdot_i")) / 10000.0).as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id"))
+        .limit(100)
+      // ---- stage 2: exact re-score of ONLY the shortlist's raw rows
+      val target = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("t_emb"))
+      emb.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(target))
+        .withColumn("score", round(dot("embedding", "t_emb"), 4))
+        .select(col("vec_id"), col("adc_score"), col("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS c_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, c_id FROM (
+          SELECT e.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(c.c_emb AS DOUBLE[])), 4) DESC, c.c_id) AS c_rn
+          FROM embeddings e, c)
+        WHERE c_rn = 1),
+      probes AS (
+        SELECT c.c_id
+        FROM embeddings t, c
+        WHERE t.vec_id = 0
+        ORDER BY ROUND(list_dot_product(CAST(t.embedding AS DOUBLE[]),
+                                        CAST(c.c_emb AS DOUBLE[])), 4) DESC,
+                 c.c_id
+        LIMIT 2),
+      sub AS (
+        SELECT vec_id, s,
+               CAST(embedding[s * 8 + 1 : s * 8 + 8] AS DOUBLE[]) AS sv
+        FROM embeddings, UNNEST(generate_series(0, 7)) AS u(s)),
+      cb AS (
+        SELECT vec_id AS code, s, sv AS c_sv
+        FROM sub WHERE vec_id < 16),
+      codes AS (
+        SELECT vec_id, s, code FROM (
+          SELECT sub.vec_id, sub.s, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.s
+                   ORDER BY ROUND(list_dot_product(sv, sv)
+                     + list_dot_product(c_sv, c_sv)
+                     - 2 * list_dot_product(sv, c_sv), 4) ASC,
+                   cb.code) AS rn
+          FROM sub JOIN cb USING (s))
+        WHERE rn = 1),
+      adc AS (
+        SELECT cb.s, cb.code,
+               CAST(ROUND(list_dot_product(q.sv, cb.c_sv) * 10000, 0)
+                 AS BIGINT) AS qdot_i
+        FROM (SELECT s, sv FROM sub WHERE vec_id = 0) q
+        JOIN cb USING (s)),
+      shortlist AS (
+        SELECT a.vec_id, SUM(qdot_i) / 10000.0 AS adc_score
+        FROM assigned a
+        JOIN probes USING (c_id)
+        JOIN codes ON codes.vec_id = a.vec_id
+        JOIN adc USING (s, code)
+        WHERE a.vec_id <> 0
+        GROUP BY a.vec_id
+        ORDER BY adc_score DESC, a.vec_id
+        LIMIT 100)
+      SELECT sl.vec_id, sl.adc_score,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(t.embedding AS DOUBLE[])), 4)
+               AS score
+      FROM shortlist sl
+      JOIN embeddings e ON e.vec_id = sl.vec_id,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) t
+      ORDER BY score DESC, sl.vec_id
+      LIMIT 10"""))
+
   /** The PERSISTED IVF×PQ codes index with incremental ingest — the
     * EXECUTABLE form of `ivfpq_topk`'s 100 TB story: where that op
     * argues "the codes live hive-partitioned by list, the probe IS
@@ -1856,8 +2136,11 @@ object VectorOps extends OpModule {
     * exact top-10, for ALL FOUR query paths this module ships —
     * frozen-centroid IVF (`ivf_topk`), Lloyd-trained IVF
     * (`ivf_topk_trained`), flat integer-ADC PQ (`pq_topk`), and the
-    * composed IVF×PQ (`ivfpq_topk`) — at nprobe ∈ {2, 8} for the
-    * coarse-quantized paths (PQ scans every code, reported as
+    * composed IVF×PQ (`ivfpq_topk`), plus the RERANKED composed path
+    * (`ivfpq_rerank_topk`: ADC top-100 shortlist → exact re-score,
+    * the r17 answer to the r16 finding that raw ADC recall collapses
+    * to 0.15–0.20 on realistic near-dups) — at nprobe ∈ {2, 8} for
+    * the coarse-quantized paths (PQ scans every code, reported as
     * nprobe=16). One row per (path, nprobe): mean recall over the
     * 8-query panel as an exact integer hit count / 80.
     *
@@ -1983,6 +2266,24 @@ object VectorOps extends OpModule {
           .select(col("q_id"), col("vec_id"))
         top10(pqScores.join(cands, Seq("q_id", "vec_id"), "left_semi"))
       }
+      // ivfpq + EXACT RERANK (ivfpq_rerank_topk's two stages): ADC
+      // top-100 shortlist per query, then the shortlist's raw rows
+      // re-scored exactly — the declared fix for ADC recall collapse
+      def ivfpqRerankRetr(np: Int): DataFrame = {
+        val cands = assignedF.select(col("vec_id"), col("c_id"))
+          .join(broadcast(probesF.filter(col("rn") <= np)
+            .select(col("q_id"), col("c_id"))), "c_id")
+          .select(col("q_id"), col("vec_id"))
+        val short = pqScores
+          .join(cands, Seq("q_id", "vec_id"), "left_semi")
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 100)
+          .select(col("q_id"), col("vec_id"))
+        top10(emb.join(short, "vec_id")
+          .join(broadcast(qs), "q_id")
+          .withColumn("score", round(dot("embedding", "q_emb"), 4))
+          .select(col("q_id"), col("vec_id"), col("score")))
+      }
       // ---- the rest of the PQ grid: {16, 64} cells × {seed,
       // trained} isolates the two codebook knobs. ONE encode+ADC
       // kernel serves every codebook — dot_fd widens float elements
@@ -2023,6 +2324,10 @@ object VectorOps extends OpModule {
           recallRow("ivf_trained", 8, ivfRetr(assignedT, probesT, 8)))
         .unionByName(recallRow("ivfpq", 2, ivfpqRetr(2)))
         .unionByName(recallRow("ivfpq", 8, ivfpqRetr(8)))
+        .unionByName(
+          recallRow("ivfpq_rerank", 2, ivfpqRerankRetr(2)))
+        .unionByName(
+          recallRow("ivfpq_rerank", 8, ivfpqRerankRetr(8)))
         .unionByName(recallRow("pq", 16, top10(pqScores)))
         .unionByName(recallRow("pq64", 64, top10(pqScores64)))
         .unionByName(
@@ -2053,6 +2358,29 @@ object VectorOps extends OpModule {
           JOIN af a ON a.vec_id = s.vec_id
           JOIN pf p ON p.c_id = a.c_id AND p.q_id = s.q_id
             AND p.rn <= $n)
+        WHERE rn <= 10)"""
+      // ivfpq + exact rerank: ADC top-100 shortlist, exact re-score
+      def rrr(n: Int) = s"""
+      r_rr_$n AS (
+        SELECT q_id, vec_id FROM (
+          SELECT sl.q_id, sl.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY sl.q_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.q_emb AS DOUBLE[])), 4) DESC,
+                   sl.vec_id) AS rn
+          FROM (
+            SELECT q_id, vec_id FROM (
+              SELECT s.q_id, s.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY s.q_id
+                       ORDER BY s.adc_i DESC, s.vec_id) AS srn
+              FROM pqs s
+              JOIN af a ON a.vec_id = s.vec_id
+              JOIN pf p ON p.c_id = a.c_id AND p.q_id = s.q_id
+                AND p.rn <= $n)
+            WHERE srn <= 100) sl
+          JOIN embeddings e ON e.vec_id = sl.vec_id
+          JOIN q ON q.q_id = sl.q_id)
         WHERE rn <= 10)"""
       // encode + per-query ADC + top-10 against a TRAINED codebook
       // chain cbn (the pqLloydSql output), emitting r_$x
@@ -2189,13 +2517,17 @@ object VectorOps extends OpModule {
       ${rif(2, "atr", "ptr", "CAST(q.q_emb AS DOUBLE[])")},
       ${rif(8, "atr", "ptr", "CAST(q.q_emb AS DOUBLE[])")},
       ${ripq(2)},
-      ${ripq(8)}
+      ${ripq(8)},
+      ${rrr(2)},
+      ${rrr(8)}
       ${row("ivf", 2, "r_af_2")}
       UNION ALL ${row("ivf", 8, "r_af_8")}
       UNION ALL ${row("ivf_trained", 2, "r_atr_2")}
       UNION ALL ${row("ivf_trained", 8, "r_atr_8")}
       UNION ALL ${row("ivfpq", 2, "r_ipq_2")}
       UNION ALL ${row("ivfpq", 8, "r_ipq_8")}
+      UNION ALL ${row("ivfpq_rerank", 2, "r_rr_2")}
+      UNION ALL ${row("ivfpq_rerank", 8, "r_rr_8")}
       UNION ALL ${row("pq", 16, "r_pq")}
       UNION ALL ${row("pq64", 64, "r_pq64")}
       UNION ALL ${row("pq_trained", 16, "r_tp")}
@@ -2206,5 +2538,6 @@ object VectorOps extends OpModule {
     Seq(vectorTopk, knnLabel, cosineNeardup, annBucketTopk, ivfTopk,
       ivfTopkTrained, ivfAppend, embedQuantize, kmeansAssign, semdedup,
       semdedupAppend, pqTopk, pqTopkTrained, pcaTopcomp, ivfpqTopk,
-      ivfpqAppend, hardNegatives, annRecall, annRecallSuite)
+      ivfpqRerankTopk, ivfpqAppend, hardNegatives, annRecall,
+      annRecallSuite)
 }

@@ -463,8 +463,7 @@ class ApiSpec extends AnyFunSuite {
   test("Graft.semdedup matches the declared semdedup") {
     Graft.register(spark)
     val emb = Tables(spark, sfDir, "embeddings")
-    val k = math.max(8L,
-      math.ceil(math.sqrt(emb.count() / 100.0)).toLong)
+    val k = math.max(8L, math.ceil(emb.count() / 100.0).toLong)
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     val out = Graft.semdedup(emb, "embedding", "vec_id",
@@ -997,5 +996,61 @@ class ApiSpec extends AnyFunSuite {
     // seeds froze once: a single semseeds version across all ticks
     assert(sources.Snapshots.versions(spark, s"$base/semseeds")
       == Seq(1L), "semseeds re-committed after the seed tick")
+  }
+
+  test("Graft.reclusterSem: rebuild equals a from-scratch build at " +
+      "today's k; old versions stay readable and vacuum-safe") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_recluster").toString + "/t"
+    val docs = Tables(spark, sfDir01, "documents")
+    val embAll = embLookup(sfDir01)
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    Graft.curateIngest(docs.filter(col("doc_id") <= mx - 10), base,
+      0.4, None, Some(embAll), 0.3, 8)
+    Graft.curateIngest(docs.filter(col("doc_id") > mx - 10), base,
+      0.4, None, Some(embAll), 0.3, 8)
+    val iT = s"$base/semidx"; val dT = s"$base/semseeds"
+    val vIdxOld = sources.Snapshots.latest(spark, iT)
+    def idxRows(v: Long): Set[(Long, Long, Long)] =
+      sources.Snapshots.readAsOf(spark, iT, v)
+        .select(col("cc_id").cast("long"), col("c_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val oldIdx = idxRows(vIdxOld)
+    val (vS, vI) = Graft.reclusterSem(spark, base, embAll)
+    assert(vS > 1L && vI > vIdxOld)
+    // from-scratch build: fresh seeds = the k = max(8, ceil(n/100))
+    // lowest embedded stage-3 survivors of TODAY's corpus, assigned
+    // by the shared kernel — the rebuild must equal it exactly
+    val nearIds = sources.Snapshots
+      .readAsOf(spark, s"$base/near",
+        sources.Snapshots.latest(spark, s"$base/near"))
+      .select("doc_id")
+    val ne = nearIds.join(embAll, Seq("doc_id"))
+    val n = ne.count()
+    val k = math.max(8L, math.ceil(n.toDouble / 100.0).toLong)
+    val freshSeeds = ne.orderBy(col("doc_id")).limit(k.toInt)
+      .select(col("doc_id").as("c_id"), col("embedding").as("c_emb"))
+    val want = vec.VectorOps.semdedupIndexRollup(
+      ne.select(col("doc_id").as("vec_id"), col("embedding")),
+      freshSeeds)
+      .select(col("cc_id").cast("long"), col("c_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(idxRows(vI) == want,
+      "rebuilt semidx diverges from a from-scratch build")
+    // the committed seed table: k rows + the guard metadata column
+    val st = sources.Snapshots.readAsOf(spark, dT, vS)
+    assert(st.count() == math.min(k, n))
+    assert(st.agg(max(col("seed_max_id"))).head.getLong(0) ==
+      st.agg(max(col("c_id"))).head.getLong(0))
+    // time travel: the pre-rebuild index version is untouched
+    assert(idxRows(vIdxOld) == oldIdx,
+      "rebuild mutated an old index version")
+    // vacuum-safe: retaining only the latest keeps the rebuild
+    // readable (nothing the new version references was deleted)
+    sources.Snapshots.vacuum(spark, iT, 1, graceMs = 0L)
+    assert(idxRows(sources.Snapshots.latest(spark, iT)) == want,
+      "vacuum broke the rebuilt index")
   }
 }

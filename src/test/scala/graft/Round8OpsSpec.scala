@@ -121,12 +121,27 @@ class Round8OpsSpec extends AnyFunSuite {
 
   test("semdedup matches brute-force assignment + lower-id drop rule") {
     val emb = loadEmb(sfDir)
-    val k = math.max(8L,
-      math.ceil(math.sqrt(emb.length / 100.0)).toLong)
-    val seeds = emb.filter(_._1 < k)
-    val assign = emb.map { case (id, v) =>
-      id -> seeds.map { case (c, cv) => (-r4(fdot(v, cv)), c) }.min._2
+    // two-level mirror of assignFrozen: k = ceil(N/tau) fine seeds,
+    // kc = ceil(sqrt(k)) coarse cells, coarse seeds own their cell
+    val k = math.max(8L, math.ceil(emb.length / 100.0).toLong)
+    val seeds = emb.filter(_._1 < k) // loadEmb sorts by id
+    val kc = math.max(4L,
+      math.ceil(math.sqrt(seeds.length.toDouble)).toLong).toInt
+    val coarse = seeds.take(kc)
+    val coarseIds = coarse.map(_._1).toSet
+    def cellOf(v: Array[Float]): Long =
+      coarse.map { case (cc, cv) => (-r4(fdot(v, cv)), cc) }.min._2
+    val f2c = seeds.map { case (c, cv) =>
+      c -> (if (coarseIds(c)) c else cellOf(cv))
     }.toMap
+    val assign = emb.map { case (id, v) =>
+      val cell = cellOf(v)
+      id -> seeds.filter { case (c, _) => f2c(c) == cell }
+        .map { case (c, cv) => (-r4(fdot(v, cv)), c) }.min._2
+    }.toMap
+    // the fixture must genuinely exercise both levels: more fine
+    // seeds than coarse cells (else the rule degenerates to one-level)
+    assert(seeds.length > kc)
     val expected = emb.map { case (id, v) =>
       val dropped = emb.exists { case (a, av) =>
         a < id && assign(a) == assign(id) && r4(fdot(av, v)) >= 0.3

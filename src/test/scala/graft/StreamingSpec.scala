@@ -1292,6 +1292,41 @@ class StreamingSpec extends AnyFunSuite {
         s"$t never committed")
   }
 
+  test("curateStreamMerge: a batch below the recorded seed-tick max " +
+      "doc_id fires the monotone-id guard; compliant batches do not") {
+    import spark.implicits._
+    ext.GraftFunctions.register(spark)
+    val base = freshDir() + "/mono"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val embAll = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // seed tick: the MIDDLE id band — its max becomes the recorded
+    // seed_max_id; a compliant higher band then a violating lower one
+    val seed = docs.filter(col("doc_id") > 100 && col("doc_id") <= 300)
+    val okTick = docs.filter(col("doc_id") > 300)
+    val badTick = docs.filter(col("doc_id") <= 100)
+    val before = graft.api.Graft.monotoneWarnings.get()
+    StreamOps.curateStreamMerge(seed, 0L, base, 0.4,
+      Some(embAll), 0.3, 8)
+    assert(sources.Snapshots.latest(spark, s"$base/semseeds") == 1L,
+      "seed tick did not freeze seeds — fixture band has no " +
+        "embedded survivors")
+    StreamOps.curateStreamMerge(okTick, 1L, base, 0.4,
+      Some(embAll), 0.3, 8)
+    assert(graft.api.Graft.monotoneWarnings.get() == before,
+      "compliant batch false-alarmed the monotone-id guard")
+    StreamOps.curateStreamMerge(badTick, 2L, base, 0.4,
+      Some(embAll), 0.3, 8)
+    assert(graft.api.Graft.monotoneWarnings.get() == before + 1,
+      "violating batch did not fire the monotone-id guard")
+    // the recorded metadata is the seed set's own max id
+    val st = sources.Snapshots.readAsOf(spark, s"$base/semseeds", 1L)
+    assert(st.agg(max(col("seed_max_id"))).head.getLong(0) ==
+      st.agg(max(col("c_id"))).head.getLong(0))
+  }
+
   test("Graft.curateStream facade: the attached query seeds and " +
       "maintains the stage tables") {
     ext.GraftFunctions.register(spark)

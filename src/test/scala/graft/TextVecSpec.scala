@@ -471,10 +471,24 @@ class TextVecSpec extends AnyFunSuite {
     def r4(x: Double): Double = math.rint(x * 10000) / 10000
     val mx = e.keys.max
     val nBase = e.size - 5
-    val k = math.max(8L, math.ceil(math.sqrt(nBase / 100.0)).toLong)
+    // two-level mirror of assignFrozen on the base-derived seeds:
+    // k = ceil(N_base/tau) fine, kc = ceil(sqrt(k)) coarse cells,
+    // a coarse seed owns its own cell
+    val k = math.max(8L, math.ceil(nBase / 100.0).toLong)
     val seeds = (0L until k).map(c => c -> e(c))
+    val kc = math.max(4L,
+      math.ceil(math.sqrt(seeds.size.toDouble)).toLong).toInt
+    val coarse = seeds.take(kc)
+    val coarseIds = coarse.map(_._1).toSet
+    def cellOf(v: Array[Float]): Long =
+      coarse.minBy { case (cc, cv) => (-r4(dot(v, cv)), cc) }._1
+    val f2c = seeds.map { case (c, cv) =>
+      c -> (if (coarseIds(c)) c else cellOf(cv))
+    }.toMap
     val cluster = e.map { case (id, v) =>
-      id -> seeds.minBy { case (c, s) => (-r4(dot(v, s)), c) }._1
+      val cell = cellOf(v)
+      id -> seeds.filter { case (c, _) => f2c(c) == cell }
+        .minBy { case (c, cv) => (-r4(dot(v, cv)), c) }._1
     }
     val ids = e.keys.toSeq.sorted
     val expected = (for {
@@ -490,9 +504,15 @@ class TextVecSpec extends AnyFunSuite {
     val base = s"/tmp/graft_vec_semdedup_append_" +
       s"${Integer.toHexString(sfDir.hashCode)}" +
       s"_p${ProcessHandle.current().pid()}"
+    val batchCells = ((mx - 4) to mx).map(b => cellOf(e(b))).toSet
+    val baseCells = e.keys.filter(_ <= mx - 5)
+      .map(id => cellOf(e(id))).toSet
     val b1 = sources.Snapshots.bytesWritten(spark, base, 1L)
     val b2 = sources.Snapshots.bytesWritten(spark, base, 2L)
-    assert(b2 < b1, s"ingest rewrote the whole index: v1=$b1 v2=$b2")
+    // strictly-smaller bytes only holds when the batch leaves some
+    // cell untouched (kc = 4 at this SF — 5 vectors can hit all 4)
+    if (batchCells.size < baseCells.size)
+      assert(b2 < b1, s"ingest rewrote the whole index: v1=$b1 v2=$b2")
     val v2 = sources.Snapshots.readAsOf(spark, base, 2L)
     assert(v2.count() == e.size)
     assert(v2.select("vec_id").distinct().count() == e.size)
@@ -500,13 +520,18 @@ class TextVecSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(base))
       .filter(_.isDirectory).map(_.getPath.getName)
-    def clusterParts(d: String): Set[String] =
+    def cellParts(d: String): Set[String] =
       fs.listStatus(new org.apache.hadoop.fs.Path(base, d))
         .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("c_id=")).toSet
-    val v1Parts = clusterParts(dirs.find(_.startsWith("v=1-")).get)
-    val v2Parts = clusterParts(dirs.find(_.startsWith("v=2-")).get)
-    assert(v2Parts.subsetOf(v1Parts) && v2Parts.size < v1Parts.size)
+        .filter(_.startsWith("cc_id=")).toSet
+    val v1Parts = cellParts(dirs.find(_.startsWith("v=1-")).get)
+    val v2Parts = cellParts(dirs.find(_.startsWith("v=2-")).get)
+    // v2's own data dir holds EXACTLY the batch's coarse cells (the
+    // mirror computes them), and the base build's dirs are exactly
+    // the cells with >= 1 base vector — the O(touched-cells) write
+    // amplification, asserted exactly rather than by dir counts
+    assert(v2Parts == batchCells.map(c => s"cc_id=$c"))
+    assert(v1Parts == baseCells.map(c => s"cc_id=$c"))
   }
 
   test("minhash_append degrades to a batch-only index when the " +

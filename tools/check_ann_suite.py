@@ -164,7 +164,7 @@ def main(sf_dir, out_dir):
         f"read_parquet('{out_dir}/ann_recall_suite/*.parquet')"
     ).fetchall()
     got = {(p, int(n)): float(r) for p, n, r in got}
-    assert len(got) == 10, f"dump has {len(got)} rows, want 10"
+    assert len(got) == 12, f"dump has {len(got)} rows, want 12"
 
     exact = top10_sets(Q @ E.T, vec_ids, q_ids)
 
@@ -235,6 +235,24 @@ def main(sf_dir, out_dir):
             sets.append(set(ri[o[:NQ]].tolist()))
         want[("ivfpq", np_)] = recall(sets)
 
+    # ---- IVF x PQ + EXACT RERANK (r17): ADC top-100 shortlist per
+    # query (adc desc, vec_id asc at the rank-100 boundary), then the
+    # shortlist's raw embeddings re-scored exactly, top-10
+    for np_ in (2, 8):
+        sets = []
+        for qi, q in enumerate(q_ids):
+            order = np.lexsort((cF_ids, -probe_scores_F[qi]))
+            probed = set(order[:np_].tolist())
+            cand = np.isin(aF, list(probed)) & (vec_ids != q)
+            rv = r4(scores16[qi][cand])
+            ri = vec_ids[cand]
+            o = np.lexsort((ri, -rv))
+            short = ri[o[:100]]
+            ev = r4(E[short] @ Q[qi])  # positional: ids are dense
+            oo = np.lexsort((short, -ev))
+            sets.append(set(short[oo[:NQ]].tolist()))
+        want[("ivfpq_rerank", np_)] = recall(sets)
+
     # ---- trained PQ codebooks
     tr16, tr16c2 = pq_lloyd(SV, S2, 16, ROUNDS)
     want[("pq_trained", 16)] = recall(pq_sets(tr16, tr16c2)[0])
@@ -249,7 +267,7 @@ def main(sf_dir, out_dir):
               f"engine={got[key]:.4f} checker={rec:.4f} (hits={hits}/80)")
         if not ok:
             n_fail += 1
-    print(f"\n{10 - n_fail} passed, {n_fail} failed")
+    print(f"\n{len(got) - n_fail} passed, {n_fail} failed")
     return 1 if n_fail else 0
 
 

@@ -8,9 +8,14 @@ where the SQL join grinds for tens of minutes. This checker verifies
 the same contract from the raw parquet with BLAS-blocked matrix
 products instead:
 
-  assignment = argmax over the k = max(8, ceil(sqrt(N/100)))
-               lowest-vec_id seed centroids of the 4dp-rounded dot
-               (tie -> lowest centroid id)
+  fine seeds = the k = max(8, ceil(N/100)) lowest vec_ids
+               (tau = 100 target cluster size)
+  coarse     = the kc = max(4, ceil(sqrt(n_fine))) lowest fine seeds
+  assignment = TWO-LEVEL (the r17 assignFrozen rule): each fine seed
+               picks a coarse cell by 4dp-rounded-dot argmax (tie ->
+               lowest id; a coarse seed owns its own cell), each
+               vector picks its coarse cell the same way, then its
+               cluster is the argmax over ONLY that cell's fine seeds
   dropped    = exists a LOWER-id same-cluster vector with
                4dp-rounded dot >= 0.3
 
@@ -25,6 +30,7 @@ alarms (check_cc.py plays the same role for the recursive-CTE ops).
 
 Usage: python3 tools/check_semdedup.py <sfDir> <verifyOutDir>
 """
+import math
 import sys
 
 import duckdb
@@ -35,11 +41,11 @@ BLOCK = 2048
 
 
 def n_seeds(n):
-    # k = max(8, ceil(sqrt(N / 100))) — the engines' data-driven k
-    # (tau = 100 target cluster size); IEEE-double sqrt/ceil matches
-    # Spark's math.* and DuckDB's SQRT/CEIL bit-for-bit
+    # k = max(8, ceil(N / 100)) — the engines' data-driven k
+    # (tau = 100 target cluster size); IEEE-double ceil matches
+    # Spark's math.* and DuckDB's CEIL bit-for-bit
     import math
-    return max(8, int(math.ceil(math.sqrt(n / 100.0))))
+    return max(8, int(math.ceil(n / 100.0)))
 
 
 def r4(x):
@@ -54,6 +60,51 @@ def fold_dot(a, b):
     for x, y in zip(a, b):
         s += float(x) * float(y)
     return s
+
+
+def two_level_assign(V, seed_ids, S):
+    """The assignFrozen mirror over GEMM scores. `seed_ids`/`S` are
+    the fine seeds sorted ascending by id. The fine->coarse map is
+    computed with the EXACT left-to-right fold (k*kc dots — cheap),
+    so only the two vector-side argmaxes carry GEMM ordering risk
+    (re-decided by the caller on disagreement). Returns (assign,
+    coarse_ids, f2c dict)."""
+    kc = min(max(4, int(math.ceil(math.sqrt(len(seed_ids))))),
+             len(seed_ids))
+    coarse_ids = seed_ids[:kc]
+    C = S[:kc]
+    coarse_set = set(int(c) for c in coarse_ids)
+    f2c = {}
+    for i, fid in enumerate(seed_ids):
+        if int(fid) in coarse_set:
+            f2c[int(fid)] = int(fid)  # a coarse seed owns its cell
+        else:
+            best = min((-r4(fold_dot(S[i], C[j])), int(coarse_ids[j]))
+                       for j in range(kc))
+            f2c[int(fid)] = best[1]
+    v_sc = r4(V @ C.T)
+    v2c = coarse_ids[np.argmax(v_sc, axis=1)]  # first occ = lowest id
+    assign = np.empty(len(V), dtype=np.int64)
+    for ci in coarse_ids:
+        vmask = v2c == ci
+        if not vmask.any():
+            continue
+        fmask = np.array([f2c[int(f)] == int(ci) for f in seed_ids])
+        fid = seed_ids[fmask]  # ascending
+        g = r4(V[vmask] @ S[fmask].T)
+        assign[vmask] = fid[np.argmax(g, axis=1)]
+    return assign, coarse_ids, f2c
+
+
+def fold_assign(v, seed_ids, S, coarse_ids, f2c):
+    """One vector's cluster via the exact left-to-right fold at both
+    levels — the re-decision path for GEMM-order disagreements."""
+    kc = len(coarse_ids)
+    cell = min((-r4(fold_dot(v, S[j])), int(coarse_ids[j]))
+               for j in range(kc))[1]
+    return min((-r4(fold_dot(v, S[i])), int(fid))
+               for i, fid in enumerate(seed_ids)
+               if f2c[int(fid)] == cell)[1]
 
 
 def main(sf_dir, out_dir):
@@ -73,9 +124,7 @@ def main(sf_dir, out_dir):
     seed_mask = ids < n_seeds(len(ids))
     seed_ids = ids[seed_mask]
     S = V[seed_mask]
-    scores = r4(V @ S.T)  # (n, k); columns already ordered by seed id
-    # argmax with tie -> lowest c_id: argmax returns first occurrence
-    assign = seed_ids[np.argmax(scores, axis=1)]
+    assign, coarse_ids, f2c = two_level_assign(V, seed_ids, S)
 
     mismatches = []
     for v, c in zip(ids, assign):
@@ -103,10 +152,8 @@ def main(sf_dir, out_dir):
     real = []
     for kind, v in mismatches:
         pos = int(np.where(ids == v)[0][0])
-        exact_scores = r4(np.array(
-            [fold_dot(V32[pos], V32[int(np.where(ids == s)[0][0])])
-             for s in seed_ids]))
-        exact_assign = int(seed_ids[int(np.argmax(exact_scores))])
+        exact_assign = fold_assign(V32[pos], seed_ids, S,
+                                   coarse_ids, f2c)
         if kind == "assign":
             if got[v][0] != exact_assign:
                 real.append((kind, v))

@@ -10,10 +10,12 @@ parquet with BLAS-blocked matrix products instead (check_semdedup.py's
 protocol, adapted to the incremental-index pair output):
 
   base       = vec_id <= max(vec_id) - 5 (the 5 newest are the batch)
-  k          = max(8, ceil(sqrt(N_base / 100)))
+  k          = max(8, ceil(N_base / 100))   (tau = 100)
   seeds      = the k lowest vec_ids (frozen, base-derived)
-  assignment = argmax over seeds of the 4dp-rounded dot
-               (tie -> lowest centroid id), for EVERY vector
+  assignment = the TWO-LEVEL assignFrozen rule for EVERY vector
+               (kc = max(4, ceil(sqrt(n_seeds))) coarse cells; see
+               check_semdedup.two_level_assign, imported from there
+               so the rule lives in ONE checker)
   expected   = {(a, b, r4(dot)) : same cluster, a < b,
                 a or b in the batch, r4(dot) >= 0.3}
 
@@ -26,24 +28,17 @@ declares failure.
 Usage: python3 tools/check_semdedup_append.py <sfDir> <verifyOutDir>
 """
 import math
+import os
 import sys
 
 import duckdb
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_semdedup import fold_assign, fold_dot, r4, two_level_assign
+
 THRESH = 0.3
 BATCH = 5
-
-
-def r4(x):
-    return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
-
-
-def fold_dot(a, b):
-    s = 0.0
-    for x, y in zip(a, b):
-        s += float(x) * float(y)
-    return s
 
 
 def main(sf_dir, out_dir):
@@ -63,14 +58,13 @@ def main(sf_dir, out_dir):
 
     mxv = int(ids.max())
     n_base = int((ids <= mxv - BATCH).sum())
-    k = max(8, int(math.ceil(math.sqrt(n_base / 100.0))))
+    k = max(8, int(math.ceil(n_base / 100.0)))
     # seeds are BASE-derived (the engines' documented rule): the k
     # lowest ids restricted to the base slice
     seed_mask = (ids < k) & (ids <= mxv - BATCH)
     seed_ids = ids[seed_mask]
     S = V[seed_mask]
-    scores = r4(V @ S.T)
-    assign = seed_ids[np.argmax(scores, axis=1)]
+    assign, coarse_ids, f2c = two_level_assign(V, seed_ids, S)
 
     batch_pos = np.where(ids > mxv - BATCH)[0]
     expected = {}
@@ -87,14 +81,11 @@ def main(sf_dir, out_dir):
             expected[key] = float(sc)
 
     def fold_decide(a_id, b_id):
-        """(in_pair_set, score) via the exact left-to-right fold."""
+        """(in_pair_set, score) via the exact left-to-right fold at
+        both assignment levels."""
         pa, pb = pos_of[a_id], pos_of[b_id]
-        sa = r4(np.array([fold_dot(V32[pa], V32[pos_of[int(s)]])
-                          for s in seed_ids]))
-        sb = r4(np.array([fold_dot(V32[pb], V32[pos_of[int(s)]])
-                          for s in seed_ids]))
-        ca = int(seed_ids[int(np.argmax(sa))])
-        cb = int(seed_ids[int(np.argmax(sb))])
+        ca = fold_assign(V32[pa], seed_ids, S, coarse_ids, f2c)
+        cb = fold_assign(V32[pb], seed_ids, S, coarse_ids, f2c)
         sc = float(r4(fold_dot(V32[pa], V32[pb])))
         ok = (ca == cb and sc >= THRESH and
               (a_id > mxv - BATCH or b_id > mxv - BATCH))
