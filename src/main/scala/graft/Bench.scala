@@ -97,6 +97,12 @@ object Bench {
   val r15: Seq[String] = Seq("ivfpq_append", "ann_recall_suite",
     "ccnet_buckets", "weighted_sample", "gopher_ablation")
 
+  /** The round-17 addition, timed when SPARK_GRAFT_BENCH_SET=r17:
+    * the two-stage IVF×PQ query (ADC shortlist + exact rerank of
+    * 100 raw rows — the rerank adds one broadcast point-lookup join
+    * over `ivfpq_topk`'s plan). */
+  val r17: Seq[String] = Seq("ivfpq_rerank_topk")
+
   /** Bench protocol: timings are only comparable on the pinned 8 GB
     * driver heap (the identical binary moves ~1.5 s between 8 GB and
     * 64+ GB at local[32] sf0.1 — GC geometry, not code; SCALE.md
@@ -194,6 +200,7 @@ object Bench {
       case Some("r13")      => r13
       case Some("r14")      => r14
       case Some("r15")      => r15
+      case Some("r17")      => r17
       // ad-hoc targeted timing, e.g. "custom:pagerank,page_transitions"
       case Some(s) if s.startsWith("custom:") =>
         s.stripPrefix("custom:").split(",").map(_.trim)

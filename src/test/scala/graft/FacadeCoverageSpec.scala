@@ -179,7 +179,7 @@ class FacadeCoverageSpec extends AnyFunSuite {
     // frozen-half incremental ingest and a partition-pruned probe
     // (the dedup_append/ivf_append lifecycle) (r15)
     "quantizeInt8" -> Seq("pq_topk_trained", "ivfpq_topk",
-      "ivfpq_append"),
+      "ivfpq_append", "ivfpq_rerank_topk"),
     // dedup_spans resolves dup_span_frac's duplicated spans into
     // their token-coverage union — same gram kernel, span-removal
     // contract (r14); gopher_filter is the facade's score as a

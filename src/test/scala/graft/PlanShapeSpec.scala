@@ -256,6 +256,8 @@ class PlanShapeSpec extends AnyFunSuite {
       //                  + the 1-row base-cvr scalar
       "ivfpq_topk",    // crossJoins of the 16-row centroid set and
       //                  the 1-row query vector (ivf_topk's shape)
+      "ivfpq_rerank_topk", // same upstream + the 1-row query target
+      //                  crossed into the 100-row rerank shortlist
       "hard_negatives", // crossJoin of the 8-row anchor batch
       "interval_overlaps", // crossJoin of the two 1-row grid-bound
       //                  aggregates

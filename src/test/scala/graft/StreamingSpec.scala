@@ -1466,4 +1466,75 @@ class StreamingSpec extends AnyFunSuite {
     info(s"curate_sem ${"%.0f".format(rows.length / iSec)} rows/s " +
       s"(near $nN -> sem $nS, index $nI)")
   }
+
+  test("sf1m replay: curate tick-size sweep — fewer, larger ticks " +
+      "amortize the commit-bound tail (VERDICT r16 #6)") {
+    import spark.implicits._
+    assume(new java.io.File("/tmp/sf1m/documents.parquet").exists(),
+      "synthesized sf1m fixture not present (tools/make_sf.py --mutate)")
+    ext.GraftFunctions.register(spark)
+    val rows = spark.read.parquet("/tmp/sf1m/documents.parquet")
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    // TickProbe attributed 31-41% of every tick to the commit write
+    // sites; the identified lever is the CALLER's trigger size. This
+    // sweep measures it: the same 50k-doc mutated corpus replayed as
+    // 20, 5, and 1 tick(s) — identical final tables (monotone-id
+    // ticks compose), different commit counts.
+    def runAt(nTicks: Int): (Double, Long) = {
+      val srcDir = freshDir() + s"/curate_sweep_src_$nTicks"
+      val base = freshDir() + s"/curate_sweep_$nTicks"
+      rows.grouped((rows.length + nTicks - 1) / nTicks).foreach(sl =>
+        sl.toSeq.toDF("doc_id", "text", "n_chars").coalesce(1)
+          .write.mode("append").parquet(srcDir))
+      val t0 = System.nanoTime()
+      val q = spark.readStream
+        .schema(rows.take(1).toSeq
+          .toDF("doc_id", "text", "n_chars").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamOps.curateStreamMerge(b, id, base)
+          ()
+        }
+        .option("checkpointLocation", freshDir())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val iSec = (System.nanoTime() - t0) / 1e9
+      assert(sources.Snapshots.versions(spark, s"$base/quality")
+        .size == nTicks, s"expected $nTicks quality ticks")
+      val nN = sources.Snapshots.readAsOf(spark, s"$base/near",
+        sources.Snapshots.latest(spark, s"$base/near")).count()
+      (iSec, nN)
+    }
+    val sweep = Seq(20, 5, 1).map(n => n -> runAt(n))
+    // identical outputs across trigger sizes — the sweep varies cost
+    // only; any row delta would mean tick composition is broken
+    assert(sweep.map(_._2._2).distinct.size == 1,
+      s"near-survivor counts diverged across tick sizes: $sweep")
+    // per-tick overhead from the endpoints: the commit-bound share
+    // the caller's trigger choice controls
+    val t20 = sweep.head._2._1; val t1 = sweep.last._2._1
+    val perTick = (t20 - t1) / 19.0
+    val sizesJson = sweep.map { case (n, (sec, _)) =>
+      s"""{"ticks":$n,"docs_per_tick":${rows.length / n},""" +
+        s""""rows_per_sec":${"%.0f".format(rows.length / sec)},""" +
+        s""""seconds":${"%.2f".format(sec)}}"""
+    }.mkString("[", ",", "]")
+    StreamArt.shapes("curate_trigger") =
+      s"""{"shape":"curate_trigger","op":"foreachBatch """ +
+        s"""curateStreamMerge trigger-size sweep (4 tables)",""" +
+        s""""rows_per_sec":${
+          "%.0f".format(rows.length / sweep.last._2._1)},""" +
+        s""""sizes":$sizesJson,"per_tick_overhead_sec":${
+          "%.2f".format(perTick)},""" +
+        s""""fixture":"sf1m","store":"snapshot"}"""
+    StreamArt.write()
+    info(sweep.map { case (n, (sec, _)) =>
+      s"$n ticks: ${"%.0f".format(rows.length / sec)} rows/s"
+    }.mkString("; ") + s"; per-tick overhead ${"%.2f".format(perTick)} s")
+  }
 }
