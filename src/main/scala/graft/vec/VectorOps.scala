@@ -674,7 +674,13 @@ object VectorOps extends OpModule {
     * Only the two coarse scorings broadcast (kc = ⌈√k⌉ rows); the
     * fine scoring is an equi-join on the cell id — N·(k/kc) scored
     * rows through a map-side max_by partial, never a k-row
-    * broadcast. Deterministic: every score is rounded before every
+    * broadcast. A pathologically popular cell (adversarial data
+    * piling vectors AND fine seeds into one coarse region) skews
+    * that join's key — it is a plain equi-join ahead of the partial
+    * aggregate, exactly the shape AQE's skew-join split handles
+    * (OptimizeSkewedJoin splits the fat partition; the downstream
+    * max_by partials re-combine per vec_id regardless).
+    * Deterministic: every score is rounded before every
     * argmax, and both argmaxes tie-break on the lowest id, so the
     * assignment is a pure function of (own embedding, fine, coarse)
     * — batch-isolated assignments equal full-corpus slices, the

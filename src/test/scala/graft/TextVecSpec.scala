@@ -532,6 +532,18 @@ class TextVecSpec extends AnyFunSuite {
     // amplification, asserted exactly rather than by dir counts
     assert(v2Parts == batchCells.map(c => s"cc_id=$c"))
     assert(v1Parts == baseCells.map(c => s"cc_id=$c"))
+    // the at-ingest probe's index scans are CELL-PRUNED at the plan
+    // level: readAsOf's manifest restricts listing to the version's
+    // dirs and the scan carries non-empty PartitionFilters on cc_id
+    // (the ivfpq_append plan-guard precedent) — without them the
+    // probe is an index sweep, not a pruned read
+    val scanLines = vec.VectorOps.semdedupAppend.run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .split("\n").filter(l => l.contains("FileScan") &&
+        l.contains("semdedup_append"))
+    assert(scanLines.nonEmpty)
+    assert(scanLines.forall(_.contains("PartitionFilters: [cast(cc_id")),
+      s"index scan not cell-filtered:\n${scanLines.mkString("\n")}")
   }
 
   test("minhash_append degrades to a batch-only index when the " +
