@@ -2013,7 +2013,17 @@ object Graft {
     require(n > 0L,
       "reclusterSem: no embedded stage-3 survivors to cluster")
     val k = math.max(8L, math.ceil(n.toDouble / tau).toLong)
-    val sd = ne.orderBy(col("doc_id")).limit(k.toInt)
+    // the k lowest SURVIVOR ids (sparse — the semdedup ops' dense
+    // `id < k` rule doesn't apply): the global top-k runs on the
+    // SKINNY id column only (TakeOrdered holds 8·k bytes, not
+    // k full embedding rows — ~80 MB at a 1 B-doc corpus), then a
+    // semi-join recovers the vectors. Past ~1 B seeds the driver-side
+    // merge itself is the bound; the declared next rung there is
+    // range-partitioned selection of the k-th id, not a bigger
+    // TakeOrdered.
+    val seedIds = ne.select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(k.toInt)
+    val sd = ne.join(seedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("c_id"), col("embedding").as("c_emb"))
       .localCheckpoint() // consumers: max + commit + rollup
     val sdMax = sd.agg(max(col("c_id"))).head.getLong(0)

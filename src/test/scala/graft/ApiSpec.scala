@@ -1052,5 +1052,27 @@ class ApiSpec extends AnyFunSuite {
     sources.Snapshots.vacuum(spark, iT, 1, graceMs = 0L)
     assert(idxRows(sources.Snapshots.latest(spark, iT)) == want,
       "vacuum broke the rebuilt index")
+    // crash-rerun convergence: seeds are a deterministic function of
+    // the corpus, so re-running the rebuild re-derives the SAME seed
+    // set and index contents at the next versions — the documented
+    // recovery for a crash between the two commits
+    val (vS2, vI2) = Graft.reclusterSem(spark, base, embAll)
+    assert(vS2 == vS + 1 && vI2 > vI)
+    def seedRows(v: Long): Set[(Long, Long)] =
+      sources.Snapshots.readAsOf(spark, dT, v)
+        .select(col("c_id"), col("seed_max_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seedRows(vS2) == seedRows(vS),
+      "re-run derived a different seed set from the same corpus")
+    assert(idxRows(vI2) == want,
+      "re-run rebuilt a different index from the same corpus")
+  }
+
+  test("Graft.reclusterSem fails loudly without a curated corpus") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_recluster_empty").toString + "/t"
+    val e = intercept[IllegalArgumentException](
+      Graft.reclusterSem(spark, base, embLookup(sfDir01)))
+    assert(e.getMessage.contains("no committed near/ version"))
   }
 }
