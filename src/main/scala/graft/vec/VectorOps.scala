@@ -2265,23 +2265,26 @@ object VectorOps extends OpModule {
         .select(col("q_id"), col("vec_id"),
           col("adc_i").cast("double").as("score"))
         .localCheckpoint() // 3 consumers: pq row + 2 ivfpq rows
-      def ivfpqRetr(np: Int): DataFrame = {
+      // the candidate-restricted ADC frame is shared per nprobe: the
+      // raw-ivfpq row takes its top-10 and the rerank row its top-100
+      // shortlist from the SAME materialized scores (one semi-join
+      // per np instead of two — the rerank rows' marginal cost is
+      // only the window widening + the 100-row exact re-score)
+      def ivfpqScored(np: Int): DataFrame = {
         val cands = assignedF.select(col("vec_id"), col("c_id"))
           .join(broadcast(probesF.filter(col("rn") <= np)
             .select(col("q_id"), col("c_id"))), "c_id")
           .select(col("q_id"), col("vec_id"))
-        top10(pqScores.join(cands, Seq("q_id", "vec_id"), "left_semi"))
+        pqScores.join(cands, Seq("q_id", "vec_id"), "left_semi")
+          .localCheckpoint() // 2 consumers: ivfpq top-10 + rerank
       }
+      val ipqScored2 = ivfpqScored(2)
+      val ipqScored8 = ivfpqScored(8)
       // ivfpq + EXACT RERANK (ivfpq_rerank_topk's two stages): ADC
       // top-100 shortlist per query, then the shortlist's raw rows
       // re-scored exactly — the declared fix for ADC recall collapse
-      def ivfpqRerankRetr(np: Int): DataFrame = {
-        val cands = assignedF.select(col("vec_id"), col("c_id"))
-          .join(broadcast(probesF.filter(col("rn") <= np)
-            .select(col("q_id"), col("c_id"))), "c_id")
-          .select(col("q_id"), col("vec_id"))
-        val short = pqScores
-          .join(cands, Seq("q_id", "vec_id"), "left_semi")
+      def rerankFrom(scored: DataFrame): DataFrame = {
+        val short = scored
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= 100)
           .select(col("q_id"), col("vec_id"))
@@ -2328,12 +2331,12 @@ object VectorOps extends OpModule {
           recallRow("ivf_trained", 2, ivfRetr(assignedT, probesT, 2)))
         .unionByName(
           recallRow("ivf_trained", 8, ivfRetr(assignedT, probesT, 8)))
-        .unionByName(recallRow("ivfpq", 2, ivfpqRetr(2)))
-        .unionByName(recallRow("ivfpq", 8, ivfpqRetr(8)))
+        .unionByName(recallRow("ivfpq", 2, top10(ipqScored2)))
+        .unionByName(recallRow("ivfpq", 8, top10(ipqScored8)))
         .unionByName(
-          recallRow("ivfpq_rerank", 2, ivfpqRerankRetr(2)))
+          recallRow("ivfpq_rerank", 2, rerankFrom(ipqScored2)))
         .unionByName(
-          recallRow("ivfpq_rerank", 8, ivfpqRerankRetr(8)))
+          recallRow("ivfpq_rerank", 8, rerankFrom(ipqScored8)))
         .unionByName(recallRow("pq", 16, top10(pqScores)))
         .unionByName(recallRow("pq64", 64, top10(pqScores64)))
         .unionByName(
