@@ -655,14 +655,14 @@ object Graft {
 
   /** SemDeDup-style semantic dedup (generalizes `semdedup`): assign
     * every vector to its nearest `centroids` row (the shared
-    * TWO-LEVEL frozen-seed rule, VectorOps.assignFrozen — MIPS,
-    * 4dp-rounded `dot_f`, ties → lowest id at both levels; with
+    * THREE-LEVEL frozen-seed rule, VectorOps.assignFrozen — MIPS,
+    * 4dp-rounded `dot_f`, ties → lowest id at every level; with
     * ≤ 4 centroids the rule degenerates to the plain argmax), then
     * drop any vector with a lower-id same-cluster neighbor at
     * rounded cosine ≥ `threshold`. The pair self-join is salted
     * `saltB` ways so parallelism is k·saltB, not k. `centroids`
     * (k rows: (cIdCol, cVecCol)) may be ⌈N/τ⌉-sized — only its
-    * ⌈√k⌉-row coarse level broadcasts; requires
+    * ⌈∛k⌉-row coarse level broadcasts; requires
     * `Graft.register(spark)` for dot_f.
     * Output: (idCol, cluster, kept). */
   def semdedup(df: DataFrame, vecCol: String, idCol: String,
@@ -1978,7 +1978,7 @@ object Graft {
     * stage-3 survivors (latest `near/` joined to the `embeddings`
     * lookup), k = max(8, ⌈n/τ⌉) lowest doc_ids — `semdedup`'s τ rule
     * sized to today's corpus, not the seed tick's — re-assigns every
-    * embedded survivor with the shared two-level kernel, and commits
+    * embedded survivor with the shared three-level kernel, and commits
     * `semseeds/` then `semidx/` as the NEXT versions of their
     * tables. Time-travel consistency is the snapshot tables' own:
     * a reader pinned at version v keeps seeing the old seeds with

@@ -1071,12 +1071,18 @@ object CurationOps extends OpModule {
           require(!batch.isEmpty,
             "dedup_append needs at least one document — the corpus " +
               "is empty, there is nothing to index")
-          Snapshots.commitPartitioned(batch, base, "hp")
+          Snapshots.commitPartitioned(
+            batch.repartition(col("hp")), base, "hp")
         } else {
+          // clustered commits: one file per hp dir per version (the
+          // minhash_append / streaming-tick doctrine — unclustered,
+          // partitionBy fans out #tasks files per dir)
           val v1 = Snapshots.commitPartitioned(
-            dedupIndexRollup(baseSlice), base, "hp")
+            dedupIndexRollup(baseSlice).repartition(col("hp")),
+            base, "hp")
           Snapshots.commitPartitions(
-            dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch),
+            dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch)
+              .repartition(col("hp")),
             base, "hp")
         }
       // the merged index itself — row-identical to the one-shot build

@@ -659,44 +659,95 @@ object VectorOps extends OpModule {
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.c_id").as("c_id"))
 
-  /** TWO-LEVEL frozen-seed assignment — the semdedup family's
-    * scalable form (VERDICT r16 #1: the one-level broadcast cross
-    * against k = ⌈N/τ⌉ fine seeds would carry an N/τ-row broadcast).
-    * `coarse` (cc_id, cc_emb) must be a catalog-sized subset of
-    * `fine` (c_id, c_emb):
-    *   1. every fine seed picks a coarse CELL — its 4dp-rounded
-    *      argmax coarse seed (lowest-cc_id tie-break), except a seed
-    *      that IS coarse owns its own cell, which guarantees no cell
-    *      is empty of fine seeds;
-    *   2. every vector picks its coarse cell by the same argmax;
-    *   3. the vector's cluster is the argmax over ONLY the fine
-    *      seeds of its cell (4dp round, lowest-c_id tie-break).
-    * Only the two coarse scorings broadcast (kc = ⌈√k⌉ rows); the
-    * fine scoring is an equi-join on the cell id — N·(k/kc) scored
-    * rows through a map-side max_by partial, never a k-row
-    * broadcast. A pathologically popular cell (adversarial data
-    * piling vectors AND fine seeds into one coarse region) skews
-    * that join's key — it is a plain equi-join ahead of the partial
-    * aggregate, exactly the shape AQE's skew-join split handles
-    * (OptimizeSkewedJoin splits the fat partition; the downstream
-    * max_by partials re-combine per vec_id regardless).
-    * Deterministic: every score is rounded before every
-    * argmax, and both argmaxes tie-break on the lowest id, so the
-    * assignment is a pure function of (own embedding, fine, coarse)
-    * — batch-isolated assignments equal full-corpus slices, the
-    * property the incremental/streaming maintainers rest on. */
-  private[graft] def assignTwoLevel(emb: DataFrame, fine: DataFrame,
-      coarse: DataFrame): DataFrame = {
-    val f2c = fine.crossJoin(broadcast(coarse))
+  /** Smallest c with c·c·c ≥ n — exact integer cube root ceiling.
+    * math.cbrt alone is NOT correctly rounded for perfect cubes
+    * (cbrt(27) can come back 3.0000000000000004 → ceil 4), so the
+    * float guess is clamped by integer comparison; the oracle mirror
+    * picks MIN(c) WHERE c*c*c >= n from an integer range for the
+    * same reason — neither engine ever trusts a float cube root. */
+  private[graft] def intCbrt(n: Long): Long = {
+    var c = math.max(1L, math.cbrt(n.toDouble).round)
+    while (c * c * c < n) c += 1
+    while (c > 1 && (c - 1) * (c - 1) * (c - 1) >= n) c -= 1
+    c
+  }
+
+  /** THREE-LEVEL frozen-seed assignment — the semdedup family's
+    * scalable form. One level (broadcast all k = ⌈N/τ⌉ fine seeds)
+    * would carry an N/τ-row broadcast; two levels (r17) scored
+    * N·(k/kc) = N·√(N/τ) fine rows — the residual super-linear term
+    * VERDICT r17 #1 flags. Three levels bound every per-vector
+    * fan-out at ∛k. `coarse` (cc_id, cc_emb) ⊆ `mid` (cm_id, cm_emb)
+    * ⊆ `fine` (c_id, c_emb) — lowest-id prefixes, which is what makes
+    * the own-cell rules below close every level:
+    *   1. every MID seed picks a coarse CELL — its 4dp-rounded
+    *      argmax coarse seed (lowest-cc_id tie-break), except a mid
+    *      seed that IS coarse owns its own cell → no coarse cell is
+    *      empty of mid seeds;
+    *   2. every FINE seed that is not itself mid picks its coarse
+    *      cell by the same argmax, then its MID cell as the argmax
+    *      over only that cell's mid seeds; a fine seed that IS mid
+    *      owns its own mid cell → no mid cell is empty of fine seeds;
+    *   3. every vector picks its coarse cell (argmax over the
+    *      broadcast coarse), then its mid cell (equi-join on cc_id
+    *      against the mid seeds of that cell), then its cluster
+    *      (equi-join on cm_id against the fine seeds of that mid
+    *      cell) — each argmax on the 4dp-rounded score with the
+    *      lowest-id tie-break.
+    * Only the coarse level broadcasts (kc = ⌈∛k⌉ rows). With
+    * km = min(k, kc²) mid seeds, the three vector-side scorings are
+    * N·kc + N·(km/kc) + N·(k/km) ≈ 3·N·∛k scored rows — N·∛(N/τ)
+    * total, each through a map-side max_by partial so no exchange
+    * ever carries a scored fan-out. A pathologically popular cell
+    * (adversarial data piling vectors AND seeds into one region)
+    * skews an equi-join key — both cell joins are plain equi-joins
+    * ahead of partial aggregates, exactly the shape AQE's skew-join
+    * split handles (OptimizeSkewedJoin splits the fat partition; the
+    * downstream max_by partials re-combine per vec_id regardless).
+    * Deterministic: every score is rounded before every argmax and
+    * every argmax tie-breaks on the lowest id, so the assignment is
+    * a pure function of (own embedding, fine, mid, coarse) — batch-
+    * isolated assignments equal full-corpus slices, the property the
+    * incremental/streaming maintainers rest on. */
+  private[graft] def assignThreeLevel(emb: DataFrame, fine: DataFrame,
+      mid: DataFrame, coarse: DataFrame): DataFrame = {
+    // mid seed -> coarse cell (own-cell rule for coarse seeds)
+    val m2c = mid.crossJoin(broadcast(coarse))
+      .withColumn("_cs", round(dot("cm_emb", "cc_emb"), 4))
+      .groupBy(col("cm_id"))
+      .agg(max_by(struct(col("cc_id"), col("cm_emb")),
+        struct(col("_cs"), -col("cc_id"))).as("m"))
+      .join(broadcast(coarse.select(col("cc_id").as("cm_id"),
+        lit(true).as("_own"))), Seq("cm_id"), "left")
+      .select(col("cm_id"), col("m.cm_emb").as("cm_emb"),
+        when(col("_own"), col("cm_id")).otherwise(col("m.cc_id"))
+          .as("cc_id"))
+    // fine seed -> mid cell: a mid seed owns its own mid cell; a
+    // non-mid fine seed routes coarse-then-mid (its chosen mid's
+    // coarse cell is its own coarse cell by construction). Only the
+    // km mid IDs broadcast for the membership anti-join — 8 bytes a
+    // row, catalog-sized at any k.
+    val f2m = fine
+      .join(broadcast(mid.select(col("cm_id").as("c_id"))),
+        Seq("c_id"), "left_anti")
+      .crossJoin(broadcast(coarse))
       .withColumn("_cs", round(dot("c_emb", "cc_emb"), 4))
       .groupBy(col("c_id"))
       .agg(max_by(struct(col("cc_id"), col("c_emb")),
         struct(col("_cs"), -col("cc_id"))).as("m"))
-      .join(broadcast(coarse.select(col("cc_id").as("c_id"),
-        lit(true).as("_own"))), Seq("c_id"), "left")
       .select(col("c_id"), col("m.c_emb").as("c_emb"),
-        when(col("_own"), col("c_id")).otherwise(col("m.cc_id"))
-          .as("cc_id"))
+        col("m.cc_id").as("cc_id"))
+      .join(m2c.select(col("cc_id"), col("cm_id"), col("cm_emb")),
+        Seq("cc_id"))
+      .withColumn("_ms", round(dot("c_emb", "cm_emb"), 4))
+      .groupBy(col("c_id"))
+      .agg(max_by(struct(col("cm_id"), col("c_emb")),
+        struct(col("_ms"), -col("cm_id"))).as("m"))
+      .select(col("c_id"), col("m.c_emb").as("c_emb"),
+        col("m.cm_id").as("cm_id"))
+      .unionByName(mid.select(col("cm_id").as("c_id"),
+        col("cm_emb").as("c_emb"), col("cm_id")))
+    // vector -> coarse cell (broadcast argmax)
     val v2c = emb.crossJoin(broadcast(coarse))
       .withColumn("_cs", round(dot("embedding", "cc_emb"), 4))
       .groupBy(col("vec_id"))
@@ -704,13 +755,26 @@ object VectorOps extends OpModule {
         struct(col("_cs"), -col("cc_id"))).as("m"))
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.cc_id").as("cc_id"))
-    v2c.join(f2c, Seq("cc_id"))
+    // vector -> mid cell within its coarse cell. cc_id is constant
+    // within each group (it is v2c's cell), so first() is
+    // deterministic; it rides along because the coarse cell is the
+    // persisted indexes' partition key (kc ∝ ∛k dirs — one dir per
+    // CLUSTER would put k ∝ N dirs on the filesystem)
+    val v2m = v2c
+      .join(m2c.select(col("cc_id"), col("cm_id"), col("cm_emb")),
+        Seq("cc_id"))
+      .withColumn("_ms", round(dot("embedding", "cm_emb"), 4))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cm_id"), col("embedding")),
+        struct(col("_ms"), -col("cm_id"))).as("m"),
+        first(col("cc_id")).as("cc_id"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cm_id").as("cm_id"), col("cc_id"))
+    // vector -> cluster within its mid cell
+    v2m.join(f2m.select(col("cm_id"), col("c_id"), col("c_emb")),
+        Seq("cm_id"))
       .withColumn("_fs", round(dot("embedding", "c_emb"), 4))
       .groupBy(col("vec_id"))
-      // cc_id is constant within the group (it is v2c's cell), so
-      // first() is deterministic; it rides along because the coarse
-      // cell is the persisted indexes' partition key (kc ∝ √N dirs —
-      // one dir per CLUSTER would put k ∝ N dirs on the filesystem)
       .agg(max_by(struct(col("c_id"), col("embedding")),
         struct(col("_fs"), -col("c_id"))).as("m"),
         first(col("cc_id")).as("cc_id"))
@@ -718,53 +782,95 @@ object VectorOps extends OpModule {
         col("m.c_id").as("c_id"), col("cc_id"))
   }
 
-  /** [[assignTwoLevel]] with the coarse level derived from the seed
-    * set itself: kc = max(4, ⌈√n_seeds⌉) lowest-c_id seeds. One rule
-    * for every frozen-seed consumer (`semdedup`, `semdedup_append`,
-    * the streaming maintainer, the curation semantic stage, the
+  /** [[assignThreeLevel]] with the coarse and mid levels derived
+    * from the seed set itself: kc = max(4, ⌈∛n_seeds⌉) and
+    * km = min(n_seeds, kc²) lowest-c_id seeds. One rule for every
+    * frozen-seed consumer (`semdedup`, `semdedup_append`, the
+    * streaming maintainer, the curation semantic stage, the
     * `Graft.semdedup` facade) — n_seeds is the ACTUAL seed row count
-    * (id-gap robust), mirrored in every oracle as
-    * GREATEST(4, CEIL(SQRT(COUNT(*) FROM fine))). When n_seeds ≤ kc
-    * every seed owns its own singleton cell and the rule degenerates
-    * to exactly the one-level argmax. */
+    * (id-gap robust), mirrored in every oracle by the same integer
+    * cube-root-ceiling search. When n_seeds ≤ kc² the mid level IS
+    * the fine level (every fine seed owns its own mid cell) and the
+    * rule degenerates to exactly the two-level form; when
+    * n_seeds ≤ kc it degenerates further to the one-level argmax. */
   private[graft] def assignFrozen(emb: DataFrame,
       seeds: DataFrame): DataFrame = {
-    val kc = math.max(4L,
-      math.ceil(math.sqrt(seeds.count().toDouble)).toLong).toInt
+    val n = seeds.count()
+    val kc = math.max(4L, intCbrt(n)).toInt
+    val km = math.min(n, kc.toLong * kc).toInt
     val coarse = seeds.orderBy(col("c_id")).limit(kc)
       .select(col("c_id").as("cc_id"), col("c_emb").as("cc_emb"))
-    assignTwoLevel(emb, seeds, coarse)
+    val mid = seeds.orderBy(col("c_id")).limit(km)
+      .select(col("c_id").as("cm_id"), col("c_emb").as("cm_emb"))
+    assignThreeLevel(emb, seeds, mid, coarse)
   }
 
   /** The oracle-side mirror of [[assignFrozen]]: a CTE chain that
     * expects a `fine(c_id, c_emb)` CTE upstream and emits
-    * kc2/coarse/f2c/v2c/`assigned(vec_id, embedding, c_id)` over the
-    * `embeddings` table — same actual-seed-count kc, same own-cell
-    * rule for coarse seeds, same 4dp rounds and lowest-id
-    * tie-breaks. Kept textually in ONE place so the `semdedup` and
-    * `semdedup_append` oracles cannot drift from each other. */
-  private def twoLevelSql: String = s"""
-      kc2 AS (
-        SELECT GREATEST(4, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS kc
-        FROM fine),
+    * nn3/kc3/km3/coarse/mid/m2c/f2m/v2c/v2m/
+    * `assigned(vec_id, embedding, c_id)` over the `embeddings`
+    * table — same integer-cube-root kc, same km = min(n, kc²), same
+    * own-cell rules, same 4dp rounds and lowest-id tie-breaks. kc
+    * comes from MIN(c) WHERE c*c*c >= n over an integer range (never
+    * a float cube root — see [[intCbrt]]). Kept textually in ONE
+    * place so the `semdedup` and `semdedup_append` oracles cannot
+    * drift from each other. */
+  private def threeLevelSql: String = s"""
+      nn3 AS (SELECT COUNT(*) AS n FROM fine),
+      kc3 AS (
+        SELECT GREATEST(4,
+          (SELECT MIN(c) FROM (
+             SELECT CAST(r + 1 AS BIGINT) AS c FROM range(0, 100000) t(r))
+           WHERE c * c * c >= (SELECT n FROM nn3))) AS kc),
+      km3 AS (
+        SELECT LEAST((SELECT n FROM nn3),
+                     (SELECT kc * kc FROM kc3)) AS km),
       coarse AS (
         SELECT c_id AS cc_id, c_emb AS cc_emb FROM (
           SELECT c_id, c_emb, ROW_NUMBER() OVER (ORDER BY c_id) AS crn
           FROM fine)
-        WHERE crn <= (SELECT kc FROM kc2)),
-      f2c AS (
-        SELECT c_id, c_emb,
-               CASE WHEN c_id IN (SELECT cc_id FROM coarse) THEN c_id
+        WHERE crn <= (SELECT kc FROM kc3)),
+      mid AS (
+        SELECT c_id AS cm_id, c_emb AS cm_emb FROM (
+          SELECT c_id, c_emb, ROW_NUMBER() OVER (ORDER BY c_id) AS mrn
+          FROM fine)
+        WHERE mrn <= (SELECT km FROM km3)),
+      m2c AS (
+        SELECT cm_id, cm_emb,
+               CASE WHEN cm_id IN (SELECT cc_id FROM coarse) THEN cm_id
                     ELSE cc_id END AS cc_id
         FROM (
-          SELECT f.c_id, f.c_emb, co.cc_id,
-                 ROW_NUMBER() OVER (PARTITION BY f.c_id
+          SELECT m.cm_id, m.cm_emb, co.cc_id,
+                 ROW_NUMBER() OVER (PARTITION BY m.cm_id
                    ORDER BY ROUND(list_dot_product(
-                     CAST(f.c_emb AS DOUBLE[]),
+                     CAST(m.cm_emb AS DOUBLE[]),
                      CAST(co.cc_emb AS DOUBLE[])), 4) DESC,
-                   co.cc_id) AS frn
-          FROM fine f, coarse co)
-        WHERE frn = 1),
+                   co.cc_id) AS mrn
+          FROM mid m, coarse co)
+        WHERE mrn = 1),
+      f2m AS (
+        SELECT c_id, c_emb, cm_id FROM (
+          SELECT fc.c_id, fc.c_emb, m.cm_id,
+                 ROW_NUMBER() OVER (PARTITION BY fc.c_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(fc.c_emb AS DOUBLE[]),
+                     CAST(m.cm_emb AS DOUBLE[])), 4) DESC,
+                   m.cm_id) AS frn
+          FROM (
+            SELECT c_id, c_emb, cc_id FROM (
+              SELECT f.c_id, f.c_emb, co.cc_id,
+                     ROW_NUMBER() OVER (PARTITION BY f.c_id
+                       ORDER BY ROUND(list_dot_product(
+                         CAST(f.c_emb AS DOUBLE[]),
+                         CAST(co.cc_emb AS DOUBLE[])), 4) DESC,
+                       co.cc_id) AS crn
+              FROM fine f, coarse co
+              WHERE f.c_id NOT IN (SELECT cm_id FROM mid))
+            WHERE crn = 1) fc
+          JOIN m2c m USING (cc_id))
+        WHERE frn = 1
+        UNION ALL
+        SELECT cm_id AS c_id, cm_emb AS c_emb, cm_id FROM mid),
       v2c AS (
         SELECT vec_id, embedding, cc_id FROM (
           SELECT e.vec_id, e.embedding, co.cc_id,
@@ -775,6 +881,16 @@ object VectorOps extends OpModule {
                    co.cc_id) AS vrn
           FROM embeddings e, coarse co)
         WHERE vrn = 1),
+      v2m AS (
+        SELECT vec_id, embedding, cm_id FROM (
+          SELECT v.vec_id, v.embedding, m.cm_id,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY ROUND(list_dot_product(
+                     CAST(v.embedding AS DOUBLE[]),
+                     CAST(m.cm_emb AS DOUBLE[])), 4) DESC,
+                   m.cm_id) AS vrn
+          FROM v2c v JOIN m2c m USING (cc_id))
+        WHERE vrn = 1),
       assigned AS (
         SELECT vec_id, embedding, c_id FROM (
           SELECT v.vec_id, v.embedding, f.c_id,
@@ -783,7 +899,7 @@ object VectorOps extends OpModule {
                      CAST(v.embedding AS DOUBLE[]),
                      CAST(f.c_emb AS DOUBLE[])), 4) DESC,
                    f.c_id) AS arn
-          FROM v2c v JOIN f2c f USING (cc_id))
+          FROM v2m v JOIN f2m f USING (cm_id))
         WHERE arn = 1)"""
 
   /** Cluster-index rollup of an embeddings batch against FROZEN
@@ -791,10 +907,10 @@ object VectorOps extends OpModule {
     * (cc_id, c_id, vec_id, embedding) — `semdedup_append`'s kernel,
     * shared with the streaming ingest (StreamOps.semdedupIndexMerge)
     * so the streamed index cannot drift from the batch op. cc_id
-    * (the coarse cell) is the PARTITION key — kc ∝ √k dirs, bounded
+    * (the coarse cell) is the PARTITION key — kc ∝ ∛k dirs, bounded
     * no matter how k grows — and c_id stays a row-level column the
     * cell-pruned probe filters on. Assignments are pure functions of
-    * (own embedding, frozen seeds) — the two-level rule
+    * (own embedding, frozen seeds) — the three-level rule
     * ([[assignFrozen]]) keeps that purity — so batch-isolated
     * rollups equal full-corpus assignment slices. */
   private[graft] def semdedupIndexRollup(batch: DataFrame,
@@ -808,9 +924,18 @@ object VectorOps extends OpModule {
     * disjoint vec_id sets), so the merge is a union restricted to
     * touched COARSE-CELL partitions — emits only touched-partition
     * rows (the `commitPartitions` contract). `batch` is consumed
-    * twice (touched semi + union) — callers materialize it. */
+    * twice (touched semi + union) — callers materialize it.
+    * A pre-coarse-cell index (one dir per CLUSTER, no cc_id column)
+    * cannot be merged into incrementally — fail with the migration
+    * path instead of a downstream missing-column AnalysisException
+    * (ADVICE r17). */
   private[graft] def semdedupIndexMergeFrames(prev: DataFrame,
-      batch: DataFrame): DataFrame =
+      batch: DataFrame): DataFrame = {
+    require(prev.columns.contains("cc_id"),
+      "persisted semantic index predates the coarse-cell layout " +
+        "(no cc_id partition column) — rebuild it against the " +
+        "current seeds with Graft.reclusterSem (or re-run the base " +
+        "build) before merging new batches")
     prev
       .join(broadcast(batch.select(col("cc_id")).distinct()),
         Seq("cc_id"), "left_semi")
@@ -819,6 +944,7 @@ object VectorOps extends OpModule {
       .unionByName(batch
         .select(col("cc_id"), col("c_id"), col("vec_id"),
           col("embedding")))
+  }
 
   /** The PERSISTED inverted-file index with frozen-centroid ingest —
     * how a 100 TB vector store actually lives: the index is a snapshot
@@ -868,8 +994,11 @@ object VectorOps extends OpModule {
           struct(col("c_score"), -col("c_id"))).as("m"))
         .select(col("vec_id"), col("m.embedding").as("embedding"),
           col("m.c_id").as("list"))
-      // v1: the base index, clustered by inverted list
-      val v1 = Snapshots.commitPartitioned(assignTo(baseEmb), base, "list")
+      // v1: the base index, clustered by inverted list (repartition
+      // on the partition column: one file per list dir per version —
+      // the clustered-commit doctrine)
+      val v1 = Snapshots.commitPartitioned(
+        assignTo(baseEmb).repartition(col("list")), base, "list")
       // ingest: the 4 NEWEST vec_ids (the base's complement), assigned
       // to the FROZEN centroids; merge = full new contents of ONLY the
       // touched list partitions
@@ -881,7 +1010,8 @@ object VectorOps extends OpModule {
         .join(broadcast(touched), Seq("list"), "left_semi")
         .unionByName(batch.select(col("list"), col("vec_id"),
           col("embedding")))
-      val v2 = Snapshots.commitPartitions(merged, base, "list")
+      val v2 = Snapshots.commitPartitions(
+        merged.repartition(col("list")), base, "list")
       // probe the merged index with the NEWEST vector — the
       // freshly-ingested document immediately querying the index it
       // just joined: top-2 lists for the target, then exact scoring
@@ -942,15 +1072,15 @@ object VectorOps extends OpModule {
     * (`dedup_append` exact-hash, `minhash_append` near-dup lexical,
     * this op embedding-semantic): the index is the `semdedup`
     * assignment table (cc_id, c_id, vec_id, embedding) as a
-    * snapshot, hive-partitioned by COARSE CELL (cc_id, kc = ⌈√k⌉
-    * dirs) with the cluster id as an in-file column — a two-level
+    * snapshot, hive-partitioned by COARSE CELL (cc_id, kc = ⌈∛k⌉
+    * dirs) with the cluster id as an in-file column — a coarse-cell
     * IVF layout consulted for pruning rather than search. One dir
     * per CLUSTER (the r16 layout) worked while k was ∝ √N, but
     * k = ⌈N/τ⌉ makes that k ∝ N dirs and #tasks·k files per commit
     * (measured: 181 s at sf10m vs 8 s for the r16 45-dir build);
-    * cells keep the dir count ∝ √N and each cell is one
-    * √(τ·N)-row file per version (the writes repartition by cc_id —
-    * the curateIngest `clustered` doctrine). Built once from the
+    * cells keep the dir count ∝ ∛N and each cell is one bounded
+    * file per version (the writes repartition by cc_id — the
+    * curateIngest `clustered` doctrine). Built once from the
     * base corpus (all but the 5 newest vec_ids — a bounded ingest
     * tick, like `ivf_append`’s), maintained by
     * `commitPartitions`-merging each ingest batch: only coarse-cell
@@ -965,7 +1095,7 @@ object VectorOps extends OpModule {
     * Incremental ≡ one-shot because the centroids are FROZEN
     * functions of the base corpus (k = max(8, ⌈N_base/100⌉)
     * lowest-id base vectors — `semdedup`'s τ = 100 rule on the base
-    * slice, assigned two-level via [[assignFrozen]]), so a vector's
+    * slice, assigned three-level via [[assignFrozen]]), so a vector's
     * cluster is a pure function of its own embedding: batch
     * assignments computed in isolation are identical to full-corpus
     * assignments, and the merged index is row-identical to assigning
@@ -1060,7 +1190,7 @@ object VectorOps extends OpModule {
         SELECT vec_id AS c_id, embedding AS c_emb
         FROM embeddings, kk, mx
         WHERE vec_id < kk.k AND vec_id <= mx.mxv - 5),
-      $twoLevelSql
+      $threeLevelSql
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 4)
@@ -1123,7 +1253,7 @@ object VectorOps extends OpModule {
   /** SemDeDup-style semantic dedup: cluster the embedding space
     * (k = max(8, ⌈N/100⌉) deterministic seed centroids — the
     * lowest-k vec_ids, τ = 100 TARGET CLUSTER SIZE — assigned via
-    * the two-level MIPS rule of [[assignTwoLevel]]), then drop any
+    * the three-level MIPS rule of [[assignThreeLevel]]), then drop any
     * vector that has a LOWER-id in-cluster neighbor with rounded
     * cosine ≥ 0.3 — the "semantic near-duplicate pruning" step of a
     * training-data pipeline (cf. SemDeDup, Abbas et al. 2023:
@@ -1132,19 +1262,18 @@ object VectorOps extends OpModule {
     * (not transitive closure — `neardup_cluster` owns that kernel),
     * so keeps are a pure function of the pair set.
     *
-    * Scale (the r16 fix — the old k = ⌈√(N/100)⌉ gave clusters of
-    * 10·√N and ~5·N^1.5 pair mass, ~1.4 B scored pairs at sf10):
-    * k = ⌈N/τ⌉ pins the EXPECTED cluster size at τ, so within-
-    * cluster pair work is Σ n_c²/2 ≈ N·τ/2 — LINEAR in the corpus.
-    * The assignment is where ⌈N/τ⌉ fine seeds would break a
-    * broadcast, hence the two-level rule: only the kc = ⌈√k⌉ coarse
-    * seeds broadcast (√(N/τ) rows — ~32k at 100 G vectors), and the
-    * fine scoring is an equi-join on the cell id with map-side
-    * argmax partials, N·(k/kc) = N·√(N/τ) scored rows. That fine
-    * scoring is the residual super-linear term — N^1.5/√τ, ~50×
-    * below the pair mass it replaced at sf10, and the declared
-    * extension path is a third level (N·∛k) or ANN-assisted
-    * assignment, NOT a bigger broadcast. N comes from one count()
+    * Scale: a k ∝ √N rule would give clusters of 10·√N and
+    * ~5·N^1.5 pair mass (~1.4 B scored pairs at sf10); k = ⌈N/τ⌉
+    * pins the EXPECTED cluster size at τ, so within-cluster pair
+    * work is Σ n_c²/2 ≈ N·τ/2 — LINEAR in the corpus. The
+    * assignment is where ⌈N/τ⌉ fine seeds would break a broadcast,
+    * hence the three-level rule: only the kc = ⌈∛k⌉ coarse seeds
+    * broadcast (∛(N/τ) rows — ~1k at 100 G vectors), and the mid
+    * and fine scorings are equi-joins on the cell ids with map-side
+    * argmax partials — ≈ 3·N·∛k = 3·N·∛(N/τ) scored rows total
+    * (the two-level form's N·√(N/τ) fine term was the one declared
+    * super-linear path left after r17; three levels bound every
+    * per-vector fan-out at ∛k). N comes from one count()
     * — a parquet metadata read, not a data scan. The only other
     * wide exchange is the pair equi-join on the salted (cluster,
     * bucket) key, so parallelism is k·16 and per-cluster candidate
@@ -1159,9 +1288,9 @@ object VectorOps extends OpModule {
       val k = math.max(8L, math.ceil(emb.count() / 100.0).toLong)
       val seeds = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-      // two-level map-side argmax (assignFrozen): scored rows
+      // three-level map-side argmax (assignFrozen): scored rows
       // collapse to one row per vec_id BEFORE any exchange (partial
-      // max_by) at both levels, so no shuffle carries N·k rows and
+      // max_by) at every level, so no shuffle carries N·k rows and
       // no k-row frame broadcasts. localCheckpoint: the assignment
       // table is consumed three times (both sides of the pair
       // self-join + the final keep rollup); materializing it runs
@@ -1174,8 +1303,8 @@ object VectorOps extends OpModule {
       // 16-way id-bucket: the probe side carries its natural bucket,
       // the build side replicates across all 16, the joined pair set
       // is IDENTICAL, and the shuffle key (c_id, bkt) gives k·16-way
-      // parallelism. With k ∝ √N bounding per-cluster size, salting
-      // decouples core count from k at small N.
+      // parallelism. With k = ⌈N/τ⌉ pinning expected cluster size
+      // at τ, salting decouples core count from k at small N.
       val SaltB = 16
       val lower = assigned.select(col("c_id").as("a_c"),
         col("vec_id").as("a_id"), col("embedding").as("a_emb"))
@@ -1204,7 +1333,7 @@ object VectorOps extends OpModule {
       fine AS (
         SELECT vec_id AS c_id, embedding AS c_emb
         FROM embeddings WHERE vec_id < (SELECT k FROM kk)),
-      $twoLevelSql,
+      $threeLevelSql,
       d AS (
         SELECT DISTINCT b.vec_id
         FROM assigned a JOIN assigned b
@@ -1861,9 +1990,10 @@ object VectorOps extends OpModule {
         assign.join(packed, "vec_id")
           .select(col("list"), col("vec_id"), col("ck"))
       }
-      // v1: the base index, clustered by inverted list
-      val v1 = Snapshots.commitPartitioned(indexRows(baseEmb),
-        base, "list")
+      // v1: the base index, clustered by inverted list (one file per
+      // list dir per version — the clustered-commit doctrine)
+      val v1 = Snapshots.commitPartitioned(
+        indexRows(baseEmb).repartition(col("list")), base, "list")
       // ingest tick: the 4 newest vectors, encoded against the FROZEN
       // halves, merged into ONLY the touched list partitions
       val batch = indexRows(emb.crossJoin(broadcast(mx))
@@ -1874,7 +2004,8 @@ object VectorOps extends OpModule {
         .join(broadcast(touched), Seq("list"), "left_semi")
         .select(col("list"), col("vec_id"), col("ck"))
         .unionByName(batch)
-      val v2 = Snapshots.commitPartitions(merged, base, "list")
+      val v2 = Snapshots.commitPartitions(
+        merged.repartition(col("list")), base, "list")
       // the query: the newest vector probes the merged index — top-2
       // lists, ADC table from its sub-vectors, then a PRUNED read of
       // the committed code longs only

@@ -119,29 +119,46 @@ class Round8OpsSpec extends AnyFunSuite {
   private def r4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  test("semdedup matches brute-force assignment + lower-id drop rule") {
-    val emb = loadEmb(sfDir)
-    // two-level mirror of assignFrozen: k = ceil(N/tau) fine seeds,
-    // kc = ceil(sqrt(k)) coarse cells, coarse seeds own their cell
-    val k = math.max(8L, math.ceil(emb.length / 100.0).toLong)
-    val seeds = emb.filter(_._1 < k) // loadEmb sorts by id
-    val kc = math.max(4L,
-      math.ceil(math.sqrt(seeds.length.toDouble)).toLong).toInt
+  /** Driver-side mirror of the three-level assignFrozen rule:
+    * kc = max(4, ⌈∛n⌉) coarse, km = min(n, kc²) mid, own-cell rules
+    * at both seed routings, 4dp rounds + lowest-id tie-breaks
+    * everywhere. Returns id -> cluster for every (id, vec) in emb. */
+  private def threeLevelMirror(emb: Array[(Long, Array[Float])],
+      seeds: Array[(Long, Array[Float])]): Map[Long, Long] = {
+    val n = seeds.length.toLong
+    var c = math.max(1L, math.cbrt(n.toDouble).round)
+    while (c * c * c < n) c += 1
+    while (c > 1 && (c - 1) * (c - 1) * (c - 1) >= n) c -= 1
+    val kc = math.max(4L, c).toInt
+    val km = math.min(n, kc.toLong * kc).toInt
     val coarse = seeds.take(kc)
+    val mids = seeds.take(km)
     val coarseIds = coarse.map(_._1).toSet
+    val midIds = mids.map(_._1).toSet
     def cellOf(v: Array[Float]): Long =
       coarse.map { case (cc, cv) => (-r4(fdot(v, cv)), cc) }.min._2
-    val f2c = seeds.map { case (c, cv) =>
-      c -> (if (coarseIds(c)) c else cellOf(cv))
+    val m2c = mids.map { case (m, mv) =>
+      m -> (if (coarseIds(m)) m else cellOf(mv))
     }.toMap
-    val assign = emb.map { case (id, v) =>
-      val cell = cellOf(v)
-      id -> seeds.filter { case (c, _) => f2c(c) == cell }
-        .map { case (c, cv) => (-r4(fdot(v, cv)), c) }.min._2
+    def midOf(v: Array[Float], cell: Long): Long =
+      mids.filter { case (m, _) => m2c(m) == cell }
+        .map { case (m, mv) => (-r4(fdot(v, mv)), m) }.min._2
+    val f2m = seeds.map { case (cid, cv) =>
+      cid -> (if (midIds(cid)) cid else midOf(cv, cellOf(cv)))
     }.toMap
-    // the fixture must genuinely exercise both levels: more fine
-    // seeds than coarse cells (else the rule degenerates to one-level)
-    assert(seeds.length > kc)
+    emb.map { case (id, v) =>
+      val mcell = midOf(v, cellOf(v))
+      id -> seeds.filter { case (cid, _) => f2m(cid) == mcell }
+        .map { case (cid, cv) => (-r4(fdot(v, cv)), cid) }.min._2
+    }.toMap
+  }
+
+  test("semdedup matches brute-force assignment + lower-id drop rule") {
+    val emb = loadEmb(sfDir)
+    // three-level mirror of assignFrozen: k = ceil(N/tau) fine seeds
+    val k = math.max(8L, math.ceil(emb.length / 100.0).toLong)
+    val seeds = emb.filter(_._1 < k) // loadEmb sorts by id
+    val assign = threeLevelMirror(emb, seeds)
     val expected = emb.map { case (id, v) =>
       val dropped = emb.exists { case (a, av) =>
         a < id && assign(a) == assign(id) && r4(fdot(av, v)) >= 0.3
@@ -153,6 +170,39 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(out == expected)
     // the op is non-trivial on the fixture: both classes occur
     assert(out.values.exists(_._2 == 0) && out.values.exists(_._2 == 1))
+  }
+
+  test("assignFrozen: three genuine levels match the driver mirror") {
+    // the fixture ops run at n_seeds = 8 where the rule degenerates
+    // to two levels (kc = 4, km = n); force n_seeds = 100 so all
+    // three levels are live (kc = 5, km = 25) and compare the engine
+    // against the driver-side mirror vector by vector
+    val emb = loadEmb(sfDir)
+    val seeds = emb.filter(_._1 < 100)
+    assert(seeds.length == 100)
+    graft.ext.GraftFunctions.register(spark)
+    val sdf = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val got = vec.VectorOps.assignFrozen(
+        Tables(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding")), sdf)
+      .select(col("vec_id"), col("c_id"), col("cc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expect = threeLevelMirror(emb, seeds)
+    assert(got.view.mapValues(_._1).toMap == expect)
+    // more clusters used than the mid count proves the fine level
+    // actually discriminated (a collapsed fine stage would emit at
+    // most km = 25 distinct c_ids)
+    assert(got.values.map(_._1).toSet.size > 25)
+    // cc_id (the persisted partition key) is the vector's own
+    // coarse-argmax cell
+    val coarse = seeds.take(5)
+    for ((id, v) <- emb) {
+      val cell = coarse
+        .map { case (cc, cv) => (-r4(fdot(v, cv)), cc) }.min._2
+      assert(got(id)._2 == cell, s"vec $id cc_id")
+    }
   }
 
   test("pq_topk matches a full Scala mirror of the PQ pipeline") {

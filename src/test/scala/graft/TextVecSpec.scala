@@ -471,23 +471,36 @@ class TextVecSpec extends AnyFunSuite {
     def r4(x: Double): Double = math.rint(x * 10000) / 10000
     val mx = e.keys.max
     val nBase = e.size - 5
-    // two-level mirror of assignFrozen on the base-derived seeds:
-    // k = ceil(N_base/tau) fine, kc = ceil(sqrt(k)) coarse cells,
-    // a coarse seed owns its own cell
+    // three-level mirror of assignFrozen on the base-derived seeds:
+    // k = ceil(N_base/tau) fine, kc = max(4, ceil-cbrt(k)) coarse,
+    // km = min(k, kc^2) mid; seeds own their cells at both routings
     val k = math.max(8L, math.ceil(nBase / 100.0).toLong)
     val seeds = (0L until k).map(c => c -> e(c))
-    val kc = math.max(4L,
-      math.ceil(math.sqrt(seeds.size.toDouble)).toLong).toInt
+    val kc = {
+      var c = math.max(1L, math.cbrt(k.toDouble).round)
+      while (c * c * c < k) c += 1
+      while (c > 1 && (c - 1) * (c - 1) * (c - 1) >= k) c -= 1
+      math.max(4L, c).toInt
+    }
+    val km = math.min(k, kc.toLong * kc).toInt
     val coarse = seeds.take(kc)
+    val mids = seeds.take(km)
     val coarseIds = coarse.map(_._1).toSet
+    val midIds = mids.map(_._1).toSet
     def cellOf(v: Array[Float]): Long =
       coarse.minBy { case (cc, cv) => (-r4(dot(v, cv)), cc) }._1
-    val f2c = seeds.map { case (c, cv) =>
-      c -> (if (coarseIds(c)) c else cellOf(cv))
+    val m2c = mids.map { case (m, mv) =>
+      m -> (if (coarseIds(m)) m else cellOf(mv))
+    }.toMap
+    def midOf(v: Array[Float], cell: Long): Long =
+      mids.filter { case (m, _) => m2c(m) == cell }
+        .minBy { case (m, mv) => (-r4(dot(v, mv)), m) }._1
+    val f2m = seeds.map { case (c, cv) =>
+      c -> (if (midIds(c)) c else midOf(cv, cellOf(cv)))
     }.toMap
     val cluster = e.map { case (id, v) =>
-      val cell = cellOf(v)
-      id -> seeds.filter { case (c, _) => f2c(c) == cell }
+      val mcell = midOf(v, cellOf(v))
+      id -> seeds.filter { case (c, _) => f2m(c) == mcell }
         .minBy { case (c, cv) => (-r4(dot(v, cv)), c) }._1
     }
     val ids = e.keys.toSeq.sorted

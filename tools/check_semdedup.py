@@ -10,12 +10,18 @@ products instead:
 
   fine seeds = the k = max(8, ceil(N/100)) lowest vec_ids
                (tau = 100 target cluster size)
-  coarse     = the kc = max(4, ceil(sqrt(n_fine))) lowest fine seeds
-  assignment = TWO-LEVEL (the r17 assignFrozen rule): each fine seed
-               picks a coarse cell by 4dp-rounded-dot argmax (tie ->
-               lowest id; a coarse seed owns its own cell), each
-               vector picks its coarse cell the same way, then its
-               cluster is the argmax over ONLY that cell's fine seeds
+  coarse     = the kc = max(4, ceil-cbrt(n_fine)) lowest fine seeds
+               (integer cube-root ceiling: min c with c^3 >= n)
+  mid        = the km = min(n_fine, kc^2) lowest fine seeds
+  assignment = THREE-LEVEL (the r18 assignFrozen rule): each mid
+               seed picks a coarse cell by 4dp-rounded-dot argmax
+               (tie -> lowest id; a coarse seed owns its own cell);
+               each non-mid fine seed picks its coarse cell the same
+               way then its MID cell as the argmax over that cell's
+               mid seeds (a mid seed owns its own mid cell); each
+               vector routes coarse -> mid -> fine by the same
+               argmaxes, its cluster being the argmax over ONLY its
+               mid cell's fine seeds
   dropped    = exists a LOWER-id same-cluster vector with
                4dp-rounded dot >= 0.3
 
@@ -62,49 +68,88 @@ def fold_dot(a, b):
     return s
 
 
-def two_level_assign(V, seed_ids, S):
+def int_cbrt(n):
+    # smallest c with c*c*c >= n — never trust a float cube root for
+    # perfect cubes (mirrors VectorOps.intCbrt / the oracle's integer
+    # range search)
+    c = max(1, int(round(n ** (1.0 / 3))))
+    while c * c * c < n:
+        c += 1
+    while c > 1 and (c - 1) ** 3 >= n:
+        c -= 1
+    return c
+
+
+def three_level_assign(V, seed_ids, S):
     """The assignFrozen mirror over GEMM scores. `seed_ids`/`S` are
-    the fine seeds sorted ascending by id. The fine->coarse map is
-    computed with the EXACT left-to-right fold (k*kc dots — cheap),
-    so only the two vector-side argmaxes carry GEMM ordering risk
-    (re-decided by the caller on disagreement). Returns (assign,
-    coarse_ids, f2c dict)."""
-    kc = min(max(4, int(math.ceil(math.sqrt(len(seed_ids))))),
-             len(seed_ids))
+    the fine seeds sorted ascending by id. The seed-side routings
+    (mid->coarse, fine->mid) are computed with the EXACT left-to-
+    right fold (seed-count-sized — cheap), so only the vector-side
+    argmaxes carry GEMM ordering risk (re-decided by the caller on
+    disagreement). Returns (assign, coarse_ids, mid_ids, m2c, f2m)."""
+    n = len(seed_ids)
+    kc = min(max(4, int_cbrt(n)), n)
+    km = min(n, kc * kc)
     coarse_ids = seed_ids[:kc]
+    mid_ids = seed_ids[:km]
     C = S[:kc]
+    M = S[:km]
     coarse_set = set(int(c) for c in coarse_ids)
-    f2c = {}
+    mid_set = set(int(m) for m in mid_ids)
+
+    def cell_of(v):
+        return min((-r4(fold_dot(v, C[j])), int(coarse_ids[j]))
+                   for j in range(kc))[1]
+
+    m2c = {}
+    for i, mid in enumerate(mid_ids):
+        m2c[int(mid)] = (int(mid) if int(mid) in coarse_set
+                         else cell_of(M[i]))
+
+    def mid_of(v, cell):
+        return min((-r4(fold_dot(v, M[i])), int(mid_ids[i]))
+                   for i in range(km) if m2c[int(mid_ids[i])] == cell)[1]
+
+    f2m = {}
     for i, fid in enumerate(seed_ids):
-        if int(fid) in coarse_set:
-            f2c[int(fid)] = int(fid)  # a coarse seed owns its cell
-        else:
-            best = min((-r4(fold_dot(S[i], C[j])), int(coarse_ids[j]))
-                       for j in range(kc))
-            f2c[int(fid)] = best[1]
+        f2m[int(fid)] = (int(fid) if int(fid) in mid_set
+                         else mid_of(S[i], cell_of(S[i])))
+
+    # vector side: GEMM per level, cells resolved row-block-wise
     v_sc = r4(V @ C.T)
     v2c = coarse_ids[np.argmax(v_sc, axis=1)]  # first occ = lowest id
-    assign = np.empty(len(V), dtype=np.int64)
+    v2m = np.empty(len(V), dtype=np.int64)
     for ci in coarse_ids:
         vmask = v2c == ci
         if not vmask.any():
             continue
-        fmask = np.array([f2c[int(f)] == int(ci) for f in seed_ids])
+        mmask = np.array([m2c[int(m)] == int(ci) for m in mid_ids])
+        mids = mid_ids[mmask]  # ascending
+        g = r4(V[vmask] @ M[mmask].T)
+        v2m[vmask] = mids[np.argmax(g, axis=1)]
+    assign = np.empty(len(V), dtype=np.int64)
+    for mi in np.unique(v2m[: len(V)]):
+        vmask = v2m == mi
+        fmask = np.array([f2m[int(f)] == int(mi) for f in seed_ids])
         fid = seed_ids[fmask]  # ascending
         g = r4(V[vmask] @ S[fmask].T)
         assign[vmask] = fid[np.argmax(g, axis=1)]
-    return assign, coarse_ids, f2c
+    return assign, coarse_ids, mid_ids, m2c, f2m
 
 
-def fold_assign(v, seed_ids, S, coarse_ids, f2c):
-    """One vector's cluster via the exact left-to-right fold at both
-    levels — the re-decision path for GEMM-order disagreements."""
+def fold_assign(v, seed_ids, S, coarse_ids, mid_ids, m2c, f2m):
+    """One vector's cluster via the exact left-to-right fold at all
+    three levels — the re-decision path for GEMM-order
+    disagreements."""
     kc = len(coarse_ids)
+    km = len(mid_ids)
     cell = min((-r4(fold_dot(v, S[j])), int(coarse_ids[j]))
                for j in range(kc))[1]
+    mcell = min((-r4(fold_dot(v, S[i])), int(mid_ids[i]))
+                for i in range(km) if m2c[int(mid_ids[i])] == cell)[1]
     return min((-r4(fold_dot(v, S[i])), int(fid))
                for i, fid in enumerate(seed_ids)
-               if f2c[int(fid)] == cell)[1]
+               if f2m[int(fid)] == mcell)[1]
 
 
 def main(sf_dir, out_dir):
@@ -124,7 +169,8 @@ def main(sf_dir, out_dir):
     seed_mask = ids < n_seeds(len(ids))
     seed_ids = ids[seed_mask]
     S = V[seed_mask]
-    assign, coarse_ids, f2c = two_level_assign(V, seed_ids, S)
+    assign, coarse_ids, mid_ids, m2c, f2m = three_level_assign(
+        V, seed_ids, S)
 
     mismatches = []
     for v, c in zip(ids, assign):
@@ -153,7 +199,7 @@ def main(sf_dir, out_dir):
     for kind, v in mismatches:
         pos = int(np.where(ids == v)[0][0])
         exact_assign = fold_assign(V32[pos], seed_ids, S,
-                                   coarse_ids, f2c)
+                                   coarse_ids, mid_ids, m2c, f2m)
         if kind == "assign":
             if got[v][0] != exact_assign:
                 real.append((kind, v))

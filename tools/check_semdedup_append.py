@@ -12,10 +12,11 @@ protocol, adapted to the incremental-index pair output):
   base       = vec_id <= max(vec_id) - 5 (the 5 newest are the batch)
   k          = max(8, ceil(N_base / 100))   (tau = 100)
   seeds      = the k lowest vec_ids (frozen, base-derived)
-  assignment = the TWO-LEVEL assignFrozen rule for EVERY vector
-               (kc = max(4, ceil(sqrt(n_seeds))) coarse cells; see
-               check_semdedup.two_level_assign, imported from there
-               so the rule lives in ONE checker)
+  assignment = the THREE-LEVEL assignFrozen rule for EVERY vector
+               (kc = max(4, ceil-cbrt(n_seeds)) coarse cells,
+               km = min(n_seeds, kc^2) mid cells; see
+               check_semdedup.three_level_assign, imported from
+               there so the rule lives in ONE checker)
   expected   = {(a, b, r4(dot)) : same cluster, a < b,
                 a or b in the batch, r4(dot) >= 0.3}
 
@@ -35,7 +36,8 @@ import duckdb
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check_semdedup import fold_assign, fold_dot, r4, two_level_assign
+from check_semdedup import (fold_assign, fold_dot, r4,
+                            three_level_assign)
 
 THRESH = 0.3
 BATCH = 5
@@ -64,7 +66,8 @@ def main(sf_dir, out_dir):
     seed_mask = (ids < k) & (ids <= mxv - BATCH)
     seed_ids = ids[seed_mask]
     S = V[seed_mask]
-    assign, coarse_ids, f2c = two_level_assign(V, seed_ids, S)
+    assign, coarse_ids, mid_ids, m2c, f2m = three_level_assign(
+        V, seed_ids, S)
 
     batch_pos = np.where(ids > mxv - BATCH)[0]
     expected = {}
@@ -84,8 +87,10 @@ def main(sf_dir, out_dir):
         """(in_pair_set, score) via the exact left-to-right fold at
         both assignment levels."""
         pa, pb = pos_of[a_id], pos_of[b_id]
-        ca = fold_assign(V32[pa], seed_ids, S, coarse_ids, f2c)
-        cb = fold_assign(V32[pb], seed_ids, S, coarse_ids, f2c)
+        ca = fold_assign(V32[pa], seed_ids, S, coarse_ids,
+                         mid_ids, m2c, f2m)
+        cb = fold_assign(V32[pb], seed_ids, S, coarse_ids,
+                         mid_ids, m2c, f2m)
         sc = float(r4(fold_dot(V32[pa], V32[pb])))
         ok = (ca == cb and sc >= THRESH and
               (a_id > mxv - BATCH or b_id > mxv - BATCH))
