@@ -108,9 +108,20 @@ object Bench {
     * 64+ GB at local[32] sf0.1 — GC geometry, not code; SCALE.md
     * protocol note). `heap_gb` rounds maxMemory to the NEAREST GiB
     * because Serial/Parallel GC exclude a survivor space from
-    * maxMemory, so an 8 GB `-Xmx` floor-divides to 7 (ADVICE r16). */
+    * maxMemory, so an 8 GB `-Xmx` floor-divides to 7 (ADVICE r16).
+    * In-protocol acceptance is NOT the rounded value (nearest-GiB
+    * stamped -Xmx7700m/-Xmx8400m as in-protocol — ADVICE r17): only
+    * the survivor-space-exclusion band below an exact 8 GiB `-Xmx`
+    * qualifies, i.e. maxMemory ∈ [7.4 GiB, 8.0 GiB], and the raw
+    * byte count is stamped into the JSON so any mislabel is
+    * auditable. */
   private def heapGb: Long =
     (Runtime.getRuntime.maxMemory + (1L << 29)) >> 30
+
+  private def heapInProtocol: Boolean = {
+    val m = Runtime.getRuntime.maxMemory
+    m >= (74L << 30) / 10 && m <= (8L << 30)
+  }
 
   /** When launched off-protocol (any heap but 8 GB), re-exec this
     * main once under `-Xmx8g` — same JVM module flags, same
@@ -127,12 +138,12 @@ object Bench {
     try {
       val jvm = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
+      // forward EVERY inherited JVM flag except the heap sizing being
+      // overridden (ADVICE r17: dropping GC choice / -XX / -Xss flags
+      // silently changed the child's JVM configuration)
       val inherited = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments.asScala
-        .filter(a => a.startsWith("--add-opens") ||
-          a.startsWith("--add-exports") ||
-          a.startsWith("--enable-native-access") ||
-          a.startsWith("-D"))
+        .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms"))
       val cmd = (Seq(jvm) ++ inherited ++ Seq("-Xmx8g", "-cp",
         System.getProperty("java.class.path"), "graft.Bench") ++
         args).asJava
@@ -154,7 +165,7 @@ object Bench {
     // off-protocol launch re-execs at 8 GB (fallback: measure here
     // and stamp off_protocol so the artifact is self-labeling)
     var offProtocol = false
-    if (heapGb != 8L && !sys.env.contains("GRAFT_BENCH_NO_REEXEC")) {
+    if (!heapInProtocol && !sys.env.contains("GRAFT_BENCH_NO_REEXEC")) {
       reexecAt8g(args) match {
         case None => return // child measured in-protocol and printed
         case Some(reason) =>
@@ -163,7 +174,7 @@ object Bench {
             s"(pinned 8g) and re-exec failed ($reason) — timings " +
             "are not comparable to BASELINE/SCALE rows")
       }
-    } else if (heapGb != 8L) {
+    } else if (!heapInProtocol) {
       offProtocol = true
       System.err.println(s"Bench: OFF-PROTOCOL heap ${heapGb}g " +
         "(pinned 8g; re-exec suppressed) — timings are not " +
@@ -263,7 +274,7 @@ object Bench {
     // artifact records it: a future heap change shows up in the JSON
     // instead of reading as a code regression. off_protocol flags the
     // (rare) fallback path where the 8 GB re-exec could not run.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"runs":3,"failed":$failed,"heap_gb":$heapGb,"off_protocol":$offProtocol,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"runs":3,"failed":$failed,"heap_gb":$heapGb,"heap_bytes":${Runtime.getRuntime.maxMemory},"off_protocol":$offProtocol,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

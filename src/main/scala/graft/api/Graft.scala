@@ -1790,6 +1790,41 @@ object Graft {
       import graft.vec.VectorOps
       val sT = s"$base/sem"; val iT = s"$base/semidx"
       val dT = s"$base/semseeds"
+      // rebuild-collision guard (ADVICE r17): a batch-mode
+      // reclusterSem run against a ledger pipeline commits
+      // semseeds/semidx at latest+1 — versions that land in (or
+      // outrun) future tick slots, so later ticks would skip their
+      // semidx merge as "replays" or read cross-epoch seeds/index.
+      // Two fingerprints, both failed loudly with the migration
+      // path: (1) a ledger pipeline freezes seeds exactly ONCE (the
+      // seed tick; reclusterSemLedger's reset also leaves exactly
+      // one version), so a second semseeds version can only be a
+      // batch-mode rebuild or a foreign writer; (2) a table ahead of
+      // this tick's version without this version committed (a
+      // genuine replay always has its own version committed).
+      version.foreach { v =>
+        val dvs = Snapshots.versions(s, dT)
+        require(dvs.size <= 1,
+          s"curateIngest: $dT has ${dvs.size} committed versions " +
+            s"(${dvs.mkString(", ")}) — a fixed-version ledger " +
+            "freezes seeds exactly once, so a second version means " +
+            "a batch-mode Graft.reclusterSem (or a second writer) " +
+            "has run against this pipeline's tables. Stop the " +
+            "stream at a tick boundary and rebuild with " +
+            "Graft.reclusterSemLedger(lastBatchId), which resets " +
+            "the semantic tables into the tick version space")
+        Seq(dT, iT).foreach { t =>
+          val lt = Snapshots.latest(s, t)
+          require(lt <= v || Snapshots.versionExists(s, t, v),
+            s"curateIngest: $t is at version $lt — ahead of this " +
+              s"tick's fixed version $v, which is itself not " +
+              "committed. A batch-mode Graft.reclusterSem has run " +
+              "against this ledger-mode pipeline's tables (its " +
+              "latest+1 commits land in future tick slots). Stop " +
+              "the stream at a tick boundary and rebuild with " +
+              "Graft.reclusterSemLedger(lastBatchId) instead")
+        }
+      }
       val nbe = nb.select(col("doc_id"))
         .join(embAll.select(col("doc_id"), col("embedding")),
           Seq("doc_id"))
@@ -1801,31 +1836,52 @@ object Graft {
             v
           case None => Snapshots.commit(rows, table)
         }
+      // running ingest max (ADVICE r17): the seed-tick max alone
+      // misses a batch arriving above it but below a PREVIOUSLY
+      // committed batch's max — also a monotone-contract break (the
+      // 'committed rows are the lower-id side' pair evidence). Each
+      // tick records running-max(ingested doc_id) as a tiny driver-
+      // written sidecar keyed by its version; the guard reads the
+      // latest record STRICTLY BELOW this tick's version, so a
+      // replayed tick never false-alarms against its own record.
+      val tickV = version.getOrElse(vQ)
+      val batchMinMax =
+        if (batch.isEmpty) None
+        else {
+          val r = batch.agg(min(col("doc_id")), max(col("doc_id"))).head
+          Some((r.getLong(0), r.getLong(1)))
+        }
+      val priorMax = readIngestMax(s, base, tickV)
       val prevD = preV(dT)
       val seedsT: DataFrame =
         if (prevD > 0L) {
           val t = Snapshots.readAsOf(s, dT, prevD)
           // monotone-id guard (VERDICT r16 #5): the frozen seed set
           // is the corpus's semK lowest ids ONLY under the
-          // monotone-doc_id append contract. The seed commit records
-          // its max id; a later batch carrying a lower id means a
-          // one-shot curate over the full corpus would have picked a
-          // DIFFERENT seed set — convert that silent divergence into
-          // a loud, counted warning (seed-tick replays skip this
-          // branch, so their own ≤-max ids never false-alarm).
-          if (t.columns.contains("seed_max_id") && !batch.isEmpty) {
-            val recorded = t.agg(max(col("seed_max_id")))
-              .head.getLong(0)
-            val bmin = batch.agg(min(col("doc_id"))).head.getLong(0)
+          // monotone-doc_id append contract. A batch dipping below
+          // the running ingested max (or the seed tick's recorded
+          // max, whichever is higher) means a one-shot curate over
+          // the full corpus would have picked a different seed set
+          // or different pair evidence — convert that silent
+          // divergence into a loud, counted warning.
+          if (t.columns.contains("seed_max_id") &&
+              batchMinMax.isDefined) {
+            val recorded = math.max(
+              t.agg(max(col("seed_max_id"))).head.getLong(0),
+              priorMax.getOrElse(Long.MinValue))
+            val bmin = batchMinMax.get._1
             if (bmin <= recorded) {
               monotoneWarnings.incrementAndGet()
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"curateIngest: batch min doc_id $bmin <= the seed " +
-                  s"tick's recorded max $recorded — the monotone-id " +
-                  "append contract is violated, so the frozen seeds " +
-                  "are NOT the corpus's lowest ids and tick results " +
-                  "diverge from a one-shot curate; re-cluster " +
-                  "(Graft.reclusterSem) or fix the feed order")
+                s"curateIngest: batch min doc_id $bmin <= $recorded " +
+                  "(the max doc_id ingested by earlier ticks) — the " +
+                  "monotone-id append contract is violated, so the " +
+                  "frozen seeds are NOT the corpus's lowest ids " +
+                  "and/or committed rows are no longer the lower-id " +
+                  "pair side; tick results diverge from a one-shot " +
+                  "curate. Re-cluster (Graft.reclusterSem, or " +
+                  "reclusterSemLedger for a ledger stream) or fix " +
+                  "the feed order")
             }
           }
           t
@@ -1856,6 +1912,12 @@ object Graft {
           seedCommitFlat(sd.withColumn("seed_max_id", lit(sdMax)), dT)
           sd
         }
+      // record this tick's running max (idempotent on replay: the
+      // same batch re-derives the same value)
+      batchMinMax.foreach { case (_, bmax) =>
+        writeIngestMax(s, base, tickV,
+          math.max(priorMax.getOrElse(Long.MinValue), bmax))
+      }
       // the assignment kernels take exactly (c_id, c_emb); the guard
       // column stays in the table, not the kernel input
       val seeds = seedsT.select(col("c_id"), col("c_emb"))
@@ -1965,6 +2027,53 @@ object Graft {
   private[graft] val monotoneWarnings =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The curation ledger's running-ingest-max sidecar dir: one tiny
+    * driver-written file per tick version under `base/_ledger/
+    * ingest_max/<version>`, holding max(doc_id) ingested up to and
+    * including that tick. Pipeline metadata, not a snapshot table —
+    * the monotone-id guard's memory across ticks and restarts. */
+  private def ingestMaxDir(base: String): String =
+    s"$base/_ledger/ingest_max"
+
+  /** Latest recorded running max from versions STRICTLY BELOW
+    * `beforeV` (a replayed tick must never compare against its own
+    * record). None when no earlier tick recorded one. */
+  private def readIngestMax(s: SparkSession, base: String,
+      beforeV: Long): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(ingestMaxDir(base))
+    val f = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .filter(_ < beforeV)
+      if (vs.isEmpty) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(dir, vs.max.toString)
+        val in = f.open(p)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bos.toByteArray, "UTF-8").trim.toLong)
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Write (overwrite — replays re-derive the same value) the
+    * running max for tick `v`. */
+  private def writeIngestMax(s: SparkSession, base: String, v: Long,
+      value: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ingestMaxDir(base),
+      v.toString)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(value.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** RE-CLUSTER the curation family's semantic index — the
     * scheduled-maintenance rebuild the ingest tick deliberately
     * never performs (seeds freeze at the seed tick so that per-tick
@@ -1994,9 +2103,98 @@ object Graft {
     * are a deterministic function of the corpus, so the re-run
     * re-derives the same set and completes the pair).
     *
+    * BATCH-MODE ONLY (ADVICE r17): the optimistic latest+1 commits
+    * live outside the fixed-version ledger a `curateStream` /
+    * fixed-version `curateIngest` pipeline pins (tick i → version
+    * i+1), so a rebuild here can land semseeds/semidx versions that
+    * collide with — or silently outrun — upcoming tick versions.
+    * For a ledger-mode pipeline, stop the stream at a tick boundary
+    * and use [[reclusterSemLedger]] instead; the tick kernel fails
+    * loudly if it finds the semantic tables ahead of its own version
+    * without its version committed (the batch-rebuild fingerprint).
+    *
     * Returns (semseedsVersion, semidxVersion). */
   def reclusterSem(s: SparkSession, base: String,
       embeddings: DataFrame, tau: Int = 100): (Long, Long) = {
+    import graft.sources.Snapshots
+    val (sdM, idx) = semRebuildFrames(s, base, embeddings, tau)
+    val vSeeds = Snapshots.commit(sdM, s"$base/semseeds")
+    // a rebuild touches every cell by definition → full partitioned
+    // commit, cell-clustered (one file per cc_id per version)
+    val vIdx = Snapshots.commitPartitioned(
+      idx.repartition(col("cc_id")), s"$base/semidx", "cc_id")
+    (vSeeds, vIdx)
+  }
+
+  /** [[reclusterSem]] for a FIXED-VERSION LEDGER pipeline
+    * (`curateStream` / `curateIngest(version = Some(_))`, where tick
+    * i commits version i+1): the executable form of the trio's
+    * "reset tables and checkpoint together" maintenance step, scoped
+    * to the two semantic tables so the checkpoint and every other
+    * stage table keep running untouched.
+    *
+    * Protocol: STOP the stream at a tick boundary, call this with
+    * the batchId of the last COMPLETED batch, restart the stream on
+    * the same checkpoint. The rebuild derives fresh seeds and a full
+    * re-assigned index from the current corpus (exactly
+    * [[reclusterSem]]'s derivation — it reads only `near/` and
+    * `embeddings`, never the tables it replaces), then RESETS
+    * `semseeds/` and `semidx/` and commits the rebuilt contents at
+    * version lastBatchId + 1 — the last completed tick's version —
+    * so the next tick (version lastBatchId + 2) reads the new seed
+    * epoch via its latestBefore and merges strictly ahead of it.
+    *
+    * The reset DELETES the two tables' history (they are derived
+    * indexes — rebuildable from near/ + embeddings at any time; the
+    * corpus-holding stage tables quality/exact/near/sem and the band
+    * index keep full time-travel history). Crash between the two
+    * commits: re-run with the same lastBatchId (the derivation is
+    * deterministic, the reset idempotent). Do not run ticks
+    * concurrently with the rebuild — that is what "stop at a tick
+    * boundary" means. Returns the committed version. */
+  def reclusterSemLedger(s: SparkSession, base: String,
+      embeddings: DataFrame, lastBatchId: Long,
+      tau: Int = 100): Long = {
+    import graft.sources.Snapshots
+    val v = lastBatchId + 1
+    require(lastBatchId >= 0L,
+      s"reclusterSemLedger: lastBatchId must be >= 0 (got $lastBatchId)")
+    // quality/ commits on every non-gap tick — its latest version is
+    // the ledger's clock; a rebuild pinned BEHIND it would collide
+    // with already-committed tick versions
+    val tick = Snapshots.latest(s, s"$base/quality")
+    require(tick <= v,
+      s"reclusterSemLedger: lastBatchId + 1 = $v is behind the " +
+        s"ledger's last committed tick version $tick — pass the " +
+        "batchId of the stream's LAST completed batch (stop the " +
+        "stream at a tick boundary first)")
+    val (sdM, idx) = semRebuildFrames(s, base, embeddings, tau)
+    // both frames are checkpoint-backed and read nothing under the
+    // two tables being reset, so the delete cannot invalidate them
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(s"$base/semseeds", s"$base/semidx").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
+      val f = p.getFileSystem(conf)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    require(Snapshots.commitAs(sdM, s"$base/semseeds", v),
+      s"reclusterSemLedger: semseeds@$v exists after reset — a " +
+        "concurrent writer is violating the single-writer contract")
+    require(Snapshots.commitPartitionedAs(
+        idx.repartition(col("cc_id")), s"$base/semidx", "cc_id", v),
+      s"reclusterSemLedger: semidx@$v exists after reset — a " +
+        "concurrent writer is violating the single-writer contract")
+    v
+  }
+
+  /** Shared derivation of the semantic rebuild: fresh seeds (the
+    * k = max(8, ⌈n/τ⌉) lowest embedded stage-3 survivor ids, carrying
+    * the seed_max_id guard column) and the fully re-assigned cluster
+    * index. Reads ONLY `near/` and `embeddings` — never semseeds/
+    * semidx — and checkpoint-backs both frames, so [[reclusterSemLedger]]
+    * can reset those tables between deriving and committing. */
+  private def semRebuildFrames(s: SparkSession, base: String,
+      embeddings: DataFrame, tau: Int): (DataFrame, DataFrame) = {
     graft.ext.GraftFunctions.register(s)
     import graft.sources.Snapshots
     import graft.vec.VectorOps
@@ -2027,14 +2225,8 @@ object Graft {
       .select(col("doc_id").as("c_id"), col("embedding").as("c_emb"))
       .localCheckpoint() // consumers: max + commit + rollup
     val sdMax = sd.agg(max(col("c_id"))).head.getLong(0)
-    val vSeeds = Snapshots.commit(
-      sd.withColumn("seed_max_id", lit(sdMax)), s"$base/semseeds")
     val idx = VectorOps.semdedupIndexRollup(
       ne.select(col("doc_id").as("vec_id"), col("embedding")), sd)
-    // a rebuild touches every cell by definition → full partitioned
-    // commit, cell-clustered (one file per cc_id per version)
-    val vIdx = Snapshots.commitPartitioned(
-      idx.repartition(col("cc_id")), s"$base/semidx", "cc_id")
-    (vSeeds, vIdx)
+    (sd.withColumn("seed_max_id", lit(sdMax)), idx)
   }
 }

@@ -155,8 +155,11 @@ class FacadeCoverageSpec extends AnyFunSuite {
       "weighted_sample"),
     // minhash_append is the facade family's PERSISTED band index with
     // incremental ingest (the dedup_append/ivf_append lifecycle) (r14)
+    // simhash_multiprobe_counts is the multiprobe pair op's
+    // count-shaped companion (fp-histogram closed form) (r18)
     "minhashPairs" -> Seq("dedup_minhash", "ngram_jaccard",
-      "simhash_pairs", "simhash_multiprobe", "minhash_append"),
+      "simhash_pairs", "simhash_multiprobe",
+      "simhash_multiprobe_counts", "minhash_append"),
     // Lloyd-trained index variants: same query surface as the facade,
     // different (trained) codebook/centroid construction — related,
     // not parameter-pinned equivalents (r11); ivf_append is the

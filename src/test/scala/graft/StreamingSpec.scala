@@ -1305,7 +1305,12 @@ class StreamingSpec extends AnyFunSuite {
     // seed tick: the MIDDLE id band — its max becomes the recorded
     // seed_max_id; a compliant higher band then a violating lower one
     val seed = docs.filter(col("doc_id") > 100 && col("doc_id") <= 300)
-    val okTick = docs.filter(col("doc_id") > 300)
+    val okTick = docs.filter(col("doc_id") > 400)
+    // above the seed tick's recorded max but BELOW okTick's max: the
+    // running-ingest-max upgrade (ADVICE r17) must catch this too —
+    // the seed-tick max alone would let it pass silently
+    val gapTick = docs.filter(col("doc_id") > 300 &&
+      col("doc_id") <= 400)
     val badTick = docs.filter(col("doc_id") <= 100)
     val before = graft.api.Graft.monotoneWarnings.get()
     StreamOps.curateStreamMerge(seed, 0L, base, 0.4,
@@ -1317,14 +1322,148 @@ class StreamingSpec extends AnyFunSuite {
       Some(embAll), 0.3, 8)
     assert(graft.api.Graft.monotoneWarnings.get() == before,
       "compliant batch false-alarmed the monotone-id guard")
-    StreamOps.curateStreamMerge(badTick, 2L, base, 0.4,
+    // a replayed compliant tick compares against records strictly
+    // below its own version — its own max never false-alarms it
+    StreamOps.curateStreamMerge(okTick, 1L, base, 0.4,
+      Some(embAll), 0.3, 8)
+    assert(graft.api.Graft.monotoneWarnings.get() == before,
+      "replayed tick false-alarmed against its own recorded max")
+    StreamOps.curateStreamMerge(gapTick, 2L, base, 0.4,
       Some(embAll), 0.3, 8)
     assert(graft.api.Graft.monotoneWarnings.get() == before + 1,
+      "out-of-order batch above the seed max but below the running " +
+        "ingested max did not fire the guard")
+    StreamOps.curateStreamMerge(badTick, 3L, base, 0.4,
+      Some(embAll), 0.3, 8)
+    assert(graft.api.Graft.monotoneWarnings.get() == before + 2,
       "violating batch did not fire the monotone-id guard")
     // the recorded metadata is the seed set's own max id
     val st = sources.Snapshots.readAsOf(spark, s"$base/semseeds", 1L)
     assert(st.agg(max(col("seed_max_id"))).head.getLong(0) ==
       st.agg(max(col("c_id"))).head.getLong(0))
+  }
+
+  test("reclusterSemLedger: pause-recluster-resume — the next tick " +
+      "merges on the new seed epoch and equals a one-shot build") {
+    ext.GraftFunctions.register(spark)
+    val base = freshDir() + "/recluster_ledger"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val embAll = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    def slice(i: Int): org.apache.spark.sql.DataFrame = i match {
+      case 0 => docs.filter(col("doc_id") <= mx - 40)
+      case 1 => docs.filter(col("doc_id") > mx - 40 &&
+        col("doc_id") <= mx - 20)
+      case 2 => docs.filter(col("doc_id") > mx - 20)
+    }
+    // ticks 0-1, then stop at the tick boundary
+    for (i <- 0 to 1)
+      StreamOps.curateStreamMerge(slice(i), i.toLong, base, 0.4,
+        Some(embAll), 0.3, 8)
+    // ledger-mode rebuild pinned at the last completed tick's version
+    val v = graft.api.Graft.reclusterSemLedger(spark, base, embAll, 1L)
+    assert(v == 2L)
+    // the reset left EXACTLY one version on each semantic table, in
+    // the tick version space
+    assert(sources.Snapshots.versions(spark, s"$base/semseeds")
+      == Seq(2L))
+    assert(sources.Snapshots.versions(spark, s"$base/semidx")
+      == Seq(2L))
+    // rebuilt seeds = the tau-rule set over today's embedded
+    // stage-3 survivors (k lowest ids), not the old semK seed tick
+    val ne1 = sources.Snapshots
+      .readAsOf(spark, s"$base/near", Long.MaxValue)
+      .select("doc_id").join(embAll, Seq("doc_id"))
+      .localCheckpoint()
+    val n1 = ne1.count()
+    val k = math.max(8L, math.ceil(n1.toDouble / 100.0).toLong)
+    val seedT = sources.Snapshots
+      .readAsOf(spark, s"$base/semseeds", 2L).localCheckpoint()
+    assert(seedT.count() == math.min(k, n1))
+    assert(seedT.select("c_id").collect().map(_.getLong(0)).toSet ==
+      ne1.select("doc_id").orderBy(col("doc_id")).limit(k.toInt)
+        .collect().map(_.getLong(0)).toSet)
+    def idxSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("cc_id").cast("long"), col("c_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val seeds = seedT.select(col("c_id"), col("c_emb"))
+    assert(idxSet(sources.Snapshots.readAsOf(spark, s"$base/semidx", 2L))
+      == idxSet(vec.VectorOps.semdedupIndexRollup(
+        ne1.select(col("doc_id").as("vec_id"), col("embedding")),
+        seeds)),
+      "rebuilt semidx diverges from a from-scratch build on the " +
+        "new seeds")
+    // resume: the next tick commits strictly ahead of the rebuild
+    assert(StreamOps.curateStreamMerge(slice(2), 2L, base, 0.4,
+      Some(embAll), 0.3, 8))
+    assert(sources.Snapshots.latest(spark, s"$base/semidx") == 3L,
+      "post-rebuild tick did not merge the semantic index")
+    // streamed ≡ one-shot on the new epoch: the merged index equals
+    // assigning ALL embedded survivors (ticks 0-2) against the new
+    // seeds at once
+    val neAll = sources.Snapshots
+      .readAsOf(spark, s"$base/near", Long.MaxValue)
+      .select("doc_id").join(embAll, Seq("doc_id"))
+      .localCheckpoint()
+    val wantIdx3 = vec.VectorOps.semdedupIndexRollup(
+      neAll.select(col("doc_id").as("vec_id"), col("embedding")),
+      seeds).localCheckpoint()
+    assert(idxSet(sources.Snapshots.readAsOf(spark, s"$base/semidx", 3L))
+      == idxSet(wantIdx3),
+      "streamed post-rebuild index diverges from the one-shot build")
+    // the tick-2 sem/ keep decisions follow the NEW clustering: a
+    // batch doc drops iff a lower-id embedded survivor shares its
+    // new-epoch cluster at rounded cosine >= 0.3
+    val cluster = wantIdx3.select(col("vec_id"), col("c_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = neAll.select(col("doc_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val near3 = sources.Snapshots
+      .readAsOf(spark, s"$base/near", Long.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sem3 = sources.Snapshots
+      .readAsOf(spark, s"$base/sem", Long.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (d <- near3 if d > mx - 20) {
+      val kept =
+        if (!cluster.contains(d)) true // unembedded: pass-through
+        else !cluster.keys.exists(a => a < d &&
+          cluster(a) == cluster(d) && r4(fdot(vecs(a), vecs(d))) >= 0.3)
+      assert(sem3.contains(d) == kept,
+        s"tick-2 doc $d kept=${sem3.contains(d)}, expected $kept " +
+          "under the new seed epoch")
+    }
+  }
+
+  test("curateStreamMerge fails loudly when a batch-mode " +
+      "reclusterSem ran against the ledger's semantic tables") {
+    ext.GraftFunctions.register(spark)
+    val base = freshDir() + "/recluster_collision"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val embAll = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    StreamOps.curateStreamMerge(docs.filter(col("doc_id") <= mx - 20),
+      0L, base, 0.4, Some(embAll), 0.3, 8)
+    // WRONG maintenance call for a ledger pipeline: the batch-mode
+    // rebuild commits at latest+1, leaving a second semseeds version
+    graft.api.Graft.reclusterSem(spark, base, embAll)
+    val e = intercept[IllegalArgumentException](
+      StreamOps.curateStreamMerge(docs.filter(col("doc_id") > mx - 20),
+        1L, base, 0.4, Some(embAll), 0.3, 8))
+    assert(e.getMessage.contains("reclusterSemLedger"),
+      s"guard message lacks the migration path: ${e.getMessage}")
   }
 
   test("Graft.curateStream facade: the attached query seeds and " +

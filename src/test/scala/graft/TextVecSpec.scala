@@ -559,6 +559,24 @@ class TextVecSpec extends AnyFunSuite {
       s"index scan not cell-filtered:\n${scanLines.mkString("\n")}")
   }
 
+  test("simhash_multiprobe_counts equals the pair op grouped by " +
+      "hamming distance") {
+    // the count op never touches the pair set (fp-histogram closed
+    // form) — this is the cross-check that the closed form counts
+    // exactly what the declared pair op emits
+    val pairCounts = q("simhash_multiprobe").groupBy(col("hamming"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = q("simhash_multiprobe_counts").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(0, 1, 2),
+      s"expected one row per distance 0-2, got ${got.keySet}")
+    for (dd <- 0 to 2)
+      assert(got(dd) == pairCounts.getOrElse(dd, 0L),
+        s"distance $dd: counts ${got(dd)} vs pairs " +
+          s"${pairCounts.getOrElse(dd, 0L)}")
+    assert(got.values.sum > 0, "fixture exercises no close pairs")
+  }
+
   test("minhash_append degrades to a batch-only index when the " +
       "corpus is no larger than the ingest batch") {
     import spark.implicits._
