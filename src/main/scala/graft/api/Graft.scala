@@ -1930,19 +1930,35 @@ object Graft {
             .localCheckpoint() // consumers: touched semi, merge, probe
           val prevI = preV(iT)
           val touched = batchIdx.select(col("cc_id")).distinct()
+          // one read of the committed index, shared by the evidence
+          // semi-join and the merge below; a pre-coarse-cell table
+          // (no cc_id) fails HERE with the migration path instead of
+          // a downstream missing-column AnalysisException (ADVICE
+          // r17 — this is the read the streaming merge also runs)
+          val prevIdx =
+            if (prevI == 0L) None
+            else {
+              val t = Snapshots.readAsOf(s, iT, prevI)
+              require(t.columns.contains("cc_id"),
+                s"curateIngest: persisted semantic index $iT " +
+                  "predates the coarse-cell layout (no cc_id " +
+                  "partition column) — rebuild it with " +
+                  "Graft.reclusterSem (ledger streams: " +
+                  "reclusterSemLedger) before ticking against it")
+              Some(t)
+            }
           // evidence = committed index (all earlier embedded stage-3
           // survivors, touched COARSE CELLS only — the cell-
           // partitioned layout's pruned read; cells ⊇ the batch's
           // clusters, and the pair join on c_id below filters inside
           // them) + this batch's own rows; monotone ids make
           // committed rows always the lower-id side
-          val allIdx =
-            if (prevI == 0L) batchIdx
-            else Snapshots.readAsOf(s, iT, prevI)
+          val allIdx = prevIdx.map(_
               .join(broadcast(touched), Seq("cc_id"), "left_semi")
               .select(col("cc_id"), col("c_id"), col("vec_id"),
                 col("embedding"))
-              .unionByName(batchIdx)
+              .unionByName(batchIdx))
+            .getOrElse(batchIdx)
           val drops = allIdx
             .select(col("c_id"), col("vec_id").as("_aid"),
               col("embedding").as("_aemb"))
@@ -1954,10 +1970,9 @@ object Graft {
             .select(col("_bid").as("doc_id")).distinct()
           if (!batchIdx.isEmpty &&
               !version.exists(v => Snapshots.versionExists(s, iT, v))) {
-            if (prevI == 0L) seedCommit(batchIdx, iT, "cc_id")
+            if (prevIdx.isEmpty) seedCommit(batchIdx, iT, "cc_id")
             else mergeCommit(
-              VectorOps.semdedupIndexMergeFrames(
-                Snapshots.readAsOf(s, iT, prevI), batchIdx),
+              VectorOps.semdedupIndexMergeFrames(prevIdx.get, batchIdx),
               iT, "cc_id")
           }
           drops

@@ -1445,6 +1445,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("reclusterSemLedger: a crash between the two commits " +
+      "converges on re-run with the same lastBatchId") {
+    ext.GraftFunctions.register(spark)
+    val base = freshDir() + "/recluster_crash"
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val embAll = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    StreamOps.curateStreamMerge(docs.filter(col("doc_id") <= mx - 20),
+      0L, base, 0.4, Some(embAll), 0.3, 8)
+    StreamOps.curateStreamMerge(docs.filter(col("doc_id") > mx - 20),
+      1L, base, 0.4, Some(embAll), 0.3, 8)
+    val v = graft.api.Graft.reclusterSemLedger(spark, base, embAll, 1L)
+    def rows(t: String): Set[(Long, Long)] =
+      sources.Snapshots.readAsOf(spark, s"$base/$t", Long.MaxValue)
+        .select(col("c_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows("semidx")
+    // crash simulation: the second commit (semidx) never happened —
+    // the documented recovery is a re-run with the same lastBatchId
+    // (deterministic derivation + idempotent reset)
+    val p = new org.apache.hadoop.fs.Path(s"$base/semidx")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.delete(p, true))
+    val v2 = graft.api.Graft.reclusterSemLedger(spark, base, embAll, 1L)
+    assert(v2 == v && v2 == 2L)
+    assert(sources.Snapshots.versions(spark, s"$base/semseeds")
+      == Seq(2L))
+    assert(sources.Snapshots.versions(spark, s"$base/semidx")
+      == Seq(2L))
+    assert(rows("semidx") == want,
+      "re-run rebuilt a different index from the same corpus")
+  }
+
   test("curateStreamMerge fails loudly when a batch-mode " +
       "reclusterSem ran against the ledger's semantic tables") {
     ext.GraftFunctions.register(spark)

@@ -247,6 +247,19 @@ class TextVecSpec extends AnyFunSuite {
     assert(got == expected)
     // and the base-base pairs the tick must NOT re-report exist
     assert(full.exists { case (a, b, _) => a <= mx - 50 && b <= mx - 50 })
+    // clustered-commit regression guard (VERDICT r17 #2): every live
+    // partition of every committed version holds EXACTLY ONE file —
+    // the repartition(pb) before each write is what keeps commits
+    // from fanning out #tasks files per dir (the measured 18.4 s
+    // sf10m floor)
+    val base = s"/tmp/graft_sim_minhash_append_" +
+      s"${Integer.toHexString(sfDir.hashCode)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    for (v <- sources.Snapshots.versions(spark, base)) {
+      val pf = sources.Snapshots.partitionFiles(spark, base, v)
+      assert(pf.nonEmpty && pf.forall(_._2 == 1),
+        s"v$v has multi-file partitions: ${pf.filter(_._2 > 1)}")
+    }
   }
 
   test("ivfpq_topk: 10 distinct candidates from the 2 probed cells, " +
