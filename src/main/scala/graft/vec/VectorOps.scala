@@ -710,7 +710,18 @@ object VectorOps extends OpModule {
     * isolated assignments equal full-corpus slices, the property the
     * incremental/streaming maintainers rest on. */
   private[graft] def assignThreeLevel(emb: DataFrame, fine: DataFrame,
-      mid: DataFrame, coarse: DataFrame): DataFrame = {
+      mid: DataFrame, coarse: DataFrame,
+      broadcastRouting: Boolean = false): DataFrame = {
+    // catalog-sized seed sets (assignFrozen passes true for
+    // k ≤ 100k ≈ 30 MB of routing rows): broadcast the mid/fine
+    // routing tables so the two cell joins are broadcast-hash joins
+    // and the N-row frame crosses ONE exchange (the first per-vector
+    // partial argmax) instead of five — the join preserves the
+    // vec_id hash partitioning the next groupBy reuses. Past the
+    // threshold the plain equi-join shape takes over (AQE skew-split
+    // applies there); results are identical either way.
+    def routed(df: DataFrame): DataFrame =
+      if (broadcastRouting) broadcast(df) else df
     // mid seed -> coarse cell (own-cell rule for coarse seeds)
     val m2c = mid.crossJoin(broadcast(coarse))
       .withColumn("_cs", round(dot("cm_emb", "cc_emb"), 4))
@@ -737,8 +748,8 @@ object VectorOps extends OpModule {
         struct(col("_cs"), -col("cc_id"))).as("m"))
       .select(col("c_id"), col("m.c_emb").as("c_emb"),
         col("m.cc_id").as("cc_id"))
-      .join(m2c.select(col("cc_id"), col("cm_id"), col("cm_emb")),
-        Seq("cc_id"))
+      .join(routed(m2c.select(col("cc_id"), col("cm_id"),
+        col("cm_emb"))), Seq("cc_id"))
       .withColumn("_ms", round(dot("c_emb", "cm_emb"), 4))
       .groupBy(col("c_id"))
       .agg(max_by(struct(col("cm_id"), col("c_emb")),
@@ -761,8 +772,8 @@ object VectorOps extends OpModule {
     // persisted indexes' partition key (kc ∝ ∛k dirs — one dir per
     // CLUSTER would put k ∝ N dirs on the filesystem)
     val v2m = v2c
-      .join(m2c.select(col("cc_id"), col("cm_id"), col("cm_emb")),
-        Seq("cc_id"))
+      .join(routed(m2c.select(col("cc_id"), col("cm_id"),
+        col("cm_emb"))), Seq("cc_id"))
       .withColumn("_ms", round(dot("embedding", "cm_emb"), 4))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cm_id"), col("embedding")),
@@ -771,8 +782,8 @@ object VectorOps extends OpModule {
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.cm_id").as("cm_id"), col("cc_id"))
     // vector -> cluster within its mid cell
-    v2m.join(f2m.select(col("cm_id"), col("c_id"), col("c_emb")),
-        Seq("cm_id"))
+    v2m.join(routed(f2m.select(col("cm_id"), col("c_id"),
+        col("c_emb"))), Seq("cm_id"))
       .withColumn("_fs", round(dot("embedding", "c_emb"), 4))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("c_id"), col("embedding")),
@@ -798,11 +809,21 @@ object VectorOps extends OpModule {
     val n = seeds.count()
     val kc = math.max(4L, intCbrt(n)).toInt
     val km = math.min(n, kc.toLong * kc).toInt
-    val coarse = seeds.orderBy(col("c_id")).limit(kc)
-      .select(col("c_id").as("cc_id"), col("c_emb").as("cc_emb"))
+    // ONE sort of the seed frame, materialized: mid and coarse are
+    // both lowest-id prefixes (coarse ⊆ mid), and both are consumed
+    // by several joins in assignThreeLevel — without the checkpoint
+    // every consumer re-ran the full k-row seed sort (≈5 sorts of an
+    // N/τ-row frame per assignment); with it the sort runs once and
+    // coarse re-sorts only the km checkpointed rows
     val mid = seeds.orderBy(col("c_id")).limit(km)
       .select(col("c_id").as("cm_id"), col("c_emb").as("cm_emb"))
-    assignThreeLevel(emb, seeds, mid, coarse)
+      .localCheckpoint()
+    val coarse = mid.orderBy(col("cm_id")).limit(kc)
+      .select(col("cm_id").as("cc_id"), col("cm_emb").as("cc_emb"))
+    // a k-row routing table ≤ ~30 MB broadcasts; larger seed sets
+    // keep the equi-join shape (see assignThreeLevel)
+    assignThreeLevel(emb, seeds, mid, coarse,
+      broadcastRouting = n <= 100000L)
   }
 
   /** The oracle-side mirror of [[assignFrozen]]: a CTE chain that
