@@ -1840,18 +1840,23 @@ object Graft {
       // misses a batch arriving above it but below a PREVIOUSLY
       // committed batch's max — also a monotone-contract break (the
       // 'committed rows are the lower-id side' pair evidence). Each
-      // tick records running-max(ingested doc_id) as a tiny driver-
-      // written sidecar keyed by its version; the guard reads the
-      // latest record STRICTLY BELOW this tick's version, so a
+      // LEDGER tick records running-max(ingested doc_id) as a tiny
+      // driver-written sidecar keyed by its version; the guard reads
+      // the latest record STRICTLY BELOW this tick's version, so a
       // replayed tick never false-alarms against its own record.
+      // Ledger mode ONLY: batch mode keeps the seed-max-only guard —
+      // the extra full-batch min/max scan is paid exactly where
+      // replayable multi-tick semantics need the memory (a one-shot
+      // curate measured the always-on scan as ~+3.5 s at sf10m).
       val tickV = version.getOrElse(vQ)
       val batchMinMax =
-        if (batch.isEmpty) None
+        if (version.isEmpty || batch.isEmpty) None
         else {
           val r = batch.agg(min(col("doc_id")), max(col("doc_id"))).head
           Some((r.getLong(0), r.getLong(1)))
         }
-      val priorMax = readIngestMax(s, base, tickV)
+      val priorMax =
+        if (version.isDefined) readIngestMax(s, base, tickV) else None
       val prevD = preV(dT)
       val seedsT: DataFrame =
         if (prevD > 0L) {
@@ -1864,12 +1869,14 @@ object Graft {
           // the full corpus would have picked a different seed set
           // or different pair evidence — convert that silent
           // divergence into a loud, counted warning.
-          if (t.columns.contains("seed_max_id") &&
-              batchMinMax.isDefined) {
+          if (t.columns.contains("seed_max_id") && !batch.isEmpty) {
             val recorded = math.max(
               t.agg(max(col("seed_max_id"))).head.getLong(0),
               priorMax.getOrElse(Long.MinValue))
-            val bmin = batchMinMax.get._1
+            // ledger mode already has the batch min; batch mode
+            // computes it here (only when seeds exist — r17's cost)
+            val bmin = batchMinMax.map(_._1).getOrElse(
+              batch.agg(min(col("doc_id"))).head.getLong(0))
             if (bmin <= recorded) {
               monotoneWarnings.incrementAndGet()
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
