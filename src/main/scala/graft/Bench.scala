@@ -118,9 +118,31 @@ object Bench {
   private def heapGb: Long =
     (Runtime.getRuntime.maxMemory + (1L << 29)) >> 30
 
+  /** In-protocol = the JVM was LAUNCHED with an exact 8 GiB -Xmx
+    * (read from the input arguments, not inferred from maxMemory:
+    * under G1 a -Xmx7700m launch reports maxMemory ~7.52 GiB, lands
+    * inside the old [7.4, 8.0] GiB acceptance band, and would be
+    * mislabeled in-protocol — ADVICE r18). Any -Xmx spelling of
+    * exactly 2^33 bytes qualifies (8g/8192m/8388608k/8589934592);
+    * maxMemory stays stamped as `heap_bytes` for the audit trail.
+    * No -Xmx at all (ergonomic default heap) is off-protocol. */
   private def heapInProtocol: Boolean = {
-    val m = Runtime.getRuntime.maxMemory
-    m >= (74L << 30) / 10 && m <= (8L << 30)
+    import scala.jdk.CollectionConverters._
+    val xmx = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(_.startsWith("-Xmx")).lastOption
+    xmx.exists { a =>
+      val v = a.stripPrefix("-Xmx").toLowerCase
+      val d = v.takeWhile(_.isDigit)
+      val mult = v.drop(d.length) match {
+        case "g" => Some(1L << 30)
+        case "m" => Some(1L << 20)
+        case "k" => Some(1L << 10)
+        case ""  => Some(1L)
+        case _   => None
+      }
+      d.nonEmpty && mult.exists(m =>
+        scala.util.Try(d.toLong).toOption.exists(_ * m == 8L << 30))
+    }
   }
 
   /** When launched off-protocol (any heap but 8 GB), re-exec this

@@ -2049,23 +2049,37 @@ object Graft {
   private[graft] val monotoneWarnings =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** The curation ledger's running-ingest-max sidecar dir: one tiny
-    * driver-written file per tick version under `base/_ledger/
-    * ingest_max/<version>`, holding max(doc_id) ingested up to and
-    * including that tick. Pipeline metadata, not a snapshot table —
-    * the monotone-id guard's memory across ticks and restarts. */
+  /** The curation ledger's running-ingest-max sidecar dir: tiny
+    * driver-written files under `base/_ledger/ingest_max/<version>`,
+    * each holding max(doc_id) ingested up to and including that
+    * tick. Pipeline metadata, not a snapshot table — the monotone-id
+    * guard's memory across ticks and restarts.
+    *
+    * RETENTION (VERDICT r18 #2): only the TWO newest version records
+    * are kept — the guard only ever reads the latest record strictly
+    * below the current tick's version, and exactly-once resume only
+    * replays the newest tick, so the newest record serves live ticks
+    * and the second-newest serves a replay of the newest. Older
+    * records are pruned at write, keeping both the dir's file count
+    * and every read/listing O(1) regardless of stream age (r18
+    * shipped one file per tick with a full listStatus per tick —
+    * per-tick cost linear in stream age, quadratic cumulative). */
   private def ingestMaxDir(base: String): String =
     s"$base/_ledger/ingest_max"
 
   /** Latest recorded running max from versions STRICTLY BELOW
     * `beforeV` (a replayed tick must never compare against its own
-    * record). None when no earlier tick recorded one. */
+    * record). None when no earlier tick recorded one — or when the
+    * record was pruned by retention, which can only happen for a
+    * replay older than the newest tick (not a path exactly-once
+    * resume produces). */
   private def readIngestMax(s: SparkSession, base: String,
       beforeV: Long): Option[Long] = {
     val dir = new org.apache.hadoop.fs.Path(ingestMaxDir(base))
     val f = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!f.exists(dir)) None
     else {
+      // O(1): retention bounds the dir at ≤2 records (+1 transient)
       val vs = f.listStatus(dir).toSeq
         .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
         .filter(_ < beforeV)
@@ -2073,27 +2087,60 @@ object Graft {
       else {
         val p = new org.apache.hadoop.fs.Path(dir, vs.max.toString)
         val in = f.open(p)
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](64)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          Some(new String(bos.toByteArray, "UTF-8").trim.toLong)
-        } finally in.close()
+        val raw =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](64)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            new String(bos.toByteArray, "UTF-8").trim
+          } finally in.close()
+        // the temp+rename write makes a torn record unreachable on
+        // rename-atomic filesystems; keep the parse failure loud and
+        // actionable anyway (ADVICE r18: a bare NumberFormatException
+        // named neither the file nor the fix)
+        scala.util.Try(raw.toLong).toOption match {
+          case some @ Some(_) => some
+          case None => throw new IllegalStateException(
+            s"curation ledger sidecar $p is unreadable (content: " +
+              s"'${raw.take(32)}') — delete the file and replay the " +
+              "tick that wrote it (the record is re-derived from " +
+              "the batch), or rewrite it with the correct running max")
+        }
       }
     }
   }
 
   /** Write (overwrite — replays re-derive the same value) the
-    * running max for tick `v`. */
+    * running max for tick `v`: temp file + rename into place (a
+    * crash between create and write can otherwise leave a 0-byte
+    * record — ADVICE r18), then prune every record older than the
+    * two newest so the dir stays O(1) files (see [[ingestMaxDir]]). */
   private def writeIngestMax(s: SparkSession, base: String, v: Long,
       value: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(ingestMaxDir(base),
-      v.toString)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = f.create(p, true)
+    val dir = new org.apache.hadoop.fs.Path(ingestMaxDir(base))
+    val f = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$v")
+    val out = f.create(tmp, true)
     try out.write(value.toString.getBytes("UTF-8"))
     finally out.close()
+    val p = new org.apache.hadoop.fs.Path(dir, v.toString)
+    if (f.exists(p)) f.delete(p, false) // replay overwrite
+    require(f.rename(tmp, p),
+      s"could not rename ledger sidecar $tmp into place at $p")
+    // retention: keep the two newest version records, drop the rest
+    // (and any stale .tmp-* from a crashed writer)
+    val entries = f.listStatus(dir).toSeq
+    val keep = entries
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted.takeRight(2).toSet
+    entries.foreach { st =>
+      val name = st.getPath.getName
+      val drop = scala.util.Try(name.toLong).toOption
+        .map(!keep.contains(_)).getOrElse(true) // non-numeric = stale tmp
+      if (drop) f.delete(st.getPath, false)
+    }
   }
 
   /** RE-CLUSTER the curation family's semantic index — the

@@ -820,10 +820,19 @@ object VectorOps extends OpModule {
       .localCheckpoint()
     val coarse = mid.orderBy(col("cm_id")).limit(kc)
       .select(col("cm_id").as("cc_id"), col("cm_emb").as("cc_emb"))
-    // a k-row routing table ≤ ~30 MB broadcasts; larger seed sets
-    // keep the equi-join shape (see assignThreeLevel)
+    // routing tables broadcast only while their ESTIMATED BYTES stay
+    // catalog-sized (≤32 MB): rows × (4·dim + 24) from the first
+    // checkpointed seed row — a row-count gate alone would force-
+    // broadcast ~300 MB of 768-dim vectors at n=100k through the
+    // hint, bypassing autoBroadcastJoinThreshold and pressuring an
+    // 8 GB driver (ADVICE r18). Larger seed sets keep the equi-join
+    // shape (AQE skew-split applies there); results are identical
+    // either way.
+    val dim =
+      if (n == 0L) 0
+      else mid.select(size(col("cm_emb"))).head.getInt(0)
     assignThreeLevel(emb, seeds, mid, coarse,
-      broadcastRouting = n <= 100000L)
+      broadcastRouting = n * (4L * dim + 24L) <= (32L << 20))
   }
 
   /** The oracle-side mirror of [[assignFrozen]]: a CTE chain that
