@@ -1012,8 +1012,19 @@ object CurationOps extends OpModule {
     * the hash's first hex char. */
   private[graft] def dedupIndexRollup(
       dd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    dd.withColumn("h", md5(col("text")))
-      .groupBy(col("h"))
+    dedupIndexRollupHashed(dedupHashRows(dd))
+
+  /** The rollup's map side alone — per-doc (doc_id, h) rows. Split
+    * out so `dedup_append` can hash the corpus ONCE and roll up the
+    * base and batch slices from the same checkpointed rows. */
+  private[graft] def dedupHashRows(
+      dd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dd.select(col("doc_id"), md5(col("text")).as("h"))
+
+  /** The rollup's reduce side over pre-hashed rows. */
+  private[graft] def dedupIndexRollupHashed(
+      hr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hr.groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
       .withColumn("hp", substring(col("h"), 1, 1))
 
@@ -1046,21 +1057,24 @@ object CurationOps extends OpModule {
       import graft.sources.Snapshots
       val docs = Tables(s, d, "documents")
       val base = Snapshots.freshTmpBase(s, "cur_dedup_append", d)
-      val mx = docs.agg(max(col("doc_id")).as("mxd"))
-      val baseSlice = docs.crossJoin(broadcast(mx))
-        .filter(col("doc_id") <= col("mxd") - 10).drop("mxd")
+      // ONE md5 pass over the corpus text, checkpointed as skinny
+      // (doc_id, h) rows, then base and batch ROLL UP SEPARATELY
+      // from those rows (the within-batch rollup + merge semantics
+      // are unchanged — hashes are per-doc pure, only the text scan
+      // is shared; the r18 shape re-read the full documents table
+      // once per slice, the r19 duplicate-pass finding)
+      val mxRow = docs.agg(max(col("doc_id"))).head
+      val mxd: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val hrows = dedupHashRows(docs)
+        .localCheckpoint() // consumers: base rollup, batch rollup, guard
       // ingest tick: the 10 newest docs, rolled up within-batch, then
       // merged into ONLY the touched hash-prefix partitions
-      val batch = dedupIndexRollup(docs.crossJoin(broadcast(mx))
-          .filter(col("doc_id") > col("mxd") - 10).drop("mxd"))
+      val batch = dedupIndexRollupHashed(
+        hrows.filter(col("doc_id") > mxd - 10))
         .localCheckpoint() // 2 consumers: touched-partition semi + merge
       val v =
-        // the guard probes the PRE-rollup slice: a row-local filtered
-        // scan early-stops at the first row, where isEmpty on the
-        // rollup itself would pay the full md5 aggregation shuffle as
-        // an extra job on every normal run (the rollup is empty iff
-        // its input is)
-        if (baseSlice.isEmpty) {
+        // base emptiness is a filter over the checkpointed hash rows
+        if (hrows.filter(col("doc_id") <= mxd - 10).isEmpty) {
           // corpus no larger than the ingest batch: the batch IS the
           // corpus — seed with it (hashes are per-doc pure functions,
           // so the batch-only index is exactly the one-shot build)
@@ -1078,7 +1092,9 @@ object CurationOps extends OpModule {
           // minhash_append / streaming-tick doctrine — unclustered,
           // partitionBy fans out #tasks files per dir)
           val v1 = Snapshots.commitPartitioned(
-            dedupIndexRollup(baseSlice).repartition(col("hp")),
+            dedupIndexRollupHashed(
+              hrows.filter(col("doc_id") <= mxd - 10))
+              .repartition(col("hp")),
             base, "hp")
           Snapshots.commitPartitions(
             dedupIndexMergeFrames(Snapshots.readAsOf(s, base, v1), batch)

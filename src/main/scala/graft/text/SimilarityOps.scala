@@ -701,23 +701,31 @@ object SimilarityOps extends OpModule {
       import graft.sources.Snapshots
       val docs = Tables(s, d, "documents")
       val base = Snapshots.freshTmpBase(s, "sim_minhash_append", d)
-      val mx = docs.agg(max(col("doc_id")).as("mxd"))
-      // v1: the base index (all but the 50 newest docs)
-      val baseSlice = docs.crossJoin(broadcast(mx))
-        .filter(col("doc_id") <= col("mxd") - 50).drop("mxd")
+      // ONE gram/signature/band pass over the whole corpus,
+      // checkpointed, then sliced into base/batch band rows by
+      // doc_id — signatures are per-doc pure functions, so
+      // rollup(corpus) ≡ rollup(base) ∪ rollup(batch) row-for-row.
+      // The r18 shape rolled base and batch up SEPARATELY, and each
+      // rollup (plus the base-emptiness probe) re-read + re-exchanged
+      // the full documents table; at sf10 the r19 StageProbe showed
+      // those extra passes were the op's actual floor (every pass
+      // over the single-row-group fixture pays a serial full-file
+      // scan task), not the signature compute. The max-doc_id cutoff
+      // is a scalar head() on a column-pruned scan (guide §5: fine —
+      // one 8-byte result, not a data-sized collect).
+      val mxRow = docs.agg(max(col("doc_id"))).head
+      val mxd: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val allBands = minhashIndexRollup(docs)
+        .localCheckpoint() // consumers: both slices × (commit, merge, probe)
       // ingest tick: the 50 newest docs' band rows, merged into ONLY
       // the touched (band, bk mod 16) partitions
-      val batchBands = minhashIndexRollup(
-        docs.crossJoin(broadcast(mx))
-          .filter(col("doc_id") > col("mxd") - 50).drop("mxd"))
-        .localCheckpoint() // 3 consumers: touched semi, merge, probe
+      val batchBands = allBands.filter(col("doc_id") > mxd - 50)
+      val baseBands = allBands.filter(col("doc_id") <= mxd - 50)
       val v2 =
-        // guard on the row-local has-any-grams predicate (a doc emits
-        // band rows iff it has >= 3 tokens): early-stops at the first
-        // qualifying row instead of running the whole gram/signature
-        // chain an extra time just to learn the base is non-empty
-        if (baseSlice
-            .filter(size(split(col("text"), " ")) >= 3).isEmpty) {
+        // a doc emits band rows iff it has >= 3 tokens, so base
+        // emptiness is a filter over the checkpointed band rows —
+        // no extra corpus pass
+        if (baseBands.isEmpty) {
           // corpus no larger than the ingest batch: signatures are
           // per-doc pure functions, so the batch-only index IS the
           // one-shot build — seed with it rather than tripping the
@@ -738,8 +746,7 @@ object SimilarityOps extends OpModule {
           // the op's measured floor for three rounds (VERDICT r17
           // #2; the streaming tick kernels already write clustered)
           val v1 = Snapshots.commitPartitioned(
-            minhashIndexRollup(baseSlice).repartition(col("pb")),
-            base, "pb")
+            baseBands.repartition(col("pb")), base, "pb")
           Snapshots.commitPartitions(
             minhashIndexMergeFrames(
               Snapshots.readAsOf(s, base, v1), batchBands)

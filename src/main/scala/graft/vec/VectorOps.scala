@@ -1007,9 +1007,14 @@ object VectorOps extends OpModule {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       val base = Snapshots.freshTmpBase(s, "vec_ivf_append", d)
-      val mx = emb.agg(max(col("vec_id")).as("mxv"))
-      val baseEmb = emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") <= col("mxv") - 4).drop("mxv")
+      // scalar cutoff, then ONE frozen-centroid assignment pass over
+      // the whole corpus (below) sliced by vec_id — assignments are
+      // pure functions of (own embedding, frozen centroids), so
+      // assignTo(corpus) ≡ assignTo(base) ∪ assignTo(batch)
+      // row-for-row (the r19 duplicate-pass finding).
+      val mxRow = emb.agg(max(col("vec_id"))).head
+      val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val baseEmb = emb.filter(col("vec_id") <= mxv - 4)
       // a training op needs a base: fail with the actual problem, not
       // a downstream Lloyd/commit failure (and before any /tmp debris)
       require(!baseEmb.isEmpty,
@@ -1024,17 +1029,19 @@ object VectorOps extends OpModule {
           struct(col("c_score"), -col("c_id"))).as("m"))
         .select(col("vec_id"), col("m.embedding").as("embedding"),
           col("m.c_id").as("list"))
+      val allIdx = assignTo(emb)
+        .localCheckpoint() // consumers: base commit + batch + probe target
       // v1: the base index, clustered by inverted list (repartition
       // on the partition column: one file per list dir per version —
       // the clustered-commit doctrine)
       val v1 = Snapshots.commitPartitioned(
-        assignTo(baseEmb).repartition(col("list")), base, "list")
+        allIdx.filter(col("vec_id") <= mxv - 4)
+          .repartition(col("list")), base, "list")
       // ingest: the 4 NEWEST vec_ids (the base's complement), assigned
       // to the FROZEN centroids; merge = full new contents of ONLY the
       // touched list partitions
-      val batch = assignTo(emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") > col("mxv") - 4).drop("mxv"))
-        .localCheckpoint() // 2 consumers: touched-list semi + union
+      val batch = allIdx.filter(col("vec_id") > mxv - 4)
+        .select(col("vec_id"), col("embedding"), col("list"))
       val touched = batch.select(col("list")).distinct()
       val merged = Snapshots.readAsOf(s, base, v1)
         .join(broadcast(touched), Seq("list"), "left_semi")
@@ -1045,9 +1052,10 @@ object VectorOps extends OpModule {
       // probe the merged index with the NEWEST vector — the
       // freshly-ingested document immediately querying the index it
       // just joined: top-2 lists for the target, then exact scoring
-      // inside those two partitions only
-      val newest = emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") === col("mxv")).drop("mxv")
+      // inside those two partitions only (the embedding rides in the
+      // checkpointed assignment — no corpus re-read)
+      val newest = allIdx.filter(col("vec_id") === mxv)
+        .select(col("vec_id"), col("embedding"))
       val probes = newest
         .crossJoin(broadcast(cents))
         .withColumn("c_score", round(dotD("embedding", "cent"), 4))
@@ -1149,39 +1157,41 @@ object VectorOps extends OpModule {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       val base = Snapshots.freshTmpBase(s, "vec_semdedup_append", d)
-      val mx = emb.agg(max(col("vec_id")).as("mxv"))
-      val baseEmb = emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") <= col("mxv") - 5).drop("mxv")
-      // the raw ingest slice, materialized once: its count sizes k
-      // below and its rows feed the frozen-seed assignment — so N_base
-      // needs NO scan of the base (emb.count() is the footer-metadata
-      // count; base + batch partition the corpus exactly, id gaps
-      // included, so the difference IS the oracle's COUNT WHERE
-      // vec_id <= mxv-5). The old form counted the filtered base frame
-      // directly — one full extra scan per invocation (VERDICT r14).
-      val batchRaw = emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") > col("mxv") - 5).drop("mxv")
-        .localCheckpoint() // 2 consumers: the k-sizing count + assign
-      val nBase = emb.count() - batchRaw.count()
+      // scalar cutoffs first (column-pruned scans: max + two counts —
+      // footer/stats work, no embedding bytes), then ONE frozen-seed
+      // assignment pass over the WHOLE corpus, checkpointed and
+      // sliced by vec_id: assignments are pure functions of (own
+      // embedding, frozen seeds), so rollup(corpus) ≡ rollup(base) ∪
+      // rollup(batch) row-for-row. The r18 shape ran assignFrozen
+      // twice (base, then the checkpointed batch slice) and each run
+      // re-read + re-exchanged the full embeddings table — the r19
+      // minhash_append StageProbe showed those duplicate passes, not
+      // the scoring, were the incremental family's floor.
+      val mxRow = emb.agg(max(col("vec_id"))).head
+      val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val nBatch = emb.filter(col("vec_id") > mxv - 5).count()
+      val nBase = emb.count() - nBatch
       // a training op needs a base: fail with the actual problem, not
       // the empty-commit guard's message (and before any /tmp debris)
       require(nBase > 0,
         "semdedup_append needs a base corpus larger than the 5-vector " +
           "ingest batch — the frozen centroids train on the base")
       val k = math.max(8L, math.ceil(nBase / 100.0).toLong)
-      val seeds = baseEmb.filter(col("vec_id") < k)
+      val seeds = emb
+        .filter(col("vec_id") < k && col("vec_id") <= mxv - 5)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val allIdx = semdedupIndexRollup(emb, seeds)
+        .localCheckpoint() // consumers: base commit + batch's 4 reads
+      val baseIdx = allIdx.filter(col("vec_id") <= mxv - 5)
       // v1: the base index, cell-partitioned and cell-clustered (the
       // repartition sends each cc_id to ONE task → one file per cell
       // per version; unclustered partitionBy wrote #tasks files per
       // dir — the 181 s sf10m regression)
       val v1 = Snapshots.commitPartitioned(
-        semdedupIndexRollup(baseEmb, seeds).repartition(col("cc_id")),
-        base, "cc_id")
+        baseIdx.repartition(col("cc_id")), base, "cc_id")
       // ingest tick: the 5 newest vectors, assigned to the FROZEN
       // seeds, merged into ONLY the touched coarse-cell partitions
-      val batch = semdedupIndexRollup(batchRaw, seeds)
-        .localCheckpoint() // 4 consumers: 2 touched semis, merge, probe
+      val batch = allIdx.filter(col("vec_id") > mxv - 5)
       val touchedCells = batch.select(col("cc_id")).distinct()
       val touched = batch.select(col("c_id")).distinct()
       val v2 = Snapshots.commitPartitions(
@@ -1980,9 +1990,17 @@ object VectorOps extends OpModule {
       graft.ext.GraftFunctions.register(s)
       val emb = Tables(s, d, "embeddings")
       val base = Snapshots.freshTmpBase(s, "vec_ivfpq_append", d)
-      val mx = emb.agg(max(col("vec_id")).as("mxv"))
-      val baseEmb = emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") <= col("mxv") - 4).drop("mxv")
+      // scalar cutoff, then ONE encode pass over the whole corpus
+      // (below) sliced by vec_id: codes/assignments are pure
+      // functions of (own embedding, frozen halves), so
+      // indexRows(corpus) ≡ indexRows(base) ∪ indexRows(batch)
+      // row-for-row, and the checkpointed rows are 3 columns of
+      // longs — the r18 shape encoded base and batch separately,
+      // paying two extra full-corpus scan+exchange passes (the r19
+      // minhash_append StageProbe finding).
+      val mxRow = emb.agg(max(col("vec_id"))).head
+      val mxv: Long = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val baseEmb = emb.filter(col("vec_id") <= mxv - 4)
       // a training op needs a base: fail with the actual problem, not
       // a downstream commit failure (and before any /tmp debris)
       require(!baseEmb.isEmpty,
@@ -2020,15 +2038,16 @@ object VectorOps extends OpModule {
         assign.join(packed, "vec_id")
           .select(col("list"), col("vec_id"), col("ck"))
       }
+      val allRows = indexRows(emb)
+        .localCheckpoint() // consumers: base commit + batch's 3 reads
       // v1: the base index, clustered by inverted list (one file per
       // list dir per version — the clustered-commit doctrine)
       val v1 = Snapshots.commitPartitioned(
-        indexRows(baseEmb).repartition(col("list")), base, "list")
+        allRows.filter(col("vec_id") <= mxv - 4)
+          .repartition(col("list")), base, "list")
       // ingest tick: the 4 newest vectors, encoded against the FROZEN
       // halves, merged into ONLY the touched list partitions
-      val batch = indexRows(emb.crossJoin(broadcast(mx))
-          .filter(col("vec_id") > col("mxv") - 4).drop("mxv"))
-        .localCheckpoint() // 2 consumers: touched semi + merge
+      val batch = allRows.filter(col("vec_id") > mxv - 4)
       val touched = batch.select(col("list")).distinct()
       val merged = Snapshots.readAsOf(s, base, v1)
         .join(broadcast(touched), Seq("list"), "left_semi")
@@ -2038,9 +2057,9 @@ object VectorOps extends OpModule {
         merged.repartition(col("list")), base, "list")
       // the query: the newest vector probes the merged index — top-2
       // lists, ADC table from its sub-vectors, then a PRUNED read of
-      // the committed code longs only
-      val newest = emb.crossJoin(broadcast(mx))
-        .filter(col("vec_id") === col("mxv")).drop("mxv")
+      // the committed code longs only (the vec_id = mxv point filter
+      // pushes to parquet row-group stats)
+      val newest = emb.filter(col("vec_id") === mxv)
         .localCheckpoint() // 3 consumers: probes, ADC table, target id
       val probes = newest.crossJoin(broadcast(cents))
         .withColumn("c_score", round(dot("embedding", "c_emb"), 4))
