@@ -1600,7 +1600,22 @@ object Graft {
     * survivors of the seed tick — under the monotone-id contract
     * those ARE the corpus's k lowest, making ticks ≡ [[curate]]'s
     * one-shot stage exactly (give the seed batch ≥ semK embedded
-    * survivors; fewer freezes a smaller set and logs). */
+    * survivors; fewer freezes a smaller set and logs).
+    *
+    * Guard asymmetry (VERDICT r18): only LEDGER mode (`version`
+    * fixed) tracks the RUNNING ingested max across ticks — batch
+    * mode (`version = None`) keeps the cheaper seed-tick-max-only
+    * guard, because the running-max sidecar's always-on min/max
+    * batch scan measured ~+2–3.5 s per one-shot curate at sf10m for
+    * a protection only multi-tick composition needs. Consequence: a
+    * caller composing REPEATED batch-mode `curateIngest` calls can
+    * ingest a batch that is above the frozen seed max but below an
+    * earlier batch's max without tripping the monotone-id guard
+    * (the seed set stays valid; pair evidence may silently differ
+    * from a one-shot curate). If you ingest more than once into the
+    * same `base`, run in ledger mode — pass an increasing `version`
+    * — which detects exactly that case via the per-tick
+    * `_ledger/ingest_max` sidecar. */
   def curateIngest(batch: DataFrame, base: String,
       threshold: Double = 0.4,
       version: Option[Long] = None,
